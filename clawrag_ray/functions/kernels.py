@@ -1,0 +1,86 @@
+"""Vectorized pyarrow/numpy kernels shared by the Ray stages.
+
+Everything here is batch-level: pyarrow.compute where a kernel exists, numpy
+otherwise; sha256 is the one per-row Python loop (no vectorized sha256 in
+pyarrow) and is kept tight (bytes in, hexdigest out).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+WS_RUN_RE = r"\s+"
+TOKEN_RE = r"\S+"
+# BPE-ish word/number/punct tokenizer (public GPT-2-style pattern shape).
+BPE_ISH_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def sha256_hex(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """sha256 hexdigest per string row."""
+    out = [
+        hashlib.sha256(v.encode("utf-8", "surrogatepass")).hexdigest() if v is not None else None
+        for v in col.to_pylist()
+    ]
+    return pa.array(out, type=pa.string())
+
+
+def clean_text_arr(col) -> pa.ChunkedArray:
+    """Vectorized clean_text: collapse whitespace runs, trim (matches
+    reference.textutils.clean_text)."""
+    collapsed = pc.replace_substring_regex(col, WS_RUN_RE, " ")
+    return pc.utf8_trim_whitespace(collapsed)
+
+
+def count_regex(col, pattern: str) -> pa.ChunkedArray:
+    """Number of non-overlapping regex matches per row."""
+    return pc.count_substring_regex(col, pattern)
+
+
+def token_count(col) -> pa.ChunkedArray:
+    """Whitespace token count per row."""
+    return pc.count_substring_regex(col, TOKEN_RE)
+
+
+def bpe_ish_token_count(col) -> pa.ChunkedArray:
+    """BPE-ish token count: alpha runs + digit runs + single punct marks."""
+    return pc.count_substring_regex(col, BPE_ISH_RE)
+
+
+def stable_hash_u64(col) -> pa.Array:
+    """Deterministic 64-bit hash per string (first 8 bytes of sha256).
+    Used for hash-partitioning / salting; NOT Python's randomized hash()."""
+    out = np.empty(len(col), dtype=np.uint64)
+    for i, v in enumerate(col.to_pylist()):
+        h = hashlib.sha256((v or "").encode("utf-8", "surrogatepass")).digest()
+        out[i] = int.from_bytes(h[:8], "big")
+    return pa.array(out, type=pa.uint64())
+
+
+def rolling_fingerprint(text: str, window: int = 64, mod: int = (1 << 61) - 1, base: int = 257) -> int:
+    """Rabin-Karp rolling-hash document fingerprint: min rolling hash over
+    all ``window``-byte windows (a deterministic content fingerprint that is
+    robust to concatenation position). Whole-text polynomial hash when the
+    text is shorter than the window."""
+    data = text.encode("utf-8", "surrogatepass")
+    n = len(data)
+    if n == 0:
+        return 0
+    if n <= window:
+        h = 0
+        for b in data:
+            h = (h * base + b) % mod
+        return h
+    h = 0
+    pw = pow(base, window - 1, mod)
+    for b in data[:window]:
+        h = (h * base + b) % mod
+    best = h
+    for i in range(window, n):
+        h = ((h - data[i - window] * pw) * base + data[i]) % mod
+        if h < best:
+            best = h
+    return best

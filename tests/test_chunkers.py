@@ -1,0 +1,128 @@
+"""Chunking-math fixtures (FIXTURES.md §6)."""
+
+import pytest
+
+from clawrag_ray.reference.chunkers import (
+    char_window,
+    code_split,
+    n_char_window_chunks,
+    parent_child,
+    row_based,
+    separator_cascade,
+)
+
+
+class TestCharWindow:
+    def test_empty(self):
+        assert char_window("") == []
+
+    def test_shorter_than_size(self):
+        assert char_window("abc", 10, 2) == ["abc"]
+
+    def test_exactly_size(self):
+        assert char_window("a" * 10, 10, 2) == ["a" * 10]
+
+    def test_window_math(self):
+        text = "abcdefghij"  # 10 chars, size 4, overlap 1 -> step 3
+        chunks = char_window(text, 4, 1)
+        assert chunks == ["abcd", "defg", "ghij"]
+
+    def test_loop_guard_tail(self):
+        # end-of-text guard: last chunk may be shorter, never loops
+        chunks = char_window("abcdefgh", 5, 2)
+        assert chunks == ["abcde", "defgh"]
+        assert "".join(c[: 5 - 2] for c in chunks[:-1]) + chunks[-1] == "abcdefgh"
+
+    def test_overlap_ge_size_raises(self):
+        with pytest.raises(ValueError):
+            char_window("abc", 3, 3)
+
+    @pytest.mark.parametrize("n", [0, 1, 999, 1000, 1001, 1800, 1801, 5000, 123_457])
+    def test_closed_form_matches(self, n):
+        assert n_char_window_chunks(n, 1000, 200) == len(char_window("x" * n, 1000, 200))
+
+
+class TestSeparatorCascade:
+    def test_short_passthrough(self):
+        assert separator_cascade("hello world", 100, 10) == ["hello world"]
+
+    def test_paragraph_split(self):
+        text = "para one is here.\n\npara two is here.\n\npara three."
+        chunks = separator_cascade(text, 25, 5)
+        assert all(len(c) <= 25 or "\n\n" not in c for c in chunks)
+        # first chunk starts at text start; overlap chains chunks
+        assert chunks[0].startswith("para one")
+
+    def test_tail_overlap(self):
+        text = ("A" * 10 + "\n\n") * 5
+        chunks = separator_cascade(text, 30, 6)
+        for prev, nxt in zip(chunks, chunks[1:]):
+            assert nxt.startswith(prev[-6:])
+
+    def test_content_coverage(self):
+        # every input char appears in some chunk (no data loss)
+        text = "one two three. four five six. seven eight nine. ten."
+        chunks = separator_cascade(text, 20, 4)
+        joined = "".join(chunks)
+        for word in text.replace(".", "").split():
+            assert word in joined
+
+    def test_oversized_piece_recurses(self):
+        text = "x" * 50 + "\n\n" + "y z " * 30
+        chunks = separator_cascade(text, 20, 4)
+        assert all(len(c) <= 24 for c in chunks)  # size + overlap slack
+
+    def test_deterministic(self):
+        text = "word " * 500
+        assert separator_cascade(text) == separator_cascade(text)
+
+
+class TestCodeSplit:
+    def test_python_constructs(self):
+        src = "import os\n\n\ndef alpha():\n    return 1\n\n\nclass Beta:\n    def meth(self):\n        pass\n"
+        chunks = code_split(src, "python")
+        kinds = [(c.type, c.name) for c in chunks]
+        assert ("module", "") == kinds[0]
+        assert ("function", "alpha") in kinds
+        assert ("class", "Beta") in kinds
+        # line ranges tile the file
+        assert chunks[0].start_line == 1
+        for prev, nxt in zip(chunks, chunks[1:]):
+            assert nxt.start_line == prev.end_line + 1
+
+    def test_unknown_language_single_module(self):
+        chunks = code_split("some text", "brainfuck")
+        assert len(chunks) == 1 and chunks[0].type == "module"
+
+    def test_go(self):
+        src = "package main\n\nfunc Hello() {}\n\ntype Point struct{}\n"
+        kinds = [(c.type, c.name) for c in code_split(src, "go")]
+        assert ("function", "Hello") in kinds
+        assert ("class", "Point") in kinds
+
+
+class TestParentChild:
+    def test_linkage_and_sizes(self):
+        rows = parent_child("z" * 4500, 2000, 200, 20)
+        parents = [r for r in rows if r["role"] == "parent"]
+        children = [r for r in rows if r["role"] == "child"]
+        assert len(parents) == 3  # 2000+2000+500
+        assert {p["parent_idx"] for p in parents} == {0, 1, 2}
+        assert all(len(p["text"]) <= 2000 for p in parents)
+        assert all(len(c["text"]) <= 200 for c in children)
+        for c in children:
+            assert c["parent_idx"] in {0, 1, 2}
+
+    def test_empty(self):
+        assert parent_child("") == []
+
+
+class TestRowBased:
+    def test_header_replicated(self):
+        text = "h1,h2\n" + "\n".join(f"a{i},b{i}" for i in range(120))
+        chunks = row_based(text, rows_per_chunk=50)
+        assert len(chunks) == 3
+        assert all(c.startswith("h1,h2\n") for c in chunks)
+
+    def test_empty(self):
+        assert row_based("") == []
