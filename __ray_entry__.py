@@ -1,44 +1,388 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship extraction pipeline over the sf0.001
+``documents`` table; ``queries()`` exposes one callable per implemented
+operator family (SURVEY.md §2 + the training-data dedup/similarity/
+text-analysis suites); ``oracle_sql()`` provides DuckDB-equivalent SQL for
+every SQL-expressible query (same column names, same rounding).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+CHUNK_SIZE, CHUNK_OVERLAP = 120, 30  # chunk_counts params (docs are ~300 chars)
+ANN_K, ANN_N_QUERIES = 10, 5
+SESSION_GAP_MIN = 30.0
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+    import ray.data
+
+    return ray.data.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+def _docs_as_raw(sf_dir: str):
+    """documents(doc_id:int64, text, ...) -> the extraction pipeline's raw
+    schema (doc_id:string, doc_kind='text', payload=text)."""
+    import pyarrow.compute as pc
+
+    def to_raw(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                "doc_id": pc.cast(batch["doc_id"], pa.string()),
+                "doc_kind": pa.array(["text"] * n, pa.string()),
+                "payload": batch["text"],
+                "n_pages": pa.array([1] * n, pa.int32()),
+                "lang": batch["lang"],
+            }
+        )
+
+    return _read(sf_dir, "documents", ["doc_id", "text", "lang"]).map_batches(
+        to_raw, batch_format="pyarrow", zero_copy_batch=True
+    )
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001: documents -> interleaved-doc schema ->
+    span extraction (inline actor-pool path). Returns the nested spans
+    Dataset."""
+    from clawrag_ray.pipelines.extraction import extract_spans
+
+    return extract_spans(_docs_as_raw("/root/testdata/sf0.001"), concurrency=(1, 4), batch_size=64)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _q_exact_dedup(sf_dir: str):
+    from clawrag_ray.stages.dedup import exact_dedup_stats
+
+    return exact_dedup_stats(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def _q_dedup_versions(sf_dir: str):
+    from clawrag_ray.stages.dedup import dedup_versions
+
+    return dedup_versions(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def _q_lang_histogram(sf_dir: str):
+    from clawrag_ray.stages.text_analysis import language_histogram
+
+    return language_histogram(_read(sf_dir, "documents", ["text"]))
+
+
+def _q_quality_by_source(sf_dir: str):
+    from clawrag_ray.stages.text_analysis import quality_by_source
+
+    return quality_by_source(_read(sf_dir, "documents", ["source", "text"]))
+
+
+def _q_token_stats(sf_dir: str):
+    from clawrag_ray.stages.text_analysis import token_stats_by_lang
+
+    return token_stats_by_lang(_read(sf_dir, "documents", ["lang", "text"]))
+
+
+def _q_clause_amounts(sf_dir: str):
+    from clawrag_ray.stages.text_analysis import clause_amount_counts
+
+    return clause_amount_counts(_read(sf_dir, "documents", ["source", "text"]))
+
+
+def _q_chunk_counts(sf_dir: str):
+    from clawrag_ray.stages.chunk_ops import chunk_counts
+
+    return chunk_counts(_read(sf_dir, "documents", ["doc_id", "text"]), CHUNK_SIZE, CHUNK_OVERLAP)
+
+
+def _q_parent_child(sf_dir: str):
+    from clawrag_ray.stages.chunk_ops import parent_child_counts
+
+    return parent_child_counts(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def _q_lineitem_pricing(sf_dir: str):
+    from clawrag_ray.stages.relational import lineitem_pricing_summary
+
+    return lineitem_pricing_summary(_read(sf_dir, "lineitem"))
+
+
+def _q_revenue_by_nation(sf_dir: str):
+    from clawrag_ray.stages.relational import revenue_by_nation
+
+    customer = pq.read_table(os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]).to_pandas()
+    return revenue_by_nation(_read(sf_dir, "orders", ["o_custkey", "o_totalprice"]), customer, nation)
+
+
+def _q_events_hourly(sf_dir: str):
+    import pyarrow.compute as pc
+
+    from clawrag_ray.stages.relational import tumbling_window
+
+    win = tumbling_window(_read(sf_dir, "events", ["ts", "value", "event_type"]), keys=["event_type"])
+
+    def round_out(batch: pa.Table) -> pa.Table:
+        i = batch.schema.get_field_index("sum_value")
+        return batch.set_column(i, "sum_value", pc.round(batch["sum_value"], ndigits=2))
+
+    return win.map_batches(round_out, batch_format="pyarrow")
+
+
+def _q_sessionize(sf_dir: str):
+    from clawrag_ray.stages.relational import sessionize
+
+    return sessionize(_read(sf_dir, "events", ["user_id", "ts"]), gap_minutes=SESSION_GAP_MIN)
+
+
+def _q_top_customers(sf_dir: str):
+    import pyarrow.compute as pc
+
+    from clawrag_ray.stages.relational import pre_aggregate, top_k
+
+    agg = pre_aggregate(_read(sf_dir, "orders", ["o_custkey", "o_totalprice"]), ["o_custkey"], ["o_totalprice"], "n_orders")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": batch["o_custkey"],
+                "n_orders": batch["n_orders"],
+                "total_spent": pc.round(batch["sum_o_totalprice"], ndigits=2),
+            }
+        )
+
+    return top_k(agg.map_batches(finish, batch_format="pyarrow"), by="total_spent", k=10)
+
+
+def _ann_queries(sf_dir: str) -> dict[int, np.ndarray]:
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    out: dict[int, np.ndarray] = {}
+    for vid, emb in zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist()):
+        if vid < ANN_N_QUERIES:
+            out[vid] = np.asarray(emb, dtype=np.float64)
+    return out
+
+
+def _q_ann_topk(sf_dir: str):
+    from clawrag_ray.stages.similarity import brute_force_topk
+
+    return brute_force_topk(_read(sf_dir, "embeddings", ["vec_id", "embedding"]), _ann_queries(sf_dir), k=ANN_K)
+
+
+def _q_ann_lsh(sf_dir: str):
+    from clawrag_ray.stages.similarity import lsh_topk
+
+    return lsh_topk(_read(sf_dir, "embeddings", ["vec_id", "embedding"]), _ann_queries(sf_dir), k=ANN_K)
+
+
+def _q_embedding_near_dup(sf_dir: str):
+    from clawrag_ray.stages.similarity import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(_read(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=0.45)
+
+
+def _q_simhash(sf_dir: str):
+    from clawrag_ray.stages.dedup import simhash_table
+
+    return simhash_table(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def _q_minhash_near_dups(sf_dir: str):
+    from clawrag_ray.stages.dedup import minhash_near_dups
+
+    return minhash_near_dups(_read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.5)
+
+
+def _q_fingerprints(sf_dir: str):
+    from clawrag_ray.stages.text_analysis import add_fingerprint
+
+    return add_fingerprint(_read(sf_dir, "documents", ["doc_id", "text"])).select_columns(["doc_id", "fingerprint"])
+
+
+def _q_media_features(sf_dir: str):
+    from clawrag_ray.stages.multimodal import image_feature_pipeline
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "media_id": pc.cast(batch["doc_id"], pa.string()),
+                "payload": pc.cast(batch["text"], pa.binary()),
+            }
+        )
+
+    media = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        to_media, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return image_feature_pipeline(media)
+
+
+def _q_extract_spans_text(sf_dir: str):
+    from clawrag_ray.pipelines.extraction import extract_spans
+
+    spans = extract_spans(_docs_as_raw(sf_dir), concurrency=(1, 4), batch_size=64)
+
+    def flatten(batch: pa.Table) -> pa.Table:
+        ids, texts = [], []
+        for doc_id, sp in zip(batch["doc_id"].to_pylist(), batch["spans"].to_pylist()):
+            for s in sorted(sp, key=lambda s: s["offset"]):
+                ids.append(doc_id)
+                texts.append(s["text"])
+        return pa.table({"doc_id": pa.array(ids, pa.string()), "span_text": pa.array(texts, pa.string())})
+
+    return spans.map_batches(flatten, batch_format="pyarrow")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "exact_dedup": _q_exact_dedup,
+        "dedup_versions": _q_dedup_versions,
+        "lang_histogram": _q_lang_histogram,
+        "quality_by_source": _q_quality_by_source,
+        "token_stats_by_lang": _q_token_stats,
+        "clause_amounts_by_source": _q_clause_amounts,
+        "chunk_counts": _q_chunk_counts,
+        "parent_child_counts": _q_parent_child,
+        "lineitem_pricing": _q_lineitem_pricing,
+        "revenue_by_nation": _q_revenue_by_nation,
+        "events_hourly": _q_events_hourly,
+        "sessionize": _q_sessionize,
+        "top_customers": _q_top_customers,
+        "ann_topk": _q_ann_topk,
+        "ann_lsh_topk": _q_ann_lsh,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "simhash": _q_simhash,
+        "minhash_near_dups": _q_minhash_near_dups,
+        "fingerprints": _q_fingerprints,
+        "media_features": _q_media_features,
+        "extract_spans_text": _q_extract_spans_text,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB; tables pre-registered as views)
+# ---------------------------------------------------------------------------
+
+_DE_RE = r"\b(?:der|die|das|und|ist|nicht|mit|für|ein|eine)\b"
+_EN_RE = r"\b(?:the|and|is|of|to|in|that|for|with|on)\b"
+_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+_CLAUSE_RE = r"(?:Abschnitt|Section|Klausel|Clause)\s+[0-9]+"
+_AMOUNT_RE = r"[0-9]{1,3}(?:[,.][0-9]{3})*(?:\.[0-9]{2})?\s?(?:€|\$|USD|EUR|GBP)"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    step = CHUNK_SIZE - CHUNK_OVERLAP
+    return {
+        "exact_dedup": "SELECT min(doc_id) AS keeper_doc_id, count(*) AS n_copies FROM documents GROUP BY text",
+        "dedup_versions": (
+            "SELECT doc_id, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS version, "
+            "row_number() OVER (PARTITION BY text ORDER BY doc_id) = count(*) OVER (PARTITION BY text) AS is_active "
+            "FROM documents"
+        ),
+        "lang_histogram": (
+            f"WITH d AS (SELECT CASE WHEN length(text) < 50 THEN 'unknown' "
+            f"WHEN len(regexp_extract_all(lower(text), '{_DE_RE}')) > len(regexp_extract_all(lower(text), '{_EN_RE}')) THEN 'de' "
+            f"WHEN len(regexp_extract_all(lower(text), '{_EN_RE}')) > 0 THEN 'en' ELSE 'unknown' END AS detected_lang "
+            f"FROM documents) SELECT detected_lang, count(*) AS n_docs FROM d GROUP BY detected_lang"
+        ),
+        "quality_by_source": (
+            f"WITH s AS (SELECT source, CASE WHEN length(text) < 20 THEN 0.0 ELSE "
+            f"least(1.0, greatest(0.0, 0.10 * least(length(text) / 5000.0, 1.0) + "
+            f"(CASE WHEN length(text) >= 50 AND (len(regexp_extract_all(lower(text), '{_DE_RE}')) > len(regexp_extract_all(lower(text), '{_EN_RE}')) "
+            f"OR len(regexp_extract_all(lower(text), '{_EN_RE}')) > 0) THEN 0.20 ELSE 0.0 END) + 0.23)) END AS q "
+            f"FROM documents) "
+            f"SELECT source, count(*) AS n_docs, round(avg(round(q, 4)), 4) AS avg_quality FROM s GROUP BY source"
+        ),
+        "token_stats_by_lang": (
+            f"SELECT lang, count(*) AS n_docs, "
+            f"sum(len(regexp_extract_all(text, '\\S+')))::BIGINT AS total_tokens, "
+            f"sum(len(regexp_extract_all(text, '{_BPE_RE}')))::BIGINT AS total_bpe_tokens "
+            f"FROM documents GROUP BY lang"
+        ),
+        "clause_amounts_by_source": (
+            f"SELECT source, sum(len(regexp_extract_all(text, '{_CLAUSE_RE}')))::BIGINT AS total_clauses, "
+            f"sum(len(regexp_extract_all(text, '{_AMOUNT_RE}')))::BIGINT AS total_amounts, "
+            f"sum(CASE WHEN len(regexp_extract_all(text, '{_AMOUNT_RE}')) > 0 THEN 1 ELSE 0 END)::BIGINT AS docs_with_amounts "
+            f"FROM documents GROUP BY source"
+        ),
+        "chunk_counts": (
+            f"SELECT doc_id, (CASE WHEN length(text) <= {CHUNK_SIZE} THEN 1 "
+            f"ELSE 1 + ceil((length(text) - {CHUNK_SIZE}) / {step}.0) END)::BIGINT AS n_chunks, "
+            f"(length(text) + ((CASE WHEN length(text) <= {CHUNK_SIZE} THEN 1 "
+            f"ELSE 1 + ceil((length(text) - {CHUNK_SIZE}) / {step}.0) END) - 1) * {CHUNK_OVERLAP})::BIGINT AS total_chunk_chars "
+            f"FROM documents WHERE length(text) > 0"
+        ),
+        # valid while every doc is < 2000 chars (single parent) — true for
+        # the documents testdata table at every sf
+        "parent_child_counts": (
+            "WITH d AS (SELECT length(text) AS n, "
+            "CASE WHEN length(text) <= 200 THEN 1 ELSE 1 + ceil((length(text) - 200) / 180.0) END AS c "
+            "FROM documents WHERE length(text) > 0) "
+            "SELECT 'parent' AS role, count(*) AS n_chunks, sum(n)::BIGINT AS total_chars, max(n)::BIGINT AS max_chunk_len FROM d "
+            "UNION ALL "
+            "SELECT 'child' AS role, sum(c)::BIGINT AS n_chunks, sum(n + (c - 1) * 20)::BIGINT AS total_chars, "
+            "max(least(n, 200))::BIGINT AS max_chunk_len FROM d"
+        ),
+        "lineitem_pricing": (
+            "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "
+            "round(sum(l_extendedprice), 2) AS sum_base_price, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_revenue, "
+            "count(*) AS count_order FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "revenue_by_nation": (
+            "SELECT n_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_revenue "
+            "FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey "
+            "GROUP BY n_name"
+        ),
+        "events_hourly": (
+            "SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n_events, "
+            "round(sum(value), 2) AS sum_value FROM events GROUP BY 1, 2"
+        ),
+        "sessionize": (
+            "WITH diffs AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL THEN 0 "
+            "WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+            "sess AS (SELECT user_id, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts "
+            "ROWS UNBOUNDED PRECEDING) AS sid FROM diffs), "
+            "per_sess AS (SELECT user_id, sid, count(*) AS cnt FROM sess GROUP BY 1, 2) "
+            "SELECT user_id, count(*) AS n_sessions, sum(cnt)::BIGINT AS n_events, "
+            "max(cnt)::BIGINT AS longest_session_events FROM per_sess GROUP BY user_id"
+        ),
+        "top_customers": (
+            "SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_spent "
+            "FROM orders GROUP BY o_custkey ORDER BY total_spent DESC LIMIT 10"
+        ),
+        "ann_topk": (
+            f"WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < {ANN_N_QUERIES}) "
+            f"SELECT qid AS query_id, e.vec_id, round(list_cosine_similarity(q.qe, e.embedding::DOUBLE[]), 6) AS cosine "
+            f"FROM q CROSS JOIN embeddings e "
+            f"QUALIFY row_number() OVER (PARTITION BY qid ORDER BY list_cosine_similarity(q.qe, e.embedding::DOUBLE[]) DESC, e.vec_id) <= {ANN_K}"
+        ),
+        "embedding_near_dup": (
+            "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+            "round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45"
+        ),
+        "extract_spans_text": (
+            "SELECT CAST(doc_id AS VARCHAR) AS doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS span_text "
+            "FROM documents WHERE length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) > 0"
+        ),
+        # ann_lsh_topk / simhash / minhash_near_dups / fingerprints /
+        # media_features: approximate or non-SQL-expressible -> rows-only
+    }

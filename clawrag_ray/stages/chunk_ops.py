@@ -1,0 +1,91 @@
+"""Distributed chunking operators over flat text tables (SURVEY.md §2.3).
+
+These run the frozen reference chunkers (clawrag_ray.reference.chunkers)
+inside vectorized explode stages: one input row -> many chunk rows, emitted
+as whole Arrow tables per batch (never ds.flat_map per row — pitfall list in
+the Ray guide)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+from ray.data import Dataset
+from ray.data.aggregate import Count, Max, Sum
+
+from clawrag_ray.reference.chunkers import char_window, parent_child, separator_cascade
+
+
+def chunk_explode(
+    ds: Dataset,
+    size: int,
+    overlap: int,
+    method: str = "char_window",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> Dataset:
+    """(doc_id, text) -> (doc_id, chunk_index, chunk_text, chunk_len)."""
+    chunker = {"char_window": char_window, "separator_cascade": separator_cascade}[method]
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, idxs, texts = [], [], []
+        for doc_id, text in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+            for i, chunk in enumerate(chunker(text or "", size, overlap)):
+                ids.append(doc_id)
+                idxs.append(i)
+                texts.append(chunk)
+        t = pa.table(
+            {
+                id_col: pa.array(ids, batch[id_col].type),
+                "chunk_index": pa.array(idxs, pa.int32()),
+                "chunk_text": pa.array(texts, pa.string()),
+            }
+        )
+        return t.append_column("chunk_len", pa.compute.utf8_length(t["chunk_text"]))
+
+    return ds.select_columns([id_col, text_col]).map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def chunk_counts(ds: Dataset, size: int, overlap: int, id_col: str = "doc_id", text_col: str = "text") -> Dataset:
+    """(doc_id, n_chunks, total_chunk_chars) — runs the real distributed
+    chunker and aggregates; the SQL oracle uses the closed-form count
+    (reference.chunkers.n_char_window_chunks)."""
+    chunks = chunk_explode(ds, size, overlap, "char_window", id_col, text_col)
+    return chunks.groupby(id_col).aggregate(
+        Count(alias_name="n_chunks"),
+        Sum("chunk_len", alias_name="total_chunk_chars"),
+    )
+
+
+def parent_child_explode(ds: Dataset, id_col: str = "doc_id", text_col: str = "text") -> Dataset:
+    """(doc_id, role, parent_idx, child_idx, chunk_len) rows — the
+    parent/child hierarchy (indexing_service.py:373-427 semantics)."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, roles, pis, cis, lens = [], [], [], [], []
+        for doc_id, text in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+            for row in parent_child(text or ""):
+                ids.append(doc_id)
+                roles.append(row["role"])
+                pis.append(row["parent_idx"])
+                cis.append(row["child_idx"])
+                lens.append(len(row["text"]))
+        return pa.table(
+            {
+                id_col: pa.array(ids, batch[id_col].type),
+                "role": pa.array(roles, pa.string()),
+                "parent_idx": pa.array(pis, pa.int32()),
+                "child_idx": pa.array(cis, pa.int32()),
+                "chunk_len": pa.array(lens, pa.int64()),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def parent_child_counts(ds: Dataset) -> Dataset:
+    """(role, n_chunks, total_chars, max_chunk_len) over the whole corpus."""
+    rows = parent_child_explode(ds)
+    return rows.groupby("role").aggregate(
+        Count(alias_name="n_chunks"),
+        Sum("chunk_len", alias_name="total_chars"),
+        Max("chunk_len", alias_name="max_chunk_len"),
+    )

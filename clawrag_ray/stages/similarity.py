@@ -1,0 +1,190 @@
+"""Similarity search over an embedding column (list<float>).
+
+Two paths (the training-data-pipeline ANN suite):
+  * brute_force_topk — exact cosine top-k: the query matrix is broadcast
+    once via ray.put; every batch does one numpy matmul against it and
+    emits only its LOCAL top-k per query (k rows per query per batch), so
+    the final global reduce is tiny. This is the correctness baseline.
+  * lsh_topk — random-hyperplane LSH bucketing: vectors are bucketed by
+    sign-pattern once; queries probe only their own (and neighboring
+    Hamming-1) buckets. The scale path: candidate set shrinks by ~2^bits.
+  * embedding_near_dup_pairs — all-pairs near-duplicate detection above a
+    cosine threshold, blocked matmul per batch against the broadcast
+    matrix (for sandbox scale) — at real scale the LSH buckets bound the
+    pair candidates instead.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+from ray.data import Dataset
+
+
+def _stack(col) -> np.ndarray:
+    """list<float> column -> (n, d) float64 matrix (zero-copy where arrow
+    allows; otherwise one contiguous copy per batch)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(arr)
+    return flat.reshape(n, -1)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+class BatchTopK:
+    """Actor-pool stage: local cosine top-k per query against one batch.
+
+    Query matrix fetched from the object store once per actor."""
+
+    def __init__(self, queries_ref, k: int):
+        q = ray.get(queries_ref)  # dict: query_id -> vector
+        self.query_ids = list(q.keys())
+        self.qm = _normalize(np.array(list(q.values()), dtype=np.float64))  # (nq, d)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vm = _normalize(_stack(batch["embedding"]))  # (n, d)
+        vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        sims = self.qm @ vm.T  # (nq, n)
+        k = min(self.k, sims.shape[1])
+        out_q, out_v, out_s = [], [], []
+        idx = np.argpartition(-sims, kth=k - 1, axis=1)[:, :k] if k < sims.shape[1] else np.tile(
+            np.arange(sims.shape[1]), (sims.shape[0], 1)
+        )
+        for qi, qid in enumerate(self.query_ids):
+            for vi in idx[qi]:
+                out_q.append(qid)
+                out_v.append(int(vec_ids[vi]))
+                out_s.append(float(sims[qi, vi]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "cosine": pa.array(out_s, pa.float64()),
+            }
+        )
+
+
+def brute_force_topk(
+    ds: Dataset,
+    queries: dict[int, np.ndarray],
+    k: int = 10,
+    concurrency=(1, 8),
+    batch_size: int = 4096,
+) -> pd.DataFrame:
+    """Exact global top-k: per-batch local top-k (distributed) then a
+    driver-side reduce over k*n_batches rows (small). Returns
+    (query_id, vec_id, cosine rounded to 6) sorted by rank."""
+    ref = ray.put(queries)
+    local = ds.select_columns(["vec_id", "embedding"]).map_batches(
+        BatchTopK,
+        fn_constructor_kwargs={"queries_ref": ref, "k": k},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        zero_copy_batch=True,
+    )
+    df = local.to_pandas()
+    df = (
+        df.sort_values(["query_id", "cosine", "vec_id"], ascending=[True, False, True])
+        .groupby("query_id", as_index=False)
+        .head(k)
+        .reset_index(drop=True)
+    )
+    df["cosine"] = df["cosine"].round(6)
+    return df
+
+
+def lsh_bucket_table(ds: Dataset, n_bits: int = 8, seed: int = 11, concurrency=(1, 8)) -> Dataset:
+    """Adds an LSH bucket id: sign pattern of n_bits random hyperplanes
+    (seeded, broadcast via closure constants — a few KB)."""
+
+    class Bucketer:
+        def __init__(self):
+            rng = np.random.RandomState(seed)
+            self.planes = None
+            self.rng = rng
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vm = _stack(batch["embedding"])
+            if self.planes is None:
+                self.planes = np.random.RandomState(seed).standard_normal((vm.shape[1], n_bits))
+            signs = (vm @ self.planes) > 0
+            buckets = signs @ (1 << np.arange(n_bits))
+            return batch.append_column("lsh_bucket", pa.array(buckets.astype(np.int32)))
+
+    return ds.map_batches(Bucketer, batch_format="pyarrow", concurrency=concurrency, zero_copy_batch=True)
+
+
+def lsh_topk(
+    ds: Dataset,
+    queries: dict[int, np.ndarray],
+    k: int = 10,
+    n_bits: int = 8,
+    seed: int = 11,
+    probe_hamming: int = 1,
+    concurrency=(1, 8),
+) -> pd.DataFrame:
+    """Approximate top-k: probe only buckets within Hamming distance
+    ``probe_hamming`` of each query's bucket. Same output schema as
+    brute_force_topk (recall < 1 by design)."""
+    bucketed = lsh_bucket_table(ds, n_bits=n_bits, seed=seed, concurrency=concurrency)
+    planes = np.random.RandomState(seed).standard_normal((len(next(iter(queries.values()))), n_bits))
+    probe: set[int] = set()
+    for v in queries.values():
+        b = int(((np.asarray(v, dtype=np.float64) @ planes) > 0) @ (1 << np.arange(n_bits)))
+        probe.add(b)
+        if probe_hamming >= 1:
+            probe.update(b ^ (1 << i) for i in range(n_bits))
+
+    def keep_probed(batch: pa.Table) -> pa.Table:
+        mask = pa.compute.is_in(batch["lsh_bucket"], value_set=pa.array(sorted(probe), pa.int32()))
+        return batch.filter(mask)
+
+    candidates = bucketed.map_batches(keep_probed, batch_format="pyarrow", zero_copy_batch=True)
+    return brute_force_topk(candidates, queries, k=k, concurrency=concurrency)
+
+
+def embedding_near_dup_pairs(ds: Dataset, threshold: float = 0.9, concurrency=(1, 8)) -> pd.DataFrame:
+    """All (vec_a < vec_b) pairs with cosine >= threshold. The full vector
+    matrix is broadcast once (fits for dimension tables / sampled corpora);
+    each batch computes its block-row of the similarity matrix."""
+    all_df = ds.select_columns(["vec_id", "embedding"]).to_pandas()
+    ids = all_df["vec_id"].to_numpy()
+    mat = _normalize(np.array(all_df["embedding"].tolist(), dtype=np.float64))
+    ref = ray.put((ids, mat))
+
+    class PairFinder:
+        def __init__(self):
+            self.ids, self.mat = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vm = _normalize(_stack(batch["embedding"]))
+            vids = batch["vec_id"].to_numpy(zero_copy_only=False)
+            sims = vm @ self.mat.T
+            rows_a, rows_b, rows_c = [], [], []
+            for bi, va in enumerate(vids):
+                hits = np.where(sims[bi] >= threshold)[0]
+                for hi in hits:
+                    vb = self.ids[hi]
+                    if va < vb:
+                        rows_a.append(int(va))
+                        rows_b.append(int(vb))
+                        rows_c.append(round(float(sims[bi, hi]), 6))
+            return pa.table(
+                {
+                    "vec_a": pa.array(rows_a, pa.int64()),
+                    "vec_b": pa.array(rows_b, pa.int64()),
+                    "cosine": pa.array(rows_c, pa.float64()),
+                }
+            )
+
+    pairs = ds.map_batches(PairFinder, batch_format="pyarrow", concurrency=concurrency, zero_copy_batch=True)
+    return pairs.to_pandas().sort_values(["vec_a", "vec_b"]).reset_index(drop=True)

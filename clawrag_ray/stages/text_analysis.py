@@ -1,0 +1,170 @@
+"""Text-analysis operators: language-ID, quality scoring, token counting,
+fingerprinting, clause/amount extraction (SURVEY.md §2.2 M4/M13/M14/M16-M18
++ the training-data text-analysis suite).
+
+Every rule here is frozen and deliberately expressible in RE2-compatible
+regex + arithmetic so the DuckDB oracle in __ray_entry__.oracle_sql can
+mirror it exactly (pyarrow and DuckDB both use RE2). All hot paths are
+pyarrow.compute kernels over Arrow batches; the only per-row Python is the
+rolling-hash fingerprint (no vectorized kernel exists).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data import Dataset
+from ray.data.aggregate import Count, Mean, Sum
+
+from clawrag_ray.functions.kernels import rolling_fingerprint, token_count, bpe_ish_token_count
+
+# Frozen language-ID n-gram (stopword) patterns — deterministic analog of
+# the reference's seeded langdetect (metadata_extractor.py:17-27,91-115).
+DE_STOPWORDS_RE = r"\b(der|die|das|und|ist|nicht|mit|für|ein|eine)\b"
+EN_STOPWORDS_RE = r"\b(the|and|is|of|to|in|that|for|with|on)\b"
+LANGID_MIN_CHARS = 50  # below this: "unknown" (metadata_extractor min 50 chars)
+
+PUNCT_RE = r"[.,;:!?]"
+
+
+def detect_language(ds: Dataset, text_col: str = "text") -> Dataset:
+    """Adds de_hits / en_hits / detected_lang columns.
+
+    Rule (frozen): unknown if len < 50; 'de' if de_hits > en_hits;
+    'en' if en_hits > 0; else 'unknown'."""
+
+    def detect(batch: pa.Table) -> pa.Table:
+        lower = pc.utf8_lower(batch[text_col])
+        de = pc.count_substring_regex(lower, DE_STOPWORDS_RE)
+        en = pc.count_substring_regex(lower, EN_STOPWORDS_RE)
+        n = pc.utf8_length(batch[text_col])
+        detected = pc.if_else(
+            pc.less(n, LANGID_MIN_CHARS),
+            pa.scalar("unknown"),
+            pc.if_else(
+                pc.greater(de, en),
+                pa.scalar("de"),
+                pc.if_else(pc.greater(en, 0), pa.scalar("en"), pa.scalar("unknown")),
+            ),
+        )
+        return (
+            batch.append_column("de_hits", de)
+            .append_column("en_hits", en)
+            .append_column("detected_lang", detected)
+        )
+
+    return ds.map_batches(detect, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def language_histogram(ds: Dataset, text_col: str = "text") -> Dataset:
+    """(detected_lang, n_docs) — distributed with per-batch partials."""
+    detected = detect_language(ds.select_columns([text_col]), text_col)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("detected_lang").aggregate([("detected_lang", "count")])
+        return g.rename_columns(["detected_lang", "partial_n"])
+
+    return (
+        detected.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("detected_lang")
+        .aggregate(Sum("partial_n", alias_name="n_docs"))
+    )
+
+
+# Quality score components (doc-level, no span structure available):
+# frozen projection of reference quality_scorer.py:8-20,94-143 with default
+# ocr confidence 0.5 and default structure 0.2.
+def add_quality_score(ds: Dataset, text_col: str = "text") -> Dataset:
+    detected = detect_language(ds, text_col)
+
+    def score(batch: pa.Table) -> pa.Table:
+        n = pc.cast(pc.utf8_length(batch[text_col]), pa.float64())
+        length_part = pc.multiply(pc.min_element_wise(pc.divide(n, 5000.0), 1.0), 0.10)
+        lang_part = pc.if_else(pc.not_equal(batch["detected_lang"], "unknown"), 0.20, 0.0)
+        base = pc.add(pc.add(length_part, lang_part), 0.30 * 0.5 + 0.40 * 0.2)
+        raw = pc.if_else(pc.less(n, 20.0), 0.0, base)
+        clamped = pc.max_element_wise(pc.min_element_wise(raw, 1.0), 0.0)
+        return batch.append_column("quality_score", pc.round(clamped, ndigits=4))
+
+    return detected.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def quality_by_source(ds: Dataset) -> Dataset:
+    """(source, n_docs, avg_quality) — rounded for stable comparison."""
+    scored = add_quality_score(ds.select_columns(["source", "text"]))
+    agg = scored.groupby("source").aggregate(
+        Count(alias_name="n_docs"), Mean("quality_score", alias_name="avg_quality")
+    )
+
+    def round_out(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index("avg_quality"), "avg_quality", pc.round(batch["avg_quality"], ndigits=4)
+        )
+
+    return agg.map_batches(round_out, batch_format="pyarrow")
+
+
+def token_stats_by_lang(ds: Dataset) -> Dataset:
+    """(lang, n_docs, total_tokens, total_bpe_tokens) via per-batch partial
+    sums then a tiny global groupby."""
+    projected = ds.select_columns(["lang", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.append_column("tok", token_count(batch["text"])).append_column(
+            "bpe", bpe_ish_token_count(batch["text"])
+        )
+        g = t.group_by("lang").aggregate([("tok", "sum"), ("bpe", "sum"), ("lang", "count")])
+        return g.rename_columns(["lang", "p_tok", "p_bpe", "p_n"])
+
+    return (
+        projected.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("lang")
+        .aggregate(
+            Sum("p_n", alias_name="n_docs"),
+            Sum("p_tok", alias_name="total_tokens"),
+            Sum("p_bpe", alias_name="total_bpe_tokens"),
+        )
+    )
+
+
+def add_fingerprint(ds: Dataset, text_col: str = "text", window: int = 64) -> Dataset:
+    """(.., fingerprint) rolling-hash document fingerprint (min-of-windows
+    Rabin-Karp) — content-defined, deterministic."""
+
+    def fp(batch: pa.Table) -> pa.Table:
+        vals = [rolling_fingerprint(t or "", window) for t in batch[text_col].to_pylist()]
+        return batch.append_column("fingerprint", pa.array(vals, pa.int64()))
+
+    return ds.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# clause/amount extraction (ingest_v2/pipeline.py:123-139) — RE2-safe
+# mirrors of reference.scoring.CLAUSE_RE / AMOUNT_RE.
+CLAUSE_RE2 = r"(?:Abschnitt|Section|Klausel|Clause)\s+[0-9]+"
+AMOUNT_RE2 = r"[0-9]{1,3}(?:[,.][0-9]{3})*(?:\.[0-9]{2})?\s?(?:€|\$|USD|EUR|GBP)"
+
+
+def clause_amount_counts(ds: Dataset) -> Dataset:
+    """(source, total_clauses, total_amounts, docs_with_amounts)."""
+    projected = ds.select_columns(["source", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cl = pc.count_substring_regex(batch["text"], CLAUSE_RE2)
+        am = pc.count_substring_regex(batch["text"], AMOUNT_RE2)
+        t = (
+            batch.append_column("n_clauses", cl)
+            .append_column("n_amounts", am)
+            .append_column("has_amounts", pc.cast(pc.greater(am, 0), pa.int64()))
+        )
+        g = t.group_by("source").aggregate([("n_clauses", "sum"), ("n_amounts", "sum"), ("has_amounts", "sum")])
+        return g.rename_columns(["source", "p_cl", "p_am", "p_has"])
+
+    return (
+        projected.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .aggregate(
+            Sum("p_cl", alias_name="total_clauses"),
+            Sum("p_am", alias_name="total_amounts"),
+            Sum("p_has", alias_name="docs_with_amounts"),
+        )
+    )

@@ -1,0 +1,120 @@
+"""Text-analysis operators + multimodal plumbing tests."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from clawrag_ray.functions.kernels import rolling_fingerprint
+from clawrag_ray.stages.multimodal import (
+    MEDIA_SCHEMA,
+    AudioFeatures,
+    frame_sample,
+    image_feature_pipeline,
+)
+from clawrag_ray.stages.text_analysis import (
+    add_fingerprint,
+    add_quality_score,
+    clause_amount_counts,
+    detect_language,
+    language_histogram,
+    token_stats_by_lang,
+)
+
+EN = "the cat and the dog sat on the mat in the house with the mouse and that was that for the day"
+DE = "der hund und die katze sind nicht mit der maus in einem haus und das ist eine gute sache für alle"
+SHORT = "tiny"
+
+
+def _docs():
+    rows = [
+        {"doc_id": 1, "text": EN, "lang": "en", "source": "s1"},
+        {"doc_id": 2, "text": DE, "lang": "de", "source": "s1"},
+        {"doc_id": 3, "text": SHORT, "lang": "en", "source": "s2"},
+    ]
+    return ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(2)
+
+
+class TestTextAnalysis:
+    def test_langid(self):
+        df = detect_language(_docs()).to_pandas().set_index("doc_id")
+        assert df.loc[1, "detected_lang"] == "en"
+        assert df.loc[2, "detected_lang"] == "de"
+        assert df.loc[3, "detected_lang"] == "unknown"  # < 50 chars
+
+    def test_histogram(self):
+        df = language_histogram(_docs()).to_pandas()
+        hist = dict(zip(df["detected_lang"], df["n_docs"]))
+        assert hist == {"en": 1, "de": 1, "unknown": 1}
+
+    def test_quality_score(self):
+        df = add_quality_score(_docs()).to_pandas().set_index("doc_id")
+        assert df.loc[3, "quality_score"] == 0.0  # < 20 chars
+        assert 0.0 < df.loc[1, "quality_score"] <= 1.0
+        # known lang beats unknown at same length
+        assert df.loc[1, "quality_score"] > 0.2
+
+    def test_token_stats(self):
+        df = token_stats_by_lang(_docs()).to_pandas().set_index("lang")
+        assert df.loc["en", "total_tokens"] == len(EN.split()) + len(SHORT.split())
+        assert df.loc["de", "total_tokens"] == len(DE.split())
+
+    def test_clause_amounts(self):
+        rows = [{"doc_id": 1, "text": "Section 1 says pay 1,234.56 EUR now. Clause 5 adds 999 $.", "source": "s"}]
+        ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+        df = clause_amount_counts(ds).to_pandas()
+        assert df["total_clauses"].iloc[0] == 2
+        assert df["total_amounts"].iloc[0] == 2
+        assert df["docs_with_amounts"].iloc[0] == 1
+
+    def test_fingerprint_properties(self):
+        assert rolling_fingerprint(EN) == rolling_fingerprint(EN)
+        assert rolling_fingerprint(EN) != rolling_fingerprint(DE)
+        # content-defined: prefixing only ADDS windows, so the min-window
+        # fingerprint can only stay equal or decrease
+        long_a = EN * 5
+        assert rolling_fingerprint("PREFIX " + long_a) <= rolling_fingerprint(long_a)
+        df = add_fingerprint(_docs()).to_pandas()
+        assert df["fingerprint"].nunique() == 3
+
+
+def _media_ds(n=10):
+    rows = [
+        {
+            "media_id": f"m{i}",
+            "media_kind": "image" if i % 2 == 0 else "audio",
+            "payload": bytes([i]) * 100,
+            "mime_type": "application/octet-stream",
+            "width": -1,
+            "height": -1,
+            "duration_ms": 3500 * i,
+        }
+        for i in range(n)
+    ]
+    return ray.data.from_arrow(pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)).repartition(2)
+
+
+class TestMultimodal:
+    def test_schema_roundtrip(self):
+        assert _media_ds().schema().names == MEDIA_SCHEMA.names
+
+    def test_image_features_deterministic(self):
+        df1 = image_feature_pipeline(_media_ds(), concurrency=1).to_pandas()
+        df2 = image_feature_pipeline(_media_ds(), concurrency=1).to_pandas()
+        assert len(df1) == 10
+        assert df1.sort_values("media_id")["mean_intensity"].tolist() == df2.sort_values("media_id")[
+            "mean_intensity"
+        ].tolist()
+        assert all(len(f) == 16 for f in df1["feature"])
+
+    def test_audio_features(self):
+        out = AudioFeatures()(_media_ds().take_batch(10, batch_format="pyarrow"))
+        assert out.num_rows == 10
+        assert all(0 <= v <= 1.5 for v in out["rms"].to_pylist())
+
+    def test_frame_sample_explode(self):
+        df = frame_sample(_media_ds(), every_ms=1000, concurrency=1).to_pandas()
+        # media i has duration 3500*i -> max(1, 3500*i // 1000) frames
+        counts = df.groupby("media_id").size()
+        assert counts["m0"] == 1
+        assert counts["m2"] == 7
+        assert df[df["media_id"] == "m2"]["ts_ms"].max() == 6000
