@@ -1,0 +1,186 @@
+"""Benchmark harness (driver contract: prints ONE JSON line on stdout).
+
+Headline: flagship span-extraction pipeline over the deterministic synthetic
+interleaved corpus scaled to the sf of $GRAFT_SF_DIR (default
+/root/testdata/sf0.1), plus the representative query suite over the sf
+tables. ``--scaling`` re-runs the headline job in two fresh processes at
+RAY_GRAFT_CPUS=8 and 32 and reports throughput at both plus scaling
+efficiency (the sandbox stand-in for the N vs 4N node-count criterion —
+BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+DOCS_PER_SF = 40_000  # sf0.1 -> 4000 synthetic interleaved docs
+BENCH_SEED = 42
+
+# queries() entries timed as part of the bench (representative subset:
+# shuffle-heavy, broadcast-join, window, ANN, near-dup, partial-agg)
+TIMED_QUERIES = [
+    "exact_dedup",
+    "token_stats_by_lang",
+    "chunk_counts",
+    "lineitem_pricing",
+    "revenue_by_nation",
+    "events_hourly",
+    "sessionize",
+    "ann_topk",
+    "minhash_near_dups",
+    "extract_spans_text",
+]
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    name = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def corpus_path(n_docs: int) -> str:
+    return f"/tmp/clawrag_bench_corpus_{BENCH_SEED}_{n_docs}"
+
+
+def ensure_corpus(n_docs: int) -> str:
+    """Generate (once) and page-cache-warm the synthetic corpus. Both
+    scaling runs read the identical files."""
+    from clawrag_ray.corpus import write_corpus
+
+    path = corpus_path(n_docs)
+    marker = os.path.join(path, "_DONE")
+    if not os.path.exists(marker):
+        shutil.rmtree(path, ignore_errors=True)
+        write_corpus(path, seed=BENCH_SEED, n_docs=n_docs, parallelism=NUM_CPUS)
+        with open(marker, "w") as f:
+            f.write("ok")
+    # warm the OS page cache so the timed run measures compute+shuffle
+    for root, _, files in os.walk(path):
+        for fname in files:
+            with open(os.path.join(root, fname), "rb") as f:
+                while f.read(1 << 22):
+                    pass
+    return path
+
+
+def run_headline(n_docs: int) -> tuple[float, int]:
+    """Extraction pipeline wall seconds (read -> extract -> write)."""
+    from clawrag_ray.pipelines.extraction import extract_spans, read_corpus, write_spans
+
+    out = "/tmp/clawrag_bench_spans"
+    shutil.rmtree(out, ignore_errors=True)
+    path = ensure_corpus(n_docs)
+    t0 = time.time()
+    raw = read_corpus(path)
+    spans = extract_spans(raw, concurrency=(1, NUM_CPUS), batch_size=64)
+    write_spans(spans, out)
+    wall = time.time() - t0
+    import pyarrow.dataset as pads
+
+    n_rows = pads.dataset(out).count_rows()
+    return wall, n_rows
+
+
+def run_queries(sf_dir: str) -> dict[str, float]:
+    import __ray_entry__ as entrymod
+    from ray.data import Dataset
+
+    qs = entrymod.queries()
+    times: dict[str, float] = {}
+    for name in TIMED_QUERIES:
+        t0 = time.time()
+        result = qs[name](sf_dir)
+        if isinstance(result, Dataset):
+            # consume the stream without materializing on the driver
+            for _ in result.iter_batches(batch_size=65536, batch_format="pyarrow"):
+                pass
+        times[name] = round(time.time() - t0, 3)
+    return times
+
+
+def main() -> None:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+        log_to_driver=False,
+    )
+    import ray.data
+
+    ctx = ray.data.DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    sf = _sf_from_dir(SF_DIR)
+    n_docs = max(200, int(DOCS_PER_SF * sf))
+    headline_s, n_rows = run_headline(n_docs)
+    qtimes = run_queries(SF_DIR)
+    total = round(headline_s + sum(qtimes.values()), 3)
+    result = {
+        "metric": "extraction+queries wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": {"extraction": round(headline_s, 3), **qtimes},
+        "sf": sf,
+        "num_cpus": NUM_CPUS,
+        "extraction_docs": n_docs,
+        "extraction_rows_out": n_rows,
+        "extraction_docs_per_sec": round(n_docs / headline_s, 2),
+    }
+    ray.shutdown()
+    print(json.dumps(result))
+
+
+def scaling() -> None:
+    lo_cpus, hi_cpus = 8, 32
+    results = {}
+    for ncpu in (lo_cpus, hi_cpus):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        results[ncpu] = json.loads(out.strip().splitlines()[-1])
+    tput_lo = results[lo_cpus]["extraction_docs"] / results[lo_cpus]["queries"]["extraction"]
+    tput_hi = results[hi_cpus]["extraction_docs"] / results[hi_cpus]["queries"]["extraction"]
+    eff = (tput_hi / tput_lo) / (hi_cpus / lo_cpus)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling efficiency (N vs 4N parallelism)",
+                "cpus_lo": lo_cpus,
+                "cpus_hi": hi_cpus,
+                "extraction_sec_lo": results[lo_cpus]["queries"]["extraction"],
+                "extraction_sec_hi": results[hi_cpus]["queries"]["extraction"],
+                "docs_per_sec_lo": round(tput_lo, 2),
+                "docs_per_sec_hi": round(tput_hi, 2),
+                "scaling_efficiency": round(eff, 3),
+                "total_sec_lo": results[lo_cpus]["value"],
+                "total_sec_hi": results[hi_cpus]["value"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()
