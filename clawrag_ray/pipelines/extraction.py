@@ -71,6 +71,9 @@ def extract_spans(
             concurrency=concurrency,
             zero_copy_batch=True,
         )
+        # coalesce the many small per-page-batch blocks before the shuffle:
+        # the groupby sort is scheduling-bound on block count, not row count
+        .repartition(8)
         .groupby("doc_id")
         .map_groups(assemble_group, batch_format="pyarrow")
     )

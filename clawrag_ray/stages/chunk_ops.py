@@ -41,7 +41,7 @@ def chunk_explode(
         )
         return t.append_column("chunk_len", pa.compute.utf8_length(t["chunk_text"]))
 
-    return ds.select_columns([id_col, text_col]).map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.select_columns([id_col, text_col]).map_batches(explode, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
 
 
 def chunk_counts(ds: Dataset, size: int, overlap: int, id_col: str = "doc_id", text_col: str = "text") -> Dataset:
@@ -78,7 +78,7 @@ def parent_child_explode(ds: Dataset, id_col: str = "doc_id", text_col: str = "t
             }
         )
 
-    return ds.select_columns([id_col, text_col]).map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.select_columns([id_col, text_col]).map_batches(explode, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
 
 
 def parent_child_counts(ds: Dataset) -> Dataset:

@@ -39,7 +39,7 @@ def with_text_hash(ds: Dataset, col: str = "text", out: str = "text_sha256") -> 
     def add_hash(batch: pa.Table) -> pa.Table:
         return batch.append_column(out, sha256_hex(batch[col]))
 
-    return ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(add_hash, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
 
 
 def exact_dedup_stats(ds: Dataset, text_col: str = "text", id_col: str = "doc_id") -> Dataset:
@@ -53,7 +53,7 @@ def exact_dedup_stats(ds: Dataset, text_col: str = "text", id_col: str = "doc_id
         g = batch.group_by("text_sha256").aggregate([(id_col, "min"), (id_col, "count")])
         return g.rename_columns(["text_sha256", "partial_min", "partial_count"])
 
-    partials = hashed.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    partials = hashed.map_batches(partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
     agg = partials.groupby("text_sha256").aggregate(
         Min("partial_min", alias_name="keeper_doc_id"),
         Sum("partial_count", alias_name="n_copies"),
@@ -152,7 +152,13 @@ class MinHasher:
 
 def minhash_candidate_pairs(ds: Dataset, concurrency=(1, 8), **minhash_kw) -> Dataset:
     """documents(doc_id, text) -> candidate near-dup pairs (doc_a, doc_b)
-    via LSH band buckets. Pairs are deduped across bands."""
+    via LSH band buckets. Pairs are deduped across bands.
+
+    The bucket collection is a shuffle AGGREGATE (collect doc_ids per
+    (band_id, band_hash)), not map_groups — per-group task overhead on the
+    overwhelmingly-singleton buckets would dominate otherwise."""
+    from ray.data.aggregate import AggregateFn
+
     bands = ds.select_columns(["doc_id", "text"]).map_batches(
         MinHasher,
         fn_constructor_kwargs=minhash_kw,
@@ -160,19 +166,29 @@ def minhash_candidate_pairs(ds: Dataset, concurrency=(1, 8), **minhash_kw) -> Da
         concurrency=concurrency,
         zero_copy_batch=True,
     )
+    collect = AggregateFn(
+        init=lambda k: [],
+        merge=lambda a, b: a + b,
+        name="doc_ids",
+        accumulate_block=lambda a, block: a + block["doc_id"].to_pylist(),
+    )
+    buckets = bands.groupby(["band_id", "band_hash"]).aggregate(collect)
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(group["doc_id"].tolist())
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype=group["doc_id"].dtype), "doc_b": pd.Series([], dtype=group["doc_id"].dtype)})
+    def bucket_pairs(batch: pa.Table) -> pa.Table:
         out_a, out_b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                out_a.append(ids[i])
-                out_b.append(ids[j])
-        return pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
+        for ids in batch["doc_ids"].to_pylist():
+            if len(ids) < 2:
+                continue
+            ids = sorted(ids)
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+        elem = batch.schema.field("doc_ids").type
+        elem = elem.value_type if hasattr(elem, "value_type") else pa.int64()
+        return pa.table({"doc_a": pa.array(out_a, elem), "doc_b": pa.array(out_b, elem)})
 
-    pairs = bands.groupby(["band_id", "band_hash"]).map_groups(bucket_pairs, batch_format="pandas")
+    pairs = buckets.map_batches(bucket_pairs, batch_format="pyarrow", batch_size=None)
     # dedup pairs discovered in multiple bands (small relative to corpus)
     return pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands")).select_columns(["doc_a", "doc_b"])
 

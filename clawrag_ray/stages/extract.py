@@ -65,10 +65,6 @@ FLAT_ERR_SCHEMA = pa.schema(
 )
 
 
-def _spans_to_pylist(spans) -> list[dict]:
-    return [{"kind": s.kind, "text": s.text, "media_ref": s.media_ref, "offset": s.offset} for s in spans]
-
-
 class ExtractDocs:
     """Actor-pool stage: whole-document extraction (inline path).
 
@@ -89,7 +85,13 @@ class ExtractDocs:
         doc_ids = batch["doc_id"].to_pylist()
         kinds = batch["doc_kind"].to_pylist()
         payloads = batch["payload"].to_pylist()
-        out_spans: list[list[dict]] = []
+        # flat span columns + list offsets — building the nested column from
+        # four plain arrays is ~5x cheaper than from_pylist of dicts
+        f_kind: list[str] = []
+        f_text: list[str] = []
+        f_ref: list[str] = []
+        f_off: list[int] = []
+        offsets: list[int] = [0]
         out_route: list[str] = []
         out_err: list[str] = []
         n_spans: list[int] = []
@@ -97,8 +99,8 @@ class ExtractDocs:
             route = route_document(kind, payload)
             out_route.append(route)
             if route == "error":
-                out_spans.append([])
                 n_spans.append(0)
+                offsets.append(len(f_kind))
                 try:
                     extract_document(kind, payload, self.chunk_size, self.chunk_overlap)
                     out_err.append("UNKNOWN")
@@ -107,13 +109,27 @@ class ExtractDocs:
                 continue
             try:
                 spans = extract_document(kind, payload, self.chunk_size, self.chunk_overlap)
-                out_spans.append(_spans_to_pylist(spans))
+                for s in spans:
+                    f_kind.append(s.kind)
+                    f_text.append(s.text)
+                    f_ref.append(s.media_ref)
+                    f_off.append(s.offset)
                 n_spans.append(len(spans))
                 out_err.append("")
             except ExtractError as e:  # defensive: route said ok but parse failed
-                out_spans.append([])
                 n_spans.append(0)
                 out_err.append(e.code)
+            offsets.append(len(f_kind))
+        struct = pa.StructArray.from_arrays(
+            [
+                pa.array(f_kind, pa.string()),
+                pa.array(f_text, pa.string()),
+                pa.array(f_ref, pa.string()),
+                pa.array(f_off, pa.int32()),
+            ],
+            fields=list(SPAN_STRUCT),
+        )
+        spans_col = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), struct)
         return pa.Table.from_arrays(
             [
                 pa.array(doc_ids, pa.string()),
@@ -121,7 +137,7 @@ class ExtractDocs:
                 pa.array(out_route, pa.string()),
                 pa.array(out_err, pa.string()),
                 pa.array(n_spans, pa.int32()),
-                pa.array(out_spans, SPANS_TYPE),
+                spans_col,
             ],
             schema=NESTED_OUT_SCHEMA,
         )

@@ -34,7 +34,7 @@ def pre_aggregate(ds: Dataset, keys: list[str], sums: list[str], count_alias: st
         g = batch.group_by(keys).aggregate(aggs)
         return g.rename_columns(keys + [f"p_{c}" for c in sums] + ["p_n"])
 
-    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
     return partials.groupby(keys).aggregate(
         *[Sum(f"p_{c}", alias_name=f"sum_{c}") for c in sums],
         Sum("p_n", alias_name=count_alias),
@@ -136,7 +136,7 @@ def lineitem_pricing_summary(lineitem: Dataset) -> Dataset:
 
     derived = lineitem.select_columns(
         ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"]
-    ).map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+    ).map_batches(derive, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
     agg = pre_aggregate(
         derived,
         ["l_returnflag", "l_linestatus"],

@@ -53,7 +53,7 @@ def detect_language(ds: Dataset, text_col: str = "text") -> Dataset:
             .append_column("detected_lang", detected)
         )
 
-    return ds.map_batches(detect, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(detect, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
 
 
 def language_histogram(ds: Dataset, text_col: str = "text") -> Dataset:
@@ -65,7 +65,7 @@ def language_histogram(ds: Dataset, text_col: str = "text") -> Dataset:
         return g.rename_columns(["detected_lang", "partial_n"])
 
     return (
-        detected.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        detected.map_batches(partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
         .groupby("detected_lang")
         .aggregate(Sum("partial_n", alias_name="n_docs"))
     )
@@ -86,7 +86,7 @@ def add_quality_score(ds: Dataset, text_col: str = "text") -> Dataset:
         clamped = pc.max_element_wise(pc.min_element_wise(raw, 1.0), 0.0)
         return batch.append_column("quality_score", pc.round(clamped, ndigits=4))
 
-    return detected.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    return detected.map_batches(score, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
 
 
 def quality_by_source(ds: Dataset) -> Dataset:
@@ -117,7 +117,7 @@ def token_stats_by_lang(ds: Dataset) -> Dataset:
         return g.rename_columns(["lang", "p_tok", "p_bpe", "p_n"])
 
     return (
-        projected.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        projected.map_batches(partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
         .groupby("lang")
         .aggregate(
             Sum("p_n", alias_name="n_docs"),
@@ -135,7 +135,7 @@ def add_fingerprint(ds: Dataset, text_col: str = "text", window: int = 64) -> Da
         vals = [rolling_fingerprint(t or "", window) for t in batch[text_col].to_pylist()]
         return batch.append_column("fingerprint", pa.array(vals, pa.int64()))
 
-    return ds.map_batches(fp, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(fp, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
 
 
 # clause/amount extraction (ingest_v2/pipeline.py:123-139) — RE2-safe
@@ -160,7 +160,7 @@ def clause_amount_counts(ds: Dataset) -> Dataset:
         return g.rename_columns(["source", "p_cl", "p_am", "p_has"])
 
     return (
-        projected.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        projected.map_batches(partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
         .groupby("source")
         .aggregate(
             Sum("p_cl", alias_name="total_clauses"),
