@@ -195,6 +195,18 @@ def _q_embedding_near_dup(sf_dir: str):
     return embedding_near_dup_pairs(_read(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=0.45)
 
 
+def _q_ngram_jaccard(sf_dir: str):
+    from clawrag_ray.stages.dedup import jaccard_near_dup_pairs
+
+    return jaccard_near_dup_pairs(_read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.5)
+
+
+def _q_ann_ivf(sf_dir: str):
+    from clawrag_ray.stages.similarity import ivf_topk
+
+    return ivf_topk(_read(sf_dir, "embeddings", ["vec_id", "embedding"]), _ann_queries(sf_dir), k=ANN_K)
+
+
 def _q_simhash(sf_dir: str):
     from clawrag_ray.stages.dedup import simhash_table
 
@@ -265,6 +277,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customers": _q_top_customers,
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh,
+        "ann_ivf_topk": _q_ann_ivf,
+        "ngram_jaccard_near_dups": _q_ngram_jaccard,
         "embedding_near_dup": _q_embedding_near_dup,
         "simhash": _q_simhash,
         "minhash_near_dups": _q_minhash_near_dups,
@@ -379,10 +393,20 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45"
         ),
+        "ngram_jaccard_near_dups": (
+            "WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS words FROM documents), "
+            "s AS (SELECT doc_id, list_distinct(CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')] "
+            "ELSE [words[i] || ' ' || words[i+1] || ' ' || words[i+2] FOR i IN generate_series(1, len(words)-2)] END) AS sh FROM w) "
+            "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "round(len(list_intersect(a.sh, b.sh))::DOUBLE / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard "
+            "FROM s a JOIN s b ON a.doc_id < b.doc_id "
+            "WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5"
+        ),
         "extract_spans_text": (
             "SELECT CAST(doc_id AS VARCHAR) AS doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS span_text "
             "FROM documents WHERE length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) > 0"
         ),
-        # ann_lsh_topk / simhash / minhash_near_dups / fingerprints /
-        # media_features: approximate or non-SQL-expressible -> rows-only
+        # ann_lsh_topk / ann_ivf_topk / simhash / minhash_near_dups /
+        # fingerprints / media_features: approximate or non-SQL-expressible
+        # -> rows-only
     }

@@ -79,14 +79,21 @@ def ensure_corpus(n_docs: int) -> str:
 
 def run_headline(n_docs: int) -> tuple[float, int]:
     """Extraction pipeline wall seconds (read -> extract -> write)."""
-    from clawrag_ray.pipelines.extraction import extract_spans, read_corpus, write_spans
+    from clawrag_ray.pipelines.extraction import extract_spans_from_path, write_spans
 
     out = "/tmp/clawrag_bench_spans"
     shutil.rmtree(out, ignore_errors=True)
     path = ensure_corpus(n_docs)
     t0 = time.time()
-    raw = read_corpus(path)
-    spans = extract_spans(raw, concurrency=(max(1, NUM_CPUS // 2), NUM_CPUS), batch_size=64)
+    # pools autoscale from min 1 — large MIN pool sizes would pin every CPU
+    # at startup and starve the reads (see pipelines/extraction.py docstring)
+    spans = extract_spans_from_path(
+        path,
+        concurrency=(1, NUM_CPUS),
+        mega_concurrency=(1, max(2, NUM_CPUS // 4)),
+        batch_size=64,
+        shuffle_blocks=max(8, NUM_CPUS // 2),
+    )
     write_spans(spans, out)
     wall = time.time() - t0
     import pyarrow.dataset as pads

@@ -229,14 +229,39 @@ def corpus_dataset(seed: int, n_docs: int, parallelism: int = 32, **kw):
     )
 
 
-def write_corpus(path: str, seed: int, n_docs: int, parallelism: int = 32, **kw) -> None:
+def write_corpus(
+    path: str, seed: int, n_docs: int, parallelism: int = 32, partition_by_route: bool = True, **kw
+) -> None:
     """Write the corpus as partitioned parquet (Lance-gated: uses
     write_lance when the lance package is importable, else parquet —
-    the sandbox has no lance wheel; the schema/layout is identical)."""
+    the sandbox has no lance wheel; the schema/layout is identical).
+
+    ``partition_by_route=True`` hive-partitions by ``route_part``
+    (inline vs mega — the extraction pipeline's branch predicate), the ONE
+    partitioning key reused across stages: each extraction branch then scans
+    only its own files instead of filtering a full second read. At 10^12-doc
+    scale this is the difference between 1x and 2x input I/O."""
     ds = corpus_dataset(seed, n_docs, parallelism, **kw)
+    if partition_by_route:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from clawrag_ray.schema import MEGA_PAGE_THRESHOLD
+
+        def add_route_part(batch: pa.Table) -> pa.Table:
+            mega = pc.and_(
+                pc.equal(batch["doc_kind"], "pdf_like"), pc.greater(batch["n_pages"], MEGA_PAGE_THRESHOLD)
+            )
+            part = pc.if_else(mega, "mega", "inline")
+            return batch.append_column("route_part", part)
+
+        ds = ds.map_batches(add_route_part, batch_format="pyarrow", zero_copy_batch=True)
     try:
         import lance  # noqa: F401
 
         ds.write_lance(path)
     except ImportError:
-        ds.write_parquet(path)
+        if partition_by_route:
+            ds.write_parquet(path, partition_cols=["route_part"])
+        else:
+            ds.write_parquet(path)

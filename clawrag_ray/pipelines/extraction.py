@@ -2,22 +2,33 @@
 
 Ray Data restatement of ClawRag's extraction lifecycle (SURVEY.md §3):
 
-    read -> [filter: inline | mega] -> ExtractDocs actor pool (inline)
-                                    -> explode pages -> ExtractPages actor
-                                       pool -> groupby(doc_id) reassembly
+    read -> [inline | mega] -> ExtractDocs actor pool (inline)
+                            -> explode pages -> ExtractPages actor
+                               pool -> groupby(doc_id) reassembly
          -> union -> (optionally) write partitioned parquet/lance
 
 Scale notes:
   * The inline/mega split uses only the cheap ``n_pages``/``doc_kind``
-    columns, so the predicate pushes down to the read and neither branch
-    parses payloads it will not extract.
+    columns. For a route-partitioned corpus (write_corpus default) use
+    ``extract_spans_from_path``: each branch reads ONLY its own hive
+    partition (``route_part=inline`` / ``route_part=mega``), so total input
+    I/O is 1x. ``extract_spans`` on an arbitrary Dataset keeps the generic
+    shape — both branches re-execute the shared lineage with a cheap batch
+    filter (2x scan worst case; documented trade-off for unpartitioned
+    inputs).
   * Only mega-docs (a tiny fraction, but the skew dominators) pay the
     groupby(doc_id) shuffle; everything else streams shuffle-free.
   * Actor pools size with ``concurrency``; each actor holds the parser
-    state once (T1 analog, SURVEY.md §2.4).
+    state once (T1 analog, SURVEY.md §2.4). The inline and mega pools are
+    sized INDEPENDENTLY — the sum of their min sizes must stay well below
+    the cluster's CPUs, or the pools pin every core at startup and starve
+    the read tasks (observed livelock with two (N/2, N) pools on an N-CPU
+    node: 32 pinned actor CPUs, zero left for ReadParquet).
 """
 
 from __future__ import annotations
+
+import os
 
 from ray.data import Dataset
 
@@ -30,6 +41,49 @@ from clawrag_ray.stages.extract import (
 )
 
 
+def _inline_branch(
+    inline: Dataset,
+    chunk_size: int,
+    chunk_overlap: int,
+    concurrency,
+    batch_size: int,
+) -> Dataset:
+    return inline.map_batches(
+        ExtractDocs,
+        fn_constructor_kwargs={"chunk_size": chunk_size, "chunk_overlap": chunk_overlap},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        zero_copy_batch=True,
+    )
+
+
+def _mega_branch(
+    mega: Dataset,
+    chunk_size: int,
+    chunk_overlap: int,
+    concurrency,
+    page_batch_size: int,
+    shuffle_blocks: int,
+) -> Dataset:
+    return (
+        mega.map_batches(explode_mega_pages, batch_format="pyarrow", batch_size=4, zero_copy_batch=True)
+        .map_batches(
+            ExtractPages,
+            fn_constructor_kwargs={"chunk_size": chunk_size, "chunk_overlap": chunk_overlap},
+            batch_format="pyarrow",
+            batch_size=page_batch_size,
+            concurrency=concurrency,
+            zero_copy_batch=True,
+        )
+        # coalesce the many small per-page-batch blocks before the shuffle:
+        # the groupby sort is scheduling-bound on block count, not row count
+        .repartition(shuffle_blocks)
+        .groupby("doc_id")
+        .map_groups(assemble_group, batch_format="pyarrow")
+    )
+
+
 def extract_spans(
     raw: Dataset,
     chunk_size: int = 1000,
@@ -37,9 +91,16 @@ def extract_spans(
     concurrency: int | tuple[int, int] = (1, 8),
     batch_size: int = 64,
     page_batch_size: int = 32,
+    mega_concurrency: int | tuple[int, int] = (1, 4),
+    shuffle_blocks: int = 8,
 ) -> Dataset:
     """Raw interleaved docs Dataset -> nested spans Dataset
-    (doc_id, doc_kind, route, error_code, n_spans, spans)."""
+    (doc_id, doc_kind, route, error_code, n_spans, spans).
+
+    ``concurrency`` sizes the inline actor pool, ``mega_concurrency`` the
+    (much smaller) mega-doc pool. Keep both mins tiny — autoscaling pools
+    grow on queued work; large mins deadlock the read (module docstring).
+    """
     import pyarrow.compute as pc
 
     def is_mega(b):
@@ -52,30 +113,44 @@ def extract_spans(
 
     inline = raw.map_batches(is_inline, batch_format="pyarrow", zero_copy_batch=True)
     mega = raw.map_batches(is_mega, batch_format="pyarrow", zero_copy_batch=True)
+    inline_out = _inline_branch(inline, chunk_size, chunk_overlap, concurrency, batch_size)
+    mega_out = _mega_branch(mega, chunk_size, chunk_overlap, mega_concurrency, page_batch_size, shuffle_blocks)
+    return inline_out.union(mega_out)
 
-    inline_out = inline.map_batches(
-        ExtractDocs,
-        fn_constructor_kwargs={"chunk_size": chunk_size, "chunk_overlap": chunk_overlap},
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-        zero_copy_batch=True,
-    )
-    mega_out = (
-        mega.map_batches(explode_mega_pages, batch_format="pyarrow", batch_size=4, zero_copy_batch=True)
-        .map_batches(
-            ExtractPages,
-            fn_constructor_kwargs={"chunk_size": chunk_size, "chunk_overlap": chunk_overlap},
-            batch_format="pyarrow",
-            batch_size=page_batch_size,
-            concurrency=concurrency,
-            zero_copy_batch=True,
+
+def extract_spans_from_path(
+    path: str,
+    chunk_size: int = 1000,
+    chunk_overlap: int = 200,
+    concurrency: int | tuple[int, int] = (1, 8),
+    batch_size: int = 64,
+    page_batch_size: int = 32,
+    mega_concurrency: int | tuple[int, int] = (1, 4),
+    shuffle_blocks: int = 8,
+) -> Dataset:
+    """Extraction over a route-partitioned corpus directory (write_corpus
+    default layout): the inline branch reads ``route_part=inline`` files
+    and the mega branch reads ``route_part=mega`` files — 1x total input
+    I/O, no re-filter. Falls back to extract_spans over a single full read
+    when the directory is not hive-partitioned."""
+    inline_dir = os.path.join(path, "route_part=inline")
+    mega_dir = os.path.join(path, "route_part=mega")
+    if not os.path.isdir(inline_dir):
+        return extract_spans(
+            read_corpus(path),
+            chunk_size,
+            chunk_overlap,
+            concurrency,
+            batch_size,
+            page_batch_size,
+            mega_concurrency,
+            shuffle_blocks,
         )
-        # coalesce the many small per-page-batch blocks before the shuffle:
-        # the groupby sort is scheduling-bound on block count, not row count
-        .repartition(8)
-        .groupby("doc_id")
-        .map_groups(assemble_group, batch_format="pyarrow")
+    inline_out = _inline_branch(read_corpus(inline_dir), chunk_size, chunk_overlap, concurrency, batch_size)
+    if not os.path.isdir(mega_dir):
+        return inline_out
+    mega_out = _mega_branch(
+        read_corpus(mega_dir), chunk_size, chunk_overlap, mega_concurrency, page_batch_size, shuffle_blocks
     )
     return inline_out.union(mega_out)
 

@@ -99,6 +99,18 @@ def _validate_amounts(ds: Dataset, params: dict) -> Dataset:
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
 
 
+@register_step("preserve_syntax")
+def _preserve_syntax(ds: Dataset, params: dict) -> Dataset:
+    """Parity no-op: the reference's preserve_syntax step
+    (ingest_v2/pipeline.py:70-101) only flags downstream chunking to use the
+    code splitter; here the flag is a column the chunk step reads."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return batch.append_column("preserve_syntax", pa.array([True] * batch.num_rows, pa.bool_()))
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+
+
 @register_step("chunk")
 def _chunk(ds: Dataset, params: dict) -> Dataset:
     from clawrag_ray.stages.chunk_ops import chunk_explode

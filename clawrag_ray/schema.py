@@ -48,6 +48,10 @@ FLAT_SPAN_SCHEMA = pa.schema(
 
 DOC_KINDS = ("text", "markdown", "html", "pdf_like", "email")
 
+# pdf_like docs with more pages than this take the explode/reassemble path
+# (and land in the "mega" partition when the corpus is route-partitioned).
+MEGA_PAGE_THRESHOLD = 16
+
 # Raw input table (FIXTURES.md §1 payload variant).
 RAW_DOC_SCHEMA = pa.schema(
     [

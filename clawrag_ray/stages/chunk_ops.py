@@ -11,7 +11,7 @@ import pyarrow as pa
 from ray.data import Dataset
 from ray.data.aggregate import Count, Max, Sum
 
-from clawrag_ray.reference.chunkers import char_window, parent_child, separator_cascade
+from clawrag_ray.reference.chunkers import char_window, code_split, parent_child, row_based, separator_cascade
 
 
 def chunk_explode(
@@ -22,8 +22,17 @@ def chunk_explode(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> Dataset:
-    """(doc_id, text) -> (doc_id, chunk_index, chunk_text, chunk_len)."""
-    chunker = {"char_window": char_window, "separator_cascade": separator_cascade}[method]
+    """(doc_id, text) -> (doc_id, chunk_index, chunk_text, chunk_len).
+
+    Methods mirror the reference's chunking strategies (SURVEY.md §2.3):
+    char_window (C4), separator_cascade (C5), row_based (C7 — ``size`` is
+    rows per chunk, overlap ignored). Code-structure chunking (C3) needs
+    per-chunk metadata -> use code_chunk_explode."""
+    chunker = {
+        "char_window": char_window,
+        "separator_cascade": separator_cascade,
+        "row_based": lambda text, s, o: row_based(text, rows_per_chunk=s),
+    }[method]
 
     def explode(batch: pa.Table) -> pa.Table:
         ids, idxs, texts = [], [], []
@@ -53,6 +62,46 @@ def chunk_counts(ds: Dataset, size: int, overlap: int, id_col: str = "doc_id", t
         Count(alias_name="n_chunks"),
         Sum("chunk_len", alias_name="total_chunk_chars"),
     )
+
+
+def code_chunk_explode(
+    ds: Dataset,
+    language: str | None = None,
+    lang_col: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> Dataset:
+    """Code-structure chunking (C3, reference
+    backend/src/services/loaders/code_loader.py:192-289): one row per
+    detected construct with (type, name, start_line, end_line) metadata.
+    Language comes from ``language`` (constant) or per-row ``lang_col``."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        langs = batch[lang_col].to_pylist() if lang_col else [language] * batch.num_rows
+        ids, idxs, types, names, starts, ends, texts = [], [], [], [], [], [], []
+        for doc_id, text, lang in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist(), langs):
+            for i, ch in enumerate(code_split(text or "", lang or "")):
+                ids.append(doc_id)
+                idxs.append(i)
+                types.append(ch.type)
+                names.append(ch.name)
+                starts.append(ch.start_line)
+                ends.append(ch.end_line)
+                texts.append(ch.text)
+        return pa.table(
+            {
+                id_col: pa.array(ids, batch[id_col].type),
+                "chunk_index": pa.array(idxs, pa.int32()),
+                "construct_type": pa.array(types, pa.string()),
+                "construct_name": pa.array(names, pa.string()),
+                "start_line": pa.array(starts, pa.int32()),
+                "end_line": pa.array(ends, pa.int32()),
+                "chunk_text": pa.array(texts, pa.string()),
+            }
+        )
+
+    cols = [id_col, text_col] + ([lang_col] if lang_col else [])
+    return ds.select_columns(cols).map_batches(explode, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
 
 
 def parent_child_explode(ds: Dataset, id_col: str = "doc_id", text_col: str = "text") -> Dataset:

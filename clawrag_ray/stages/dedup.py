@@ -233,6 +233,89 @@ def minhash_near_dups(
     return verified[verified["jaccard"] >= threshold].reset_index(drop=True)
 
 
+def _shingle_strings(text: str, k: int) -> frozenset[str]:
+    """Distinct k-word shingles as STRINGS (not hashed) — oracle-parity
+    variant of word_shingles: matches DuckDB
+    ``list_distinct([words[i]||' '||...])`` semantics exactly, including
+    the <k-words fallback to one joined shingle ('' for empty text)."""
+    words = text.lower().split()
+    if len(words) < k:
+        return frozenset([" ".join(words)])
+    return frozenset(" ".join(words[i : i + k]) for i in range(len(words) - k + 1))
+
+
+def jaccard_near_dup_pairs(
+    ds: Dataset,
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+    concurrency=(1, 8),
+) -> pd.DataFrame:
+    """Exact all-pairs word-k-gram Jaccard near-dup detection: all
+    (doc_a < doc_b) pairs with Jaccard(shingles_a, shingles_b) >= threshold.
+    Returns (doc_a, doc_b, jaccard rounded to 6), sorted.
+
+    Distribution: the corpus's (doc_id, shingle-set) list is broadcast once
+    via ray.put; each batch compares its docs against the broadcast list
+    (only ids greater than its own, so every pair is computed once). This is
+    the exact-verification kernel; at 10^12-doc scale the quadratic scan is
+    replaced by LSH candidate pruning (minhash_candidate_pairs) feeding the
+    same per-pair Jaccard — kept exact here as the correctness baseline the
+    DuckDB oracle can check."""
+    import ray
+
+    shingled = ds.select_columns(["doc_id", "text"]).map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "shingles": pa.array(
+                    [sorted(_shingle_strings(t or "", shingle_k)) for t in b["text"].to_pylist()],
+                    pa.list_(pa.string()),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    all_df = shingled.to_pandas()
+    corpus = sorted(
+        ((int(i), frozenset(s)) for i, s in zip(all_df["doc_id"], all_df["shingles"])),
+        key=lambda t: t[0],
+    )
+    ref = ray.put(corpus)
+
+    class PairScanner:
+        def __init__(self):
+            self.corpus = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out_a, out_b, out_j = [], [], []
+            for doc_id, sh in zip(batch["doc_id"].to_pylist(), batch["shingles"].to_pylist()):
+                sa = frozenset(sh)
+                for other_id, sb in self.corpus:
+                    if other_id <= doc_id:
+                        continue
+                    inter = len(sa & sb)
+                    if not inter:
+                        continue
+                    j = inter / (len(sa) + len(sb) - inter)
+                    if j >= threshold:
+                        out_a.append(doc_id)
+                        out_b.append(other_id)
+                        out_j.append(round(j, 6))
+            return pa.table(
+                {
+                    "doc_a": pa.array(out_a, pa.int64()),
+                    "doc_b": pa.array(out_b, pa.int64()),
+                    "jaccard": pa.array(out_j, pa.float64()),
+                }
+            )
+
+    pairs = shingled.map_batches(
+        PairScanner, batch_format="pyarrow", concurrency=concurrency, zero_copy_batch=True
+    )
+    return pairs.to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

@@ -34,10 +34,12 @@ from clawrag_ray.reference.extractor import (
     pdf_has_text,
     route_document,
 )
-from clawrag_ray.schema import FLAT_SPAN_SCHEMA, SPAN_STRUCT, SPANS_TYPE
-
-# pdf_like docs with more pages than this take the explode/reassemble path.
-MEGA_PAGE_THRESHOLD = 16
+from clawrag_ray.schema import (  # noqa: F401  (MEGA_PAGE_THRESHOLD re-exported)
+    FLAT_SPAN_SCHEMA,
+    MEGA_PAGE_THRESHOLD,
+    SPAN_STRUCT,
+    SPANS_TYPE,
+)
 
 NESTED_OUT_SCHEMA = pa.schema(
     [

@@ -152,6 +152,113 @@ def lsh_topk(
     return brute_force_topk(candidates, queries, k=k, concurrency=concurrency)
 
 
+def kmeans_centroids(
+    ds: Dataset,
+    n_centroids: int = 16,
+    n_iters: int = 5,
+    seed: int = 13,
+    sample_limit: int = 4096,
+    concurrency=(1, 8),
+) -> np.ndarray:
+    """Deterministic coarse k-means (the IVF quantizer trainer).
+
+    Init: seeded choice from a bounded driver-side sample (limit() — never
+    the full corpus). Lloyd iterations are distributed: each batch emits
+    per-centroid partial (sum, count) rows; the driver reduces the tiny
+    (n_centroids x n_batches) table and re-broadcasts centroids."""
+    sample = _stack(
+        ds.select_columns(["embedding"]).limit(sample_limit).to_pandas()["embedding"].pipe(
+            lambda s: pa.array(s.tolist())
+        )
+    )
+    rng = np.random.RandomState(seed)
+    centroids = sample[rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)]
+    centroids = _normalize(centroids)
+
+    for _ in range(n_iters):
+        ref = ray.put(centroids)
+
+        class Partial:
+            def __init__(self):
+                self.c = ray.get(ref)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                vm = _normalize(_stack(batch["embedding"]))
+                assign = np.argmax(vm @ self.c.T, axis=1)
+                cells, sums, counts = [], [], []
+                for cell in np.unique(assign):
+                    m = assign == cell
+                    cells.append(int(cell))
+                    sums.append(vm[m].sum(axis=0).tolist())
+                    counts.append(int(m.sum()))
+                return pa.table(
+                    {
+                        "cell": pa.array(cells, pa.int32()),
+                        "vec_sum": pa.array(sums, pa.list_(pa.float64())),
+                        "count": pa.array(counts, pa.int64()),
+                    }
+                )
+
+        partials = ds.select_columns(["embedding"]).map_batches(
+            Partial, batch_format="pyarrow", concurrency=concurrency, zero_copy_batch=True
+        ).to_pandas()
+        new = centroids.copy()
+        for cell, grp in partials.groupby("cell"):
+            total = np.sum(np.stack(grp["vec_sum"].tolist()), axis=0)
+            cnt = grp["count"].sum()
+            if cnt:
+                new[int(cell)] = total / cnt
+        centroids = _normalize(new)
+    return centroids
+
+
+def ivf_assign(ds: Dataset, centroids: np.ndarray, concurrency=(1, 8)) -> Dataset:
+    """Adds an ``ivf_cell`` column: index of the nearest (cosine) centroid."""
+    ref = ray.put(centroids)
+
+    class Assigner:
+        def __init__(self):
+            self.c = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vm = _normalize(_stack(batch["embedding"]))
+            assign = np.argmax(vm @ self.c.T, axis=1).astype(np.int32)
+            return batch.append_column("ivf_cell", pa.array(assign))
+
+    return ds.map_batches(Assigner, batch_format="pyarrow", concurrency=concurrency, zero_copy_batch=True)
+
+
+def ivf_topk(
+    ds: Dataset,
+    queries: dict[int, np.ndarray],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 13,
+    concurrency=(1, 8),
+) -> pd.DataFrame:
+    """IVF approximate top-k (the scale path next to lsh_topk): train a
+    coarse quantizer, bucket every vector into its nearest-centroid cell,
+    and scan only the union of each query's ``n_probe`` nearest cells with
+    the exact brute-force kernel. Same output schema as brute_force_topk;
+    recall < 1 by design (cells outside the probe set are never scanned)."""
+    centroids = kmeans_centroids(ds, n_centroids=n_centroids, seed=seed, concurrency=concurrency)
+    bucketed = ivf_assign(ds, centroids, concurrency=concurrency)
+    qm = _normalize(np.array(list(queries.values()), dtype=np.float64))
+    sims = qm @ centroids.T  # (nq, n_centroids)
+    probe: set[int] = set()
+    for qi in range(sims.shape[0]):
+        order = np.argsort(-sims[qi])[: min(n_probe, sims.shape[1])]
+        probe.update(int(c) for c in order)
+
+    def keep_probed(batch: pa.Table) -> pa.Table:
+        mask = pa.compute.is_in(batch["ivf_cell"], value_set=pa.array(sorted(probe), pa.int32()))
+        return batch.filter(mask)
+
+    candidates = bucketed.map_batches(keep_probed, batch_format="pyarrow", zero_copy_batch=True)
+    return brute_force_topk(candidates, queries, k=k, concurrency=concurrency)
+
+
 def embedding_near_dup_pairs(ds: Dataset, threshold: float = 0.9, concurrency=(1, 8)) -> pd.DataFrame:
     """All (vec_a < vec_b) pairs with cosine >= threshold. The full vector
     matrix is broadcast once (fits for dimension tables / sampled corpora);

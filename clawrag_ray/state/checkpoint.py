@@ -116,10 +116,12 @@ def run_resumable_extraction(
         for f in glob.glob(os.path.join(tmp_dir, "*.parquet")):
             t = pq.read_table(f, columns=["n_spans", "error_code", "spans"])
             n_docs += t.num_rows
-            n_spans += sum(t["n_spans"].to_pylist())
-            n_errors += sum(1 for e in t["error_code"].to_pylist() if e)
-            for spans_list in t["spans"].to_pylist():
-                n_chars += sum(len(s["text"]) for s in spans_list)
+            n_spans += pa.compute.sum(t["n_spans"]).as_py() or 0
+            n_errors += pa.compute.sum(pa.compute.not_equal(t["error_code"], "")).as_py() or 0
+            # vectorized char count: flatten list<struct> -> struct.text lengths
+            flat = t["spans"].combine_chunks().flatten()
+            if len(flat):
+                n_chars += pa.compute.sum(pa.compute.utf8_length(flat.field("text"))).as_py() or 0
         os.rename(tmp_dir, final_dir)  # atomic commit of shard data
         wall = time.time() - t0
         manifest = {

@@ -95,3 +95,26 @@ class TestSimHash:
         df = simhash_table(_docs_ds(), concurrency=1).to_pandas().set_index("doc_id")
         assert df.loc[1, "simhash"] == df.loc[2, "simhash"] == df.loc[5, "simhash"]
         assert df["simhash"].dtype == "int64"
+
+
+class TestJaccardAllPairs:
+    def test_pairs_match_pairwise_fn(self):
+        from clawrag_ray.stages.dedup import _shingle_strings, jaccard_near_dup_pairs
+
+        df = jaccard_near_dup_pairs(_docs_ds(), threshold=0.5)
+        pairs = set(zip(df["doc_a"], df["doc_b"]))
+        # exact dups (1,2),(1,5),(2,5) at 1.0 and near pair with doc 3
+        assert {(1, 2), (1, 5), (2, 5)}.issubset(pairs)
+        assert (1, 3) in pairs and (1, 4) not in pairs
+        jac = dict(zip(zip(df["doc_a"], df["doc_b"]), df["jaccard"]))
+        assert jac[(1, 2)] == 1.0
+        sa, sb = _shingle_strings(BASE, 3), _shingle_strings(NEAR, 3)
+        want = round(len(sa & sb) / len(sa | sb), 6)
+        assert jac[(1, 3)] == want
+
+    def test_short_and_empty_text_semantics(self):
+        from clawrag_ray.stages.dedup import _shingle_strings
+
+        # <k words fall back to one joined shingle; empty text -> {''}
+        assert _shingle_strings("one two", 3) == frozenset(["one two"])
+        assert _shingle_strings("", 3) == frozenset([""])

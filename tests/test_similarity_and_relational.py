@@ -110,3 +110,34 @@ class TestRelational:
         ds = ray.data.from_pandas(pd.DataFrame({"a": list(range(100))})).repartition(5)
         got = top_k(ds, "a", 3).to_pandas()
         assert got["a"].tolist() == [99, 98, 97]
+
+
+class TestIVF:
+    def test_ivf_recall_and_determinism(self):
+        from clawrag_ray.stages.similarity import ivf_topk
+
+        ds, vecs = _emb_ds()
+        q = {0: vecs[0], 7: vecs[7], 42: vecs[42]}
+        got = ivf_topk(ds, q, k=5, n_centroids=8, n_probe=4, concurrency=1)
+        again = ivf_topk(ds, q, k=5, n_centroids=8, n_probe=4, concurrency=1)
+        pd.testing.assert_frame_equal(got, again)  # deterministic quantizer
+        exact = brute_force_topk(ds, q, k=5, concurrency=1)
+        hits = 0
+        for qid in q:
+            want = set(exact[exact["query_id"] == qid]["vec_id"])
+            have = set(got[got["query_id"] == qid]["vec_id"])
+            hits += len(want & have)
+        assert hits / (5 * len(q)) >= 0.6  # probing half the cells
+        # each query's own vector always lands in its probed cell
+        for qid in q:
+            assert got[got["query_id"] == qid].iloc[0]["vec_id"] == qid
+
+    def test_ivf_assign_covers_all(self):
+        from clawrag_ray.stages.similarity import ivf_assign, kmeans_centroids
+
+        ds, _ = _emb_ds()
+        cents = kmeans_centroids(ds, n_centroids=4, n_iters=3, concurrency=1)
+        assert cents.shape == (4, 16)
+        cells = ivf_assign(ds, cents, concurrency=1).to_pandas()["ivf_cell"]
+        assert len(cells) == 200
+        assert set(cells.unique()).issubset(set(range(4)))
