@@ -244,6 +244,45 @@ def _q_media_features(sf_dir: str):
     return image_feature_pipeline(media)
 
 
+def _q_audio_features(sf_dir: str):
+    from clawrag_ray.stages.multimodal import AudioFeatures
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "media_id": pc.cast(batch["doc_id"], pa.string()),
+                "payload": pc.cast(batch["text"], pa.binary()),
+            }
+        )
+
+    media = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        to_media, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return media.map_batches(AudioFeatures, batch_format="pyarrow", batch_size=16, concurrency=(1, 4))
+
+
+def _q_frame_sample(sf_dir: str):
+    from clawrag_ray.stages.multimodal import frame_sample
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "media_id": pc.cast(batch["doc_id"], pa.string()),
+                # deterministic synthetic duration so the oracle can mirror it
+                "duration_ms": pc.cast(pc.multiply(batch["n_chars"], 37), pa.int32()),
+            }
+        )
+
+    media = _read(sf_dir, "documents", ["doc_id", "n_chars"]).map_batches(
+        to_media, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return frame_sample(media, every_ms=1000)
+
+
 def _q_extract_spans_text(sf_dir: str):
     from clawrag_ray.pipelines.extraction import extract_spans
 
@@ -284,6 +323,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_near_dups": _q_minhash_near_dups,
         "fingerprints": _q_fingerprints,
         "media_features": _q_media_features,
+        "audio_features": _q_audio_features,
+        "frame_sample": _q_frame_sample,
         "extract_spans_text": _q_extract_spans_text,
     }
 
@@ -393,6 +434,11 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45"
         ),
+        "frame_sample": (
+            "SELECT CAST(doc_id AS VARCHAR) AS media_id, CAST(i - 1 AS INTEGER) AS frame_idx, "
+            "CAST((i - 1) * 1000 AS INTEGER) AS ts_ms "
+            "FROM documents, unnest(generate_series(1, greatest(1, (n_chars * 37) // 1000))) AS t(i)"
+        ),
         "ngram_jaccard_near_dups": (
             "WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS words FROM documents), "
             "s AS (SELECT doc_id, list_distinct(CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')] "
@@ -407,6 +453,6 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents WHERE length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) > 0"
         ),
         # ann_lsh_topk / ann_ivf_topk / simhash / minhash_near_dups /
-        # fingerprints / media_features: approximate or non-SQL-expressible
-        # -> rows-only
+        # fingerprints / media_features / audio_features: approximate or
+        # non-SQL-expressible (stub decode hashes) -> rows-only
     }

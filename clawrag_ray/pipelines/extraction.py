@@ -24,6 +24,12 @@ Scale notes:
     the cluster's CPUs, or the pools pin every core at startup and starve
     the read tasks (observed livelock with two (N/2, N) pools on an N-CPU
     node: 32 pinned actor CPUs, zero left for ReadParquet).
+  * ``actor_num_cpus=0.5`` with ``concurrency=(1, 2*CPUs)`` doubles the
+    actor count per CPU budget. The streaming executor's reservation
+    allocator caps any single operator near half the cluster's CPUs
+    (ratio 0.5), which idles ~half the node on an extraction-dominated
+    pipeline; half-CPU actors fill that gap with mild oversubscription
+    (measured: 24s -> 17s wall at 4 CPUs, identical total CPU seconds).
 """
 
 from __future__ import annotations
@@ -47,7 +53,9 @@ def _inline_branch(
     chunk_overlap: int,
     concurrency,
     batch_size: int,
+    actor_num_cpus: float | None = None,
 ) -> Dataset:
+    kw = {"num_cpus": actor_num_cpus} if actor_num_cpus else {}
     return inline.map_batches(
         ExtractDocs,
         fn_constructor_kwargs={"chunk_size": chunk_size, "chunk_overlap": chunk_overlap},
@@ -55,6 +63,7 @@ def _inline_branch(
         batch_size=batch_size,
         concurrency=concurrency,
         zero_copy_batch=True,
+        **kw,
     )
 
 
@@ -65,9 +74,21 @@ def _mega_branch(
     concurrency,
     page_batch_size: int,
     shuffle_blocks: int,
+    actor_num_cpus: float | None = None,
 ) -> Dataset:
+    kw = {"num_cpus": actor_num_cpus} if actor_num_cpus else {}
     return (
         mega.map_batches(explode_mega_pages, batch_format="pyarrow", batch_size=4, zero_copy_batch=True)
+        # CRITICAL for skew: the repartition sits BETWEEN explode and
+        # extract. Without it Ray fuses the two map_batches, the batch
+        # granularity stays per-DOC, and a handful of fused tasks extract
+        # every page of every mega doc serially (measured: 5 tasks for 427k
+        # pages — parallelism 5 on a 32-CPU node, scaling efficiency 0.25).
+        # The repartition materializes the cheap exploded page rows and
+        # deals them evenly, so page extraction parallelizes page-wise —
+        # the north rule's explicit explode -> repartition -> extract ->
+        # groupby reassembly shape.
+        .repartition(shuffle_blocks)
         .map_batches(
             ExtractPages,
             fn_constructor_kwargs={"chunk_size": chunk_size, "chunk_overlap": chunk_overlap},
@@ -75,10 +96,8 @@ def _mega_branch(
             batch_size=page_batch_size,
             concurrency=concurrency,
             zero_copy_batch=True,
+            **kw,
         )
-        # coalesce the many small per-page-batch blocks before the shuffle:
-        # the groupby sort is scheduling-bound on block count, not row count
-        .repartition(shuffle_blocks)
         .groupby("doc_id")
         .map_groups(assemble_group, batch_format="pyarrow")
     )
@@ -90,9 +109,10 @@ def extract_spans(
     chunk_overlap: int = 200,
     concurrency: int | tuple[int, int] = (1, 8),
     batch_size: int = 64,
-    page_batch_size: int = 32,
+    page_batch_size: int = 1024,
     mega_concurrency: int | tuple[int, int] = (1, 4),
     shuffle_blocks: int = 8,
+    actor_num_cpus: float | None = None,
 ) -> Dataset:
     """Raw interleaved docs Dataset -> nested spans Dataset
     (doc_id, doc_kind, route, error_code, n_spans, spans).
@@ -113,8 +133,10 @@ def extract_spans(
 
     inline = raw.map_batches(is_inline, batch_format="pyarrow", zero_copy_batch=True)
     mega = raw.map_batches(is_mega, batch_format="pyarrow", zero_copy_batch=True)
-    inline_out = _inline_branch(inline, chunk_size, chunk_overlap, concurrency, batch_size)
-    mega_out = _mega_branch(mega, chunk_size, chunk_overlap, mega_concurrency, page_batch_size, shuffle_blocks)
+    inline_out = _inline_branch(inline, chunk_size, chunk_overlap, concurrency, batch_size, actor_num_cpus)
+    mega_out = _mega_branch(
+        mega, chunk_size, chunk_overlap, mega_concurrency, page_batch_size, shuffle_blocks, actor_num_cpus
+    )
     return inline_out.union(mega_out)
 
 
@@ -124,15 +146,20 @@ def extract_spans_from_path(
     chunk_overlap: int = 200,
     concurrency: int | tuple[int, int] = (1, 8),
     batch_size: int = 64,
-    page_batch_size: int = 32,
+    page_batch_size: int = 1024,
     mega_concurrency: int | tuple[int, int] = (1, 4),
     shuffle_blocks: int = 8,
+    read_num_blocks: int | None = None,
+    actor_num_cpus: float | None = None,
 ) -> Dataset:
     """Extraction over a route-partitioned corpus directory (write_corpus
     default layout): the inline branch reads ``route_part=inline`` files
     and the mega branch reads ``route_part=mega`` files — 1x total input
     I/O, no re-filter. Falls back to extract_spans over a single full read
-    when the directory is not hive-partitioned."""
+    when the directory is not hive-partitioned.
+
+    ``read_num_blocks`` splits the inline scan into that many blocks
+    (see read_corpus; ~4x worker count recommended)."""
     inline_dir = os.path.join(path, "route_part=inline")
     mega_dir = os.path.join(path, "route_part=mega")
     if not os.path.isdir(inline_dir):
@@ -145,27 +172,47 @@ def extract_spans_from_path(
             page_batch_size,
             mega_concurrency,
             shuffle_blocks,
+            actor_num_cpus,
         )
-    inline_out = _inline_branch(read_corpus(inline_dir), chunk_size, chunk_overlap, concurrency, batch_size)
+    inline_out = _inline_branch(
+        read_corpus(inline_dir, num_blocks=read_num_blocks),
+        chunk_size,
+        chunk_overlap,
+        concurrency,
+        batch_size,
+        actor_num_cpus,
+    )
     if not os.path.isdir(mega_dir):
         return inline_out
     mega_out = _mega_branch(
-        read_corpus(mega_dir), chunk_size, chunk_overlap, mega_concurrency, page_batch_size, shuffle_blocks
+        read_corpus(mega_dir),
+        chunk_size,
+        chunk_overlap,
+        mega_concurrency,
+        page_batch_size,
+        shuffle_blocks,
+        actor_num_cpus,
     )
     return inline_out.union(mega_out)
 
 
-def read_corpus(path: str, columns: list[str] | None = None) -> Dataset:
+def read_corpus(path: str, columns: list[str] | None = None, num_blocks: int | None = None) -> Dataset:
     """Read the interleaved docs table (Lance-gated: read_lance when the
-    lance package exists, else the parquet mirror with identical schema)."""
+    lance package exists, else the parquet mirror with identical schema).
+
+    ``num_blocks``: target block count for the scan. For the inline branch
+    ~4x the worker count keeps actor-pool ramp-up smooth (many sub-second
+    tasks) without drowning the scheduler; the default (None) lets Ray size
+    blocks by bytes, which at small file counts yields ~1s-long tasks that
+    quantize the pool ramp."""
     import ray.data
 
     try:
         import lance  # noqa: F401
 
-        return ray.data.read_lance(path, columns=columns)
+        return ray.data.read_lance(path, columns=columns, override_num_blocks=num_blocks)
     except ImportError:
-        return ray.data.read_parquet(path, columns=columns)
+        return ray.data.read_parquet(path, columns=columns, override_num_blocks=num_blocks)
 
 
 def write_spans(spans: Dataset, path: str, min_rows_per_file: int = 10_000) -> None:

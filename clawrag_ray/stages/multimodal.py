@@ -117,10 +117,11 @@ class AudioFeatures:
         )
 
 
-def frame_sample(ds: Dataset, every_ms: int = 1000, concurrency=(1, 4)) -> Dataset:
+def frame_sample(ds: Dataset, every_ms: int = 1000, concurrency: int | None = None) -> Dataset:
     """Video frame sampling stub: explodes each video row into frame rows
     at ``every_ms`` intervals of its duration (payload decode stubbed; the
-    explode/row-accounting plumbing is real)."""
+    explode/row-accounting plumbing is real). Stateless explode -> task
+    pool (``concurrency`` caps workers; None lets the executor decide)."""
 
     def explode(batch: pa.Table) -> pa.Table:
         ids, frame_idx, ts_ms = [], [], []
@@ -138,7 +139,8 @@ def frame_sample(ds: Dataset, every_ms: int = 1000, concurrency=(1, 4)) -> Datas
             }
         )
 
-    return ds.map_batches(explode, batch_format="pyarrow", batch_size=16, concurrency=concurrency, zero_copy_batch=True)
+    kw = {"concurrency": concurrency} if concurrency else {}
+    return ds.map_batches(explode, batch_format="pyarrow", batch_size=16, zero_copy_batch=True, **kw)
 
 
 def image_feature_pipeline(ds: Dataset, concurrency=(1, 4), batch_size: int = 16) -> Dataset:

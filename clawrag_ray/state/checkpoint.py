@@ -67,6 +67,92 @@ def completed_shards(out_dir: str) -> set[int]:
     return out
 
 
+def _install_fsspec_http_shim() -> None:
+    """Make concurrent Dataset reads/writes thread-safe on boxes without
+    aiohttp. Ray's path resolution re-runs ``from
+    fsspec.implementations.http import HTTPFileSystem`` on EVERY call inside
+    a ``except ModuleNotFoundError``; when aiohttp is missing the module is
+    evicted from sys.modules after each failed import, so two driver
+    threads racing through it see a partially-initialized module and get a
+    plain ImportError that Ray does not catch. If (and only if) the real
+    import cannot ever succeed, register a stub module whose
+    ``HTTPFileSystem`` is a never-instantiated placeholder — the isinstance
+    check in ray.data.datasource.path_util._is_http_filesystem then works
+    deterministically."""
+    try:
+        from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
+
+        return
+    except Exception:
+        pass
+    import sys
+    import types
+
+    mod = types.ModuleType("fsspec.implementations.http")
+
+    class HTTPFileSystem:  # placeholder; real class requires aiohttp (absent)
+        pass
+
+    mod.HTTPFileSystem = HTTPFileSystem
+    sys.modules["fsspec.implementations.http"] = mod
+
+
+def _run_one_shard(
+    shard_idx: int,
+    shard_files: list[str],
+    out_dir: str,
+    chunk_size: int,
+    chunk_overlap: int,
+    concurrency,
+    batch_size: int,
+    actor_num_cpus: float | None = None,
+) -> None:
+    import ray.data
+
+    from clawrag_ray.pipelines.extraction import extract_spans
+
+    t0 = time.time()
+    raw = ray.data.read_parquet(shard_files)
+    spans = extract_spans(
+        raw,
+        chunk_size=chunk_size,
+        chunk_overlap=chunk_overlap,
+        concurrency=concurrency,
+        batch_size=batch_size,
+        actor_num_cpus=actor_num_cpus,
+    )
+    final_dir = os.path.join(out_dir, f"shard={shard_idx}")
+    tmp_dir = os.path.join(out_dir, f"_tmp-shard-{shard_idx}")
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    shutil.rmtree(final_dir, ignore_errors=True)
+    spans.write_parquet(tmp_dir)
+    # gather lineage/metrics from the written shard (no second pass over the
+    # pipeline; vectorized arrow kernels, no python loop over spans)
+    n_docs = n_spans = n_errors = n_chars = 0
+    for f in glob.glob(os.path.join(tmp_dir, "*.parquet")):
+        t = pq.read_table(f, columns=["n_spans", "error_code", "spans"])
+        n_docs += t.num_rows
+        n_spans += pa.compute.sum(t["n_spans"]).as_py() or 0
+        n_errors += pa.compute.sum(pa.compute.not_equal(t["error_code"], "")).as_py() or 0
+        flat = t["spans"].combine_chunks().flatten()
+        if len(flat):
+            n_chars += pa.compute.sum(pa.compute.utf8_length(flat.field("text"))).as_py() or 0
+    os.rename(tmp_dir, final_dir)  # atomic commit of shard data
+    manifest = {
+        "shard": shard_idx,
+        "files": shard_files,
+        "n_docs": n_docs,
+        "n_spans": n_spans,
+        "n_errors": n_errors,
+        "n_chars": n_chars,
+        "wall_s": round(time.time() - t0, 3),
+    }
+    tmp_manifest = _manifest_path(out_dir, shard_idx) + ".tmp"
+    with open(tmp_manifest, "w") as f:
+        json.dump(manifest, f)
+    os.rename(tmp_manifest, _manifest_path(out_dir, shard_idx))  # atomic
+
+
 def run_resumable_extraction(
     input_dir: str,
     out_dir: str,
@@ -76,74 +162,57 @@ def run_resumable_extraction(
     concurrency=(1, 16),
     batch_size: int = 64,
     max_shards_this_run: int | None = None,
+    concurrent_shards: int = 1,
+    actor_num_cpus: float | None = None,
 ) -> dict:
     """Run (or resume) the extraction pipeline shard by shard.
 
     ``max_shards_this_run`` bounds how many incomplete shards to process
-    (used by tests to simulate preemption). Returns a summary dict."""
-    import ray.data
+    (used by tests to simulate preemption). ``concurrent_shards`` > 1 runs
+    that many shard pipelines at once from driver threads — separate
+    streaming executors overlap each other's scheduling gaps (measured:
+    29 s -> 20 s on a 320k-doc corpus at 32 CPUs) and this is the natural
+    multi-node layout (one shard stream per node group). Returns a summary
+    dict.
 
-    from clawrag_ray.pipelines.extraction import extract_spans
-
+    CPU sizing caution: every concurrent shard runs TWO actor pools whose
+    min-1 actors each reserve ``actor_num_cpus`` (default one full CPU).
+    ``concurrent_shards * 2 * actor_num_cpus`` must stay below the
+    cluster's CPUs or the pinned actors starve the read tasks and the run
+    deadlocks — pass ``actor_num_cpus=0.5`` or fewer concurrent shards on
+    small clusters."""
     files = list_input_files(input_dir)
     shards = make_shards(files, n_shards)
     os.makedirs(os.path.join(out_dir, "_manifest"), exist_ok=True)
     done = completed_shards(out_dir)
-    ran, skipped = [], []
-    for shard_idx, shard_files in enumerate(shards):
-        if shard_idx in done:
-            skipped.append(shard_idx)
-            continue
-        if max_shards_this_run is not None and len(ran) >= max_shards_this_run:
-            break
-        t0 = time.time()
-        raw = ray.data.read_parquet(shard_files)
-        spans = extract_spans(
-            raw,
-            chunk_size=chunk_size,
-            chunk_overlap=chunk_overlap,
-            concurrency=concurrency,
-            batch_size=batch_size,
-        )
-        final_dir = os.path.join(out_dir, f"shard={shard_idx}")
-        tmp_dir = os.path.join(out_dir, f"_tmp-shard-{shard_idx}")
-        shutil.rmtree(tmp_dir, ignore_errors=True)
-        shutil.rmtree(final_dir, ignore_errors=True)
-        spans.write_parquet(tmp_dir)
-        # gather lineage/metrics from the written shard (no second pass
-        # over the pipeline)
-        n_docs = n_spans = n_errors = n_chars = 0
-        for f in glob.glob(os.path.join(tmp_dir, "*.parquet")):
-            t = pq.read_table(f, columns=["n_spans", "error_code", "spans"])
-            n_docs += t.num_rows
-            n_spans += pa.compute.sum(t["n_spans"]).as_py() or 0
-            n_errors += pa.compute.sum(pa.compute.not_equal(t["error_code"], "")).as_py() or 0
-            # vectorized char count: flatten list<struct> -> struct.text lengths
-            flat = t["spans"].combine_chunks().flatten()
-            if len(flat):
-                n_chars += pa.compute.sum(pa.compute.utf8_length(flat.field("text"))).as_py() or 0
-        os.rename(tmp_dir, final_dir)  # atomic commit of shard data
-        wall = time.time() - t0
-        manifest = {
-            "shard": shard_idx,
-            "files": shard_files,
-            "n_docs": n_docs,
-            "n_spans": n_spans,
-            "n_errors": n_errors,
-            "n_chars": n_chars,
-            "wall_s": round(wall, 3),
-        }
-        tmp_manifest = _manifest_path(out_dir, shard_idx) + ".tmp"
-        with open(tmp_manifest, "w") as f:
-            json.dump(manifest, f)
-        os.rename(tmp_manifest, _manifest_path(out_dir, shard_idx))  # atomic
-        ran.append(shard_idx)
+    todo = [i for i in range(len(shards)) if i not in done]
+    skipped = [i for i in range(len(shards)) if i in done]
+    if max_shards_this_run is not None:
+        todo = todo[:max_shards_this_run]
+    kw = (chunk_size, chunk_overlap, concurrency, batch_size, actor_num_cpus)
+    ran: list[int] = []
+    if concurrent_shards <= 1 or len(todo) <= 1:
+        for shard_idx in todo:
+            _run_one_shard(shard_idx, shards[shard_idx], out_dir, *kw)
+            ran.append(shard_idx)
+    else:
+        _install_fsspec_http_shim()
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=concurrent_shards) as pool:
+            futures = {
+                pool.submit(_run_one_shard, i, shards[i], out_dir, *kw): i for i in todo
+            }
+            for fut, i in futures.items():
+                fut.result()  # propagate shard failures
+                ran.append(i)
     all_done = completed_shards(out_dir) == set(range(len(shards)))
     if all_done:
         write_metrics_table(out_dir)
     return {
         "n_shards": len(shards),
-        "ran": ran,
+        "ran": sorted(ran),
         "skipped_completed": skipped,
         "complete": all_done,
     }

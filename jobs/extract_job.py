@@ -29,6 +29,13 @@ def main() -> None:
     ap.add_argument("--chunk-overlap", type=int, default=200)
     ap.add_argument("--max-concurrency", type=int, default=64)
     ap.add_argument("--batch-size", type=int, default=64)
+    ap.add_argument(
+        "--concurrent-shards",
+        type=int,
+        default=4,
+        help="shard pipelines run at once (separate streaming executors "
+        "overlap each other's scheduling gaps; the multi-node layout)",
+    )
     args = ap.parse_args()
 
     import ray
@@ -58,6 +65,7 @@ def main() -> None:
         chunk_overlap=args.chunk_overlap,
         concurrency=(1, args.max_concurrency),
         batch_size=args.batch_size,
+        concurrent_shards=args.concurrent_shards,
     )
     print(json.dumps(summary))
     ray.shutdown()

@@ -87,3 +87,19 @@ def test_idempotent_rerun_noop(corpus_dir, tmp_path):
     run_resumable_extraction(corpus_dir, out, n_shards=2, concurrency=1)
     s = run_resumable_extraction(corpus_dir, out, n_shards=2, concurrency=1)
     assert s["ran"] == [] and s["skipped_completed"] == [0, 1] and s["complete"]
+
+
+def test_concurrent_shards_equal_sequential(corpus_dir, tmp_path):
+    out_seq = str(tmp_path / "seq_run")
+    out_con = str(tmp_path / "con_run")
+    s1 = run_resumable_extraction(corpus_dir, out_seq, n_shards=4, concurrency=1)
+    # 4-CPU test session: 2 concurrent shards x 2 pools x 0.5-CPU actors = 2
+    # reserved CPUs, leaving room for reads (see runner docstring)
+    s2 = run_resumable_extraction(
+        corpus_dir, out_con, n_shards=4, concurrency=1, concurrent_shards=2, actor_num_cpus=0.5
+    )
+    assert s1["complete"] and s2["complete"]
+    assert sorted(s2["ran"]) == [0, 1, 2, 3]
+    assert _span_fingerprint(out_seq) == _span_fingerprint(out_con)
+    # metrics table written in both modes
+    assert os.path.exists(os.path.join(out_con, "_metrics.parquet"))

@@ -126,3 +126,45 @@ class TestRowBased:
 
     def test_empty(self):
         assert row_based("") == []
+
+
+class TestChunkExplodeStages:
+    """Dataset-level explode stages over the reference chunkers."""
+
+    def _ds(self):
+        import pyarrow as pa
+        import ray.data
+
+        code = "import os\n\n\ndef alpha():\n    return 1\n\n\nclass Beta:\n    pass\n"
+        csvish = "h1,h2\n" + "\n".join(f"a{i},b{i}" for i in range(120))
+        rows = [
+            {"doc_id": 1, "text": code, "lang": "python"},
+            {"doc_id": 2, "text": csvish, "lang": ""},
+        ]
+        return ray.data.from_arrow(pa.Table.from_pylist(rows))
+
+    def test_row_based_method(self):
+        from clawrag_ray.reference.chunkers import row_based
+        from clawrag_ray.stages.chunk_ops import chunk_explode
+
+        df = chunk_explode(self._ds(), size=50, overlap=0, method="row_based").to_pandas()
+        per_doc = df.groupby("doc_id")["chunk_index"].count().to_dict()
+        # 120 data lines / 50 per chunk -> 3 chunks; code doc lines -> ref fn
+        csvish = "h1,h2\n" + "\n".join(f"a{i},b{i}" for i in range(120))
+        assert per_doc[2] == len(row_based(csvish, 50))
+        assert per_doc[2] == 3
+        # header prepended to every chunk
+        texts = df[df["doc_id"] == 2]["chunk_text"].tolist()
+        assert all(t.startswith("h1,h2\n") for t in texts)
+
+    def test_code_chunk_explode(self):
+        from clawrag_ray.stages.chunk_ops import code_chunk_explode
+
+        df = code_chunk_explode(self._ds(), lang_col="lang").to_pandas()
+        d1 = df[df["doc_id"] == 1]
+        assert list(d1["construct_type"]) == ["module", "function", "class"]
+        assert list(d1["construct_name"]) == ["", "alpha", "Beta"]
+        assert d1.iloc[1]["start_line"] == 4
+        # unknown language -> single module chunk
+        d2 = df[df["doc_id"] == 2]
+        assert list(d2["construct_type"]) == ["module"]
