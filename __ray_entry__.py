@@ -168,6 +168,105 @@ def _q_top_customers(sf_dir: str):
     return top_k(agg.map_batches(finish, batch_format="pyarrow"), by="total_spent", k=10)
 
 
+def _q_order_priority_revenue(sf_dir: str):
+    import pyarrow.compute as pc
+
+    from clawrag_ray.stages.relational import hash_join, pre_aggregate
+
+    j = hash_join(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]),
+        _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]),
+        on="l_orderkey",
+        right_on="o_orderkey",
+        num_partitions=8,
+    )
+
+    def derive(b: pa.Table) -> pa.Table:
+        return b.append_column("rev", pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"])))
+
+    agg = pre_aggregate(j.map_batches(derive, batch_format="pyarrow"), ["o_orderpriority"], ["rev"], "n_items")
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": b["o_orderpriority"],
+                "n_items": b["n_items"],
+                "revenue": pc.round(b["sum_rev"], ndigits=2),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_asof_latest_order(sf_dir: str):
+    import pyarrow.compute as pc
+
+    from clawrag_ray.stages.relational import asof_join
+
+    joined = asof_join(
+        _read(sf_dir, "events", ["event_id", "ts", "user_id"]),
+        _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"]),
+        by="user_id",
+        right_by="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_value_cols=["o_orderkey", "o_totalprice"],
+    )
+
+    # inner semantics for the oracle: drop events with no prior order
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b["o_orderkey"]))
+        return b.select(["event_id", "o_orderkey", "o_totalprice"])
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_value_quantiles(sf_dir: str):
+    from clawrag_ray.stages.relational import grouped_quantiles
+
+    return grouped_quantiles(_read(sf_dir, "events", ["event_type", "value"]), ["event_type"], "value", [0.5, 0.95])
+
+
+def _q_distinct_users(sf_dir: str):
+    from clawrag_ray.stages.relational import distinct_count
+
+    return distinct_count(_read(sf_dir, "events", ["event_type", "user_id"]), ["event_type"], "user_id")
+
+
+def _q_top_orders_per_customer(sf_dir: str):
+    from clawrag_ray.stages.relational import top_n_per_group
+
+    return top_n_per_group(
+        _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"]),
+        ["o_custkey"],
+        "o_totalprice",
+        3,
+        tiebreak_col="o_orderkey",
+    )
+
+
+def _q_events_hopping(sf_dir: str):
+    import pyarrow.compute as pc
+
+    from clawrag_ray.stages.relational import hopping_window
+
+    win = hopping_window(
+        _read(sf_dir, "events", ["ts", "value", "event_type"]), keys=["event_type"], size_minutes=60, hop_minutes=30
+    )
+
+    def round_out(batch: pa.Table) -> pa.Table:
+        i = batch.schema.get_field_index("sum_value")
+        return batch.set_column(i, "sum_value", pc.round(batch["sum_value"], ndigits=2))
+
+    return win.map_batches(round_out, batch_format="pyarrow")
+
+
+def _q_doc_sample(sf_dir: str):
+    from clawrag_ray.stages.relational import deterministic_sample
+
+    return deterministic_sample(_read(sf_dir, "documents", ["doc_id", "n_chars"]), "doc_id", 10, 0)
+
+
 def _ann_queries(sf_dir: str) -> dict[int, np.ndarray]:
     t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
     out: dict[int, np.ndarray] = {}
@@ -314,6 +413,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": _q_events_hourly,
         "sessionize": _q_sessionize,
         "top_customers": _q_top_customers,
+        "order_priority_revenue": _q_order_priority_revenue,
+        "asof_latest_order": _q_asof_latest_order,
+        "value_quantiles": _q_value_quantiles,
+        "distinct_users": _q_distinct_users,
+        "top_orders_per_customer": _q_top_orders_per_customer,
+        "events_hopping": _q_events_hopping,
+        "doc_sample": _q_doc_sample,
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
@@ -421,6 +527,37 @@ def oracle_sql() -> dict[str, str]:
         "top_customers": (
             "SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_spent "
             "FROM orders GROUP BY o_custkey ORDER BY total_spent DESC LIMIT 10"
+        ),
+        "order_priority_revenue": (
+            "SELECT o_orderpriority, count(*) AS n_items, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority"
+        ),
+        "asof_latest_order": (
+            "SELECT e.event_id, o.o_orderkey, o.o_totalprice FROM events e "
+            "ASOF JOIN orders o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate"
+        ),
+        "value_quantiles": (
+            "SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50, "
+            "round(quantile_cont(value, 0.95), 4) AS p95, count(*) AS n FROM events GROUP BY event_type"
+        ),
+        "distinct_users": (
+            "SELECT event_type, count(DISTINCT user_id) AS n_distinct_user_id FROM events GROUP BY event_type"
+        ),
+        "top_orders_per_customer": (
+            "SELECT o_custkey, o_orderkey, o_totalprice FROM orders "
+            "QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) <= 3"
+        ),
+        "events_hopping": (
+            "WITH w AS (SELECT unnest(generate_series("
+            "date_trunc('hour', (SELECT min(ts) FROM events)) - INTERVAL 30 MINUTE, "
+            "(SELECT max(ts) FROM events), INTERVAL 30 MINUTE)) AS ws) "
+            "SELECT ws AS window_start, event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value "
+            "FROM w JOIN events e ON e.ts >= w.ws AND e.ts < w.ws + INTERVAL 60 MINUTE GROUP BY 1, 2"
+        ),
+        "doc_sample": (
+            "SELECT doc_id, n_chars FROM documents "
+            "WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 10 = 0"
         ),
         "ann_topk": (
             f"WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < {ANN_N_QUERIES}) "

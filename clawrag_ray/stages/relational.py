@@ -179,3 +179,204 @@ def revenue_by_nation(orders: Dataset, customer: pd.DataFrame, nation: pd.DataFr
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def hash_join(
+    left: Dataset,
+    right: Dataset,
+    on: str,
+    right_on: str | None = None,
+    join_type: str = "inner",
+    num_partitions: int = 16,
+) -> Dataset:
+    """Big-big distributed hash join (both sides shuffle by key) — the
+    complement of broadcast_join for when neither side fits in one object.
+    Thin wrapper over ray.data.Dataset.join with explicit partition count
+    (size to cluster: ~2-4x total CPUs; skewed keys need salting upstream)."""
+    return left.join(
+        right,
+        join_type=join_type,
+        num_partitions=num_partitions,
+        on=(on,),
+        right_on=(right_on,) if right_on else None,
+    )
+
+
+def asof_join(
+    left: Dataset,
+    right: Dataset,
+    by: str,
+    right_by: str,
+    left_ts: str,
+    right_ts: str,
+    right_value_cols: list[str],
+) -> Dataset:
+    """As-of join (Ray Data has no native one — task-level custom operator):
+    for each left row, attach the LATEST right row of the same ``by`` key
+    with ``right_ts`` <= ``left_ts``; right columns are null when no such
+    row exists.
+
+    Implementation: tag both sides, union, groupby(key), per-group sort by
+    (ts, side) and vectorized forward-fill of the right-side values — one
+    shuffle, no per-row search. Partitioning assumption: all rows of one
+    key fit in one group task (salt + two-phase merge would lift this for
+    pathological keys)."""
+    left_schema = left.schema()
+    left_cols = list(left_schema.names)
+    left_only = [c for c in left_cols if c not in (by, left_ts)]
+    left_only_types = {c: left_schema.base_schema.field(c).type for c in left_only}
+    right_schema = right.schema()
+    right_types = {c: right_schema.base_schema.field(c).type for c in right_value_cols}
+
+    # union requires identical schemas: each side fills the other side's
+    # columns with nulls
+    def tag_left(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        cols = {"__key": b[by], "__ts": b[left_ts], "__side": pa.array([1] * n, pa.int8())}
+        for c in left_only:
+            cols[c] = b[c]
+        for c in right_value_cols:
+            cols[c] = pa.nulls(n, right_types[c])
+        return pa.table(cols)
+
+    def tag_right(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        cols = {"__key": b[right_by], "__ts": b[right_ts], "__side": pa.array([0] * n, pa.int8())}
+        for c in left_only:
+            cols[c] = pa.nulls(n, left_only_types[c])
+        for c in right_value_cols:
+            cols[c] = b[c]
+        return pa.table(cols)
+
+    lt = left.map_batches(tag_left, batch_format="pyarrow", zero_copy_batch=True)
+    rt = right.select_columns([right_by, right_ts] + right_value_cols).map_batches(
+        tag_right, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        # right rows (side 0) sort before left rows at equal ts -> a right
+        # row at exactly left_ts matches (<= semantics, DuckDB ASOF parity)
+        g = g.sort_values(["__ts", "__side"], kind="mergesort").reset_index(drop=True)
+        for col in right_value_cols:
+            g[col] = g[col].where(g["__side"] == 0).ffill()
+        out = g[g["__side"] == 1]
+        keep = ["__key", "__ts"] + left_only + right_value_cols
+        out = out[keep].rename(columns={"__key": by, "__ts": left_ts})
+        # the side-union floats integer columns (NaN padding); restore
+        # nullable ints so joined ids compare as ints downstream
+        for c, typ in list(left_only_types.items()) + list(right_types.items()):
+            if pa.types.is_integer(typ):
+                out[c] = out[c].astype("Int64")
+        return out
+
+    return lt.union(rt).groupby("__key").map_groups(per_key, batch_format="pandas")
+
+
+def grouped_quantiles(
+    ds: Dataset, keys: list[str], value_col: str, quantiles: list[float], ndigits: int = 4
+) -> Dataset:
+    """Exact per-group quantiles (linear interpolation — numpy percentile
+    and SQL quantile_cont agree). Per-group exact math needs the group's
+    values together -> one groupby shuffle; for sketch-sized state at
+    10^12 rows swap in a t-digest accumulate/merge with the same output
+    schema."""
+    import numpy as np
+
+    qcols = [f"p{int(q * 100)}" for q in quantiles]
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        vals = g[value_col].to_numpy(dtype=float)
+        row = {k: [g[k].iloc[0]] for k in keys}
+        for q, name in zip(quantiles, qcols):
+            row[name] = [round(float(np.percentile(vals, q * 100)), ndigits)]
+        row["n"] = [len(vals)]
+        return pd.DataFrame(row)
+
+    return ds.select_columns(keys + [value_col]).groupby(keys[0] if len(keys) == 1 else keys).map_groups(
+        per_group, batch_format="pandas"
+    )
+
+
+def distinct_count(ds: Dataset, keys: list[str], value_col: str) -> Dataset:
+    """count(DISTINCT value) per key, two-level: per-batch arrow distinct
+    (key, value) pairs first, then a pair-level groupby collapse, then the
+    tiny per-key count — the shuffle moves one row per distinct pair per
+    batch, never raw rows."""
+    from ray.data.aggregate import Count
+
+    def batch_distinct(b: pa.Table) -> pa.Table:
+        return b.select(keys + [value_col]).group_by(keys + [value_col]).aggregate([])
+
+    pairs = ds.map_batches(batch_distinct, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    collapsed = pairs.groupby(keys + [value_col]).aggregate(Count(alias_name="_dup"))
+    return collapsed.groupby(keys[0] if len(keys) == 1 else keys).aggregate(
+        Count(alias_name=f"n_distinct_{value_col}")
+    ).select_columns(keys + [f"n_distinct_{value_col}"])
+
+
+def top_n_per_group(
+    ds: Dataset, keys: list[str], order_col: str, n: int, tiebreak_col: str | None = None
+) -> Dataset:
+    """Top-n rows per group by ``order_col`` desc (window rank semantics).
+    Per-group head after the groupby shuffle; ``tiebreak_col`` ascending
+    makes results deterministic under ties."""
+
+    def head(g: pd.DataFrame) -> pd.DataFrame:
+        by = [order_col] + ([tiebreak_col] if tiebreak_col else [])
+        asc = [False] + ([True] if tiebreak_col else [])
+        return g.sort_values(by, ascending=asc, kind="mergesort").head(n)
+
+    return ds.groupby(keys[0] if len(keys) == 1 else keys).map_groups(head, batch_format="pandas")
+
+
+def hopping_window(
+    ds: Dataset,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    keys: list[str] | None = None,
+    size_minutes: int = 60,
+    hop_minutes: int = 30,
+) -> Dataset:
+    """Hopping (sliding) event-time windows: each event lands in
+    size/hop overlapping windows (explode vectorized per batch), then the
+    standard partial-combined aggregate. Output: (window_start, *keys,
+    n_events, sum_value)."""
+    keys = keys or []
+    n_windows = size_minutes // hop_minutes
+    hop_us = hop_minutes * 60 * 1_000_000
+
+    def explode(b: pa.Table) -> pa.Table:
+        ts = pc.cast(b[ts_col], pa.int64())  # microseconds since epoch
+        base = pc.multiply(pc.divide(ts, hop_us), hop_us)  # int division: newest window start
+        parts = []
+        for i in range(n_windows):
+            start = pc.subtract(base, i * hop_us)
+            t = b.select(keys + [value_col]).append_column("window_start", pc.cast(start, b[ts_col].type))
+            parts.append(t)
+        return pa.concat_tables(parts)
+
+    exploded = ds.select_columns([ts_col, value_col] + keys).map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True
+    )
+    agg = pre_aggregate(exploded, ["window_start"] + keys, [value_col], count_alias="n_events")
+    if value_col != "value":
+        agg = agg.rename_columns({f"sum_{value_col}": "sum_value"})
+    return agg
+
+
+def deterministic_sample(ds: Dataset, id_col: str, mod: int = 10, keep: int = 0) -> Dataset:
+    """Content-deterministic sampling: keep rows whose md5(id) prefix mod
+    ``mod`` equals ``keep`` — reproducible across runs/cluster sizes and
+    SQL-mirrorable (DuckDB: ('0x' || substr(md5(id), 1, 8))::UBIGINT),
+    unlike random_sample. The standard train/validation carve at scale."""
+    import hashlib
+
+    def flt(b: pa.Table) -> pa.Table:
+        vals = b[id_col].to_pylist()
+        mask = pa.array(
+            [int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16) % mod == keep for v in vals],
+            pa.bool_(),
+        )
+        return b.filter(mask)
+
+    return ds.map_batches(flt, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)

@@ -141,3 +141,81 @@ class TestIVF:
         cells = ivf_assign(ds, cents, concurrency=1).to_pandas()["ivf_cell"]
         assert len(cells) == 200
         assert set(cells.unique()).issubset(set(range(4)))
+
+
+class TestNewRelationalOps:
+    def test_hash_join_inner(self):
+        from clawrag_ray.stages.relational import hash_join
+
+        left = ray.data.from_arrow(pa.table({"k": [1, 2, 3, 3], "v": [10, 20, 30, 31]}))
+        right = ray.data.from_arrow(pa.table({"rk": [2, 3, 4], "w": ["b", "c", "d"]}))
+        df = hash_join(left, right, on="k", right_on="rk", num_partitions=2).to_pandas()
+        got = sorted(zip(df["k"], df["v"], df["w"]))
+        assert got == [(2, 20, "b"), (3, 30, "c"), (3, 31, "c")]
+
+    def test_asof_join_latest_prior(self):
+        from clawrag_ray.stages.relational import asof_join
+
+        left = ray.data.from_arrow(pa.table({"id": [1, 2, 3], "k": [7, 7, 8], "t": [10, 25, 10]}))
+        right = ray.data.from_arrow(pa.table({"rk": [7, 7, 9], "rt": [5, 20, 1], "price": [1.0, 2.0, 9.0]}))
+        df = asof_join(left, right, by="k", right_by="rk", left_ts="t", right_ts="rt",
+                       right_value_cols=["price"]).to_pandas().set_index("id")
+        assert df.loc[1, "price"] == 1.0      # t=10 -> rt=5
+        assert df.loc[2, "price"] == 2.0      # t=25 -> rt=20
+        assert pd.isna(df.loc[3, "price"])    # key 8 has no right rows
+
+    def test_asof_join_equal_ts_matches(self):
+        from clawrag_ray.stages.relational import asof_join
+
+        left = ray.data.from_arrow(pa.table({"id": [1], "k": [7], "t": [20]}))
+        right = ray.data.from_arrow(pa.table({"rk": [7], "rt": [20], "price": [5.0]}))
+        df = asof_join(left, right, by="k", right_by="rk", left_ts="t", right_ts="rt",
+                       right_value_cols=["price"]).to_pandas()
+        assert df["price"].tolist() == [5.0]  # <= semantics
+
+    def test_grouped_quantiles_matches_numpy(self):
+        import numpy as np
+
+        from clawrag_ray.stages.relational import grouped_quantiles
+
+        vals = [1.0, 2.0, 3.0, 4.0, 100.0]
+        ds = ray.data.from_arrow(pa.table({"g": ["a"] * 5, "v": vals}))
+        df = grouped_quantiles(ds, ["g"], "v", [0.5, 0.9]).to_pandas()
+        assert df["p50"].iloc[0] == round(float(np.percentile(vals, 50)), 4)
+        assert df["p90"].iloc[0] == round(float(np.percentile(vals, 90)), 4)
+        assert df["n"].iloc[0] == 5
+
+    def test_distinct_count(self):
+        from clawrag_ray.stages.relational import distinct_count
+
+        ds = ray.data.from_arrow(pa.table({"g": ["a", "a", "a", "b"], "u": [1, 1, 2, 9]})).repartition(3)
+        df = distinct_count(ds, ["g"], "u").to_pandas().set_index("g")
+        assert df.loc["a", "n_distinct_u"] == 2 and df.loc["b", "n_distinct_u"] == 1
+
+    def test_top_n_per_group_with_ties(self):
+        from clawrag_ray.stages.relational import top_n_per_group
+
+        ds = ray.data.from_arrow(pa.table({"g": ["a"] * 4, "id": [1, 2, 3, 4], "s": [5.0, 9.0, 9.0, 1.0]}))
+        df = top_n_per_group(ds, ["g"], "s", 2, tiebreak_col="id").to_pandas()
+        assert sorted(df["id"]) == [2, 3]  # tie broken by id ascending
+
+    def test_hopping_window_counts(self):
+        from clawrag_ray.stages.relational import hopping_window
+
+        ts = pa.array([0, 45 * 60_000_000], pa.timestamp("us"))  # 00:00 and 00:45
+        ds = ray.data.from_arrow(pa.table({"ts": ts, "value": [1.0, 2.0]}))
+        df = hopping_window(ds, size_minutes=60, hop_minutes=30).to_pandas()
+        # event@00:00 -> windows [-30, 0]; event@00:45 -> windows [0, 30]
+        win = {int(w.timestamp() / 60): n for w, n in zip(df["window_start"], df["n_events"])}
+        assert win == {-30: 1, 0: 2, 30: 1}
+
+    def test_deterministic_sample_stable(self):
+        from clawrag_ray.stages.relational import deterministic_sample
+
+        ds = ray.data.from_arrow(pa.table({"doc_id": list(range(1000))}))
+        a = sorted(deterministic_sample(ds, "doc_id", 10, 0).to_pandas()["doc_id"])
+        b = sorted(deterministic_sample(ds, "doc_id", 10, 0).to_pandas()["doc_id"])
+        assert a == b and 50 < len(a) < 150  # ~10%
+        # partition-independent: same rows at any layout
+        c = sorted(deterministic_sample(ds.repartition(7), "doc_id", 10, 0).to_pandas()["doc_id"])
+        assert a == c
