@@ -382,6 +382,31 @@ def _q_frame_sample(sf_dir: str):
     return frame_sample(media, every_ms=1000)
 
 
+def _q_semantic_chunks(sf_dir: str):
+    from clawrag_ray.stages.chunk_ops import semantic_chunk_explode
+
+    return semantic_chunk_explode(
+        _read(sf_dir, "documents", ["doc_id", "text"]), concurrency=(1, 4)
+    ).select_columns(["doc_id", "chunk_index", "chunk_len"])
+
+
+def _q_doc_embedding_near_dups(sf_dir: str):
+    """documents -> hash-embedder vectors -> cosine near-dup pairs: the
+    embedding-based near-dup path of the dedup suite over raw text."""
+    import pyarrow.compute as pc
+
+    from clawrag_ray.stages.embed import embed_texts
+    from clawrag_ray.stages.similarity import embedding_near_dup_pairs
+
+    emb = embed_texts(_read(sf_dir, "documents", ["doc_id", "text"]), concurrency=(1, 4))
+
+    def to_vec(batch: pa.Table) -> pa.Table:
+        return pa.table({"vec_id": pc.cast(batch["doc_id"], pa.int64()), "embedding": batch["embedding"]})
+
+    vecs = emb.map_batches(to_vec, batch_format="pyarrow", zero_copy_batch=True)
+    return embedding_near_dup_pairs(vecs, threshold=0.95)
+
+
 def _q_extract_spans_text(sf_dir: str):
     from clawrag_ray.pipelines.extraction import extract_spans
 
@@ -431,6 +456,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _q_media_features,
         "audio_features": _q_audio_features,
         "frame_sample": _q_frame_sample,
+        "semantic_chunks": _q_semantic_chunks,
+        "doc_embedding_near_dups": _q_doc_embedding_near_dups,
         "extract_spans_text": _q_extract_spans_text,
     }
 
@@ -590,6 +617,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents WHERE length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) > 0"
         ),
         # ann_lsh_topk / ann_ivf_topk / simhash / minhash_near_dups /
-        # fingerprints / media_features / audio_features: approximate or
-        # non-SQL-expressible (stub decode hashes) -> rows-only
+        # fingerprints / media_features / audio_features / semantic_chunks /
+        # doc_embedding_near_dups: approximate or non-SQL-expressible
+        # (stub decode / hash-embedder math) -> rows-only
     }

@@ -41,9 +41,15 @@ TIMED_QUERIES = [
     "chunk_counts",
     "lineitem_pricing",
     "revenue_by_nation",
+    "order_priority_revenue",
+    "asof_latest_order",
     "events_hourly",
+    "events_hopping",
     "sessionize",
+    "value_quantiles",
+    "distinct_users",
     "ann_topk",
+    "ann_ivf_topk",
     "minhash_near_dups",
     "extract_spans_text",
 ]

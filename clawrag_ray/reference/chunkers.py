@@ -239,3 +239,52 @@ def row_based(text: str, rows_per_chunk: int = 50, keep_header: bool = True) -> 
     for i in range(0, len(lines), rows_per_chunk):
         chunks.append("\n".join(header + lines[i : i + rows_per_chunk]))
     return chunks
+
+
+def split_sentences(text: str) -> list[str]:
+    """Sentence segmentation for the semantic splitter: split after
+    [.!?] + whitespace or on blank lines; whitespace-collapsed pieces."""
+    parts = re.split(r"(?<=[.!?])\s+|\n{2,}", text)
+    return [p.strip() for p in parts if p and p.strip()]
+
+
+def semantic_split(
+    text: str,
+    embed_fn,
+    breakpoint_percentile: float = 95.0,
+    buffer_size: int = 1,
+) -> list[str]:
+    """Percentile-breakpoint semantic chunking — the algorithm behind the
+    reference's BatchSemanticSplitter (resource_manager.py:43-110, which
+    delegates to LlamaIndex SemanticSplitterNodeParser with
+    breakpoint_percentile_threshold=95): embed each sentence (with a
+    +-buffer_size context window), compute cosine DISTANCE between adjacent
+    windows, split where distance exceeds the given percentile of all
+    distances. ``embed_fn(list[str]) -> (n, d) array`` is injected so the
+    frozen reference stays model-free (tests use HashEmbedder.encode).
+    """
+    import numpy as np
+
+    sentences = split_sentences(text)
+    if len(sentences) <= 1:
+        return sentences
+    windows = [
+        " ".join(sentences[max(0, i - buffer_size) : i + buffer_size + 1]) for i in range(len(sentences))
+    ]
+    emb = np.asarray(embed_fn(windows), dtype=np.float64)
+    norms = np.linalg.norm(emb, axis=1)
+    norms[norms == 0] = 1.0
+    emb = emb / norms[:, None]
+    sims = (emb[:-1] * emb[1:]).sum(axis=1)
+    dists = 1.0 - sims
+    cutoff = float(np.percentile(dists, breakpoint_percentile))
+    chunks: list[str] = []
+    cur = [sentences[0]]
+    for i, d in enumerate(dists):
+        if d > cutoff:
+            chunks.append(" ".join(cur))
+            cur = []
+        cur.append(sentences[i + 1])
+    if cur:
+        chunks.append(" ".join(cur))
+    return chunks

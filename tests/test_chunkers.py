@@ -168,3 +168,67 @@ class TestChunkExplodeStages:
         # unknown language -> single module chunk
         d2 = df[df["doc_id"] == 2]
         assert list(d2["construct_type"]) == ["module"]
+
+
+class TestSemanticSplit:
+    def _embed(self):
+        from clawrag_ray.stages.embed import HashEmbedder
+
+        return HashEmbedder(dim=32).encode
+
+    def test_single_sentence_passthrough(self):
+        from clawrag_ray.reference.chunkers import semantic_split
+
+        assert semantic_split("One sentence only.", self._embed()) == ["One sentence only."]
+        assert semantic_split("", self._embed()) == []
+
+    def test_topic_shift_splits(self):
+        from clawrag_ray.reference.chunkers import semantic_split
+
+        text = (
+            "The cat sat on the mat. The cat chased the mouse. The cat slept on the mat. "
+            "Gradient descent optimizes neural networks. Backpropagation computes network gradients."
+        )
+        chunks = semantic_split(text, self._embed(), breakpoint_percentile=75.0)
+        assert len(chunks) >= 2
+        # the topic boundary lands between cat-sentences and ML-sentences
+        assert any("cat" in c and "Gradient" not in c for c in chunks)
+        assert any("Gradient" in c and "cat" not in c.lower() for c in chunks)
+        # deterministic + lossless word coverage
+        assert chunks == semantic_split(text, self._embed(), breakpoint_percentile=75.0)
+        assert " ".join(chunks).split() == text.split()
+
+    def test_semantic_explode_stage(self):
+        import pyarrow as pa
+        import ray.data
+
+        from clawrag_ray.stages.chunk_ops import semantic_chunk_explode
+
+        rows = [{"doc_id": 1, "text": "A b c. D e f. G h i."}, {"doc_id": 2, "text": "Short."}]
+        df = semantic_chunk_explode(
+            ray.data.from_arrow(pa.Table.from_pylist(rows)), concurrency=1
+        ).to_pandas()
+        assert set(df["doc_id"]) == {1, 2}
+        assert (df[df["doc_id"] == 2]["chunk_index"] == 0).all()
+
+
+class TestHashEmbedder:
+    def test_deterministic_and_normalized(self):
+        import numpy as np
+
+        from clawrag_ray.stages.embed import HashEmbedder
+
+        e = HashEmbedder(dim=16)
+        a, b = e.embed_one("hello world"), e.embed_one("hello world")
+        assert np.allclose(a, b) and abs(np.linalg.norm(a) - 1.0) < 1e-9
+        assert not np.allclose(a, e.embed_one("different text entirely"))
+
+    def test_embed_stage(self):
+        import pyarrow as pa
+        import ray.data
+
+        from clawrag_ray.stages.embed import embed_texts
+
+        ds = ray.data.from_arrow(pa.table({"doc_id": [1, 2], "text": ["a b", "c d"]}))
+        df = embed_texts(ds, dim=8, concurrency=1).to_pandas()
+        assert all(len(v) == 8 for v in df["embedding"])
