@@ -67,8 +67,12 @@ def main(sf_dir: str) -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    only = {s for s in os.environ.get("ORACLE_ONLY", "").split(",") if s}
+    skip = {s for s in os.environ.get("ORACLE_SKIP", "").split(",") if s}
     failures = 0
     for name, fn in qs.items():
+        if (only and name not in only) or name in skip:
+            continue
         t0 = time.time()
         try:
             got = to_pandas(fn(sf_dir))
