@@ -191,6 +191,22 @@ def run_resumable_extraction(
         todo = todo[:max_shards_this_run]
     kw = (chunk_size, chunk_overlap, concurrency, batch_size, actor_num_cpus)
     ran: list[int] = []
+    if concurrent_shards > 1:
+        # deadlock guard: every concurrent shard pins 2 min-size pool actors
+        # (one per branch). If those reservations would cover the whole
+        # cluster, the read tasks starve and the run hangs (observed at 4
+        # shards x 2 pools x 1 CPU on an 8-CPU node). Shrink actor CPUs
+        # first, then shard concurrency, to keep >= 2 CPUs free for reads.
+        import ray
+
+        cluster_cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        acpu = actor_num_cpus or 1.0
+        if concurrent_shards * 2 * acpu >= cluster_cpus - 1:
+            acpu = 0.5
+            actor_num_cpus = acpu
+        max_conc = max(1, int((cluster_cpus - 2) / (2 * acpu)))
+        concurrent_shards = min(concurrent_shards, max_conc)
+        kw = (chunk_size, chunk_overlap, concurrency, batch_size, actor_num_cpus)
     if concurrent_shards <= 1 or len(todo) <= 1:
         for shard_idx in todo:
             _run_one_shard(shard_idx, shards[shard_idx], out_dir, *kw)
