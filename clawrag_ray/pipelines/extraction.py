@@ -223,3 +223,106 @@ def write_spans(spans: Dataset, path: str, min_rows_per_file: int = 10_000) -> N
         spans.write_lance(path)
     except ImportError:
         spans.write_parquet(path, min_rows_per_file=min_rows_per_file)
+
+
+def extract_spans_dedup(
+    raw: Dataset,
+    chunk_size: int = 1000,
+    chunk_overlap: int = 200,
+    concurrency: int | tuple[int, int] = (1, 8),
+    batch_size: int = 64,
+) -> Dataset:
+    """Parse-once-per-distinct-payload variant (the dataflow replacement
+    for ClawRag's sha256-keyed Docling result cache, docling_service.py:
+    135-226 / SURVEY.md §2.4 T4): hash payloads, extract ONE representative
+    per distinct hash, then hash-join the span results back onto the full
+    (doc_id, hash) mapping.
+
+    Worth it when the corpus has real duplication (web crawls routinely
+    carry 30-50% exact dups — every duplicate's parse is saved); for
+    near-unique corpora the extra shuffle costs more than the saved
+    parses, so this is an explicit variant, not the default. Output rows
+    carry each ORIGINAL doc_id with its payload's spans — identical row
+    set to extract_spans.
+
+    Join-back mechanics: Arrow's hash join rejects nested non-key columns
+    (list<struct> spans), so the fan-out is a union + groupby(hash)
+    instead — reps extract under doc_id=payload_sha, then one group per
+    hash holds its single span row plus the (hash -> original doc_id)
+    mapping rows and emits a copy per original doc. One shuffle, and the
+    span payload moves once per DISTINCT document, not per duplicate."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from clawrag_ray.schema import SPANS_TYPE
+
+    def add_hash(b: pa.Table) -> pa.Table:
+        # hash covers kind + payload: identical payloads under different
+        # kinds must not share a parse
+        shas = [
+            hashlib.sha256(f"{k}\x00{p}".encode("utf-8", "surrogatepass")).hexdigest()
+            for k, p in zip(b["doc_kind"].to_pylist(), b["payload"].to_pylist())
+        ]
+        return b.append_column("payload_sha", pa.array(shas, pa.string()))
+
+    hashed = raw.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
+
+    # one representative per distinct payload, extracted under the HASH as
+    # its doc_id (so span rows are already keyed for the fan-out)
+    def first_per_hash(g: pa.Table) -> pa.Table:
+        one = g.slice(0, 1)
+        return one.set_column(one.schema.get_field_index("doc_id"), "doc_id", one["payload_sha"]).drop_columns(
+            ["payload_sha"]
+        )
+
+    reps = hashed.groupby("payload_sha").map_groups(first_per_hash, batch_format="pyarrow")
+    rep_spans = extract_spans(reps, chunk_size, chunk_overlap, concurrency, batch_size)
+
+    def tag_span(b: pa.Table) -> pa.Table:
+        return b.append_column("orig_doc_id", pa.nulls(b.num_rows, pa.string()))
+
+    def tag_mapping(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "doc_id": b["payload_sha"],
+                "doc_kind": pa.nulls(n, pa.string()),
+                "route": pa.nulls(n, pa.string()),
+                "error_code": pa.nulls(n, pa.string()),
+                "n_spans": pa.nulls(n, pa.int32()),
+                "spans": pa.nulls(n, SPANS_TYPE),
+                "orig_doc_id": b["doc_id"],
+            }
+        )
+
+    spans_side = rep_spans.map_batches(tag_span, batch_format="pyarrow", zero_copy_batch=True)
+    mapping_side = hashed.select_columns(["doc_id", "payload_sha"]).map_batches(
+        tag_mapping, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def fan_out(g: pa.Table) -> pa.Table:
+        mask = pa.compute.is_valid(g["orig_doc_id"])
+        docs = g.filter(mask)
+        span_row = g.filter(pa.compute.invert(mask)).slice(0, 1)
+        n = docs.num_rows
+        if n == 0 or span_row.num_rows == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], t) for t in (pa.string(), pa.string(), pa.string(), pa.string(), pa.int32())]
+                + [pa.nulls(0, SPANS_TYPE)],
+                names=["doc_id", "doc_kind", "route", "error_code", "n_spans", "spans"],
+            )
+        rep = {c: span_row[c] for c in ("doc_kind", "route", "error_code", "n_spans", "spans")}
+        idx = pa.array([0] * n, pa.int32())
+        return pa.table(
+            {
+                "doc_id": docs["orig_doc_id"],
+                "doc_kind": rep["doc_kind"].take(idx),
+                "route": rep["route"].take(idx),
+                "error_code": rep["error_code"].take(idx),
+                "n_spans": rep["n_spans"].take(idx),
+                "spans": rep["spans"].take(idx),
+            }
+        )
+
+    return spans_side.union(mapping_side).groupby("doc_id").map_groups(fan_out, batch_format="pyarrow")

@@ -102,3 +102,30 @@ def test_nested_schema(pipeline_result):
 def test_raw_schema_matches_contract():
     t = corpus_table(SEED, 5)
     assert t.schema.equals(RAW_DOC_SCHEMA)
+
+
+def test_dedup_parse_variant_matches_base():
+    """extract_spans_dedup (parse once per distinct payload, fan out via
+    union+groupby) must emit exactly the same (doc_id -> spans) set as the
+    base pipeline on a heavily-duplicated corpus."""
+    import ray.data
+
+    from clawrag_ray.corpus import corpus_table
+    from clawrag_ray.pipelines.extraction import extract_spans, extract_spans_dedup
+
+    tbl = corpus_table(11, 200, dup_every=4)
+
+    def canon(df):
+        return {
+            r.doc_id: (
+                r.error_code,
+                tuple((s["kind"], s["text"], s["media_ref"]) for s in sorted(r.spans, key=lambda s: s["offset"])),
+            )
+            for r in df.itertuples(index=False)
+        }
+
+    base = canon(extract_spans(ray.data.from_arrow(tbl).repartition(4), concurrency=1, batch_size=32).to_pandas())
+    dedup = canon(
+        extract_spans_dedup(ray.data.from_arrow(tbl).repartition(4), concurrency=1, batch_size=32).to_pandas()
+    )
+    assert base == dedup and len(base) == 200
