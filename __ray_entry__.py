@@ -407,11 +407,7 @@ def _q_doc_embedding_near_dups(sf_dir: str):
     return embedding_near_dup_pairs(vecs, threshold=0.95)
 
 
-def _q_extract_spans_text(sf_dir: str):
-    from clawrag_ray.pipelines.extraction import extract_spans
-
-    spans = extract_spans(_docs_as_raw(sf_dir), concurrency=(1, 4), batch_size=64)
-
+def _flatten_spans(spans):
     def flatten(batch: pa.Table) -> pa.Table:
         ids, texts = [], []
         for doc_id, sp in zip(batch["doc_id"].to_pylist(), batch["spans"].to_pylist()):
@@ -421,6 +417,20 @@ def _q_extract_spans_text(sf_dir: str):
         return pa.table({"doc_id": pa.array(ids, pa.string()), "span_text": pa.array(texts, pa.string())})
 
     return spans.map_batches(flatten, batch_format="pyarrow")
+
+
+def _q_extract_spans_text(sf_dir: str):
+    from clawrag_ray.pipelines.extraction import extract_spans
+
+    return _flatten_spans(extract_spans(_docs_as_raw(sf_dir), concurrency=(1, 4), batch_size=64))
+
+
+def _q_extract_spans_dedup_text(sf_dir: str):
+    """Parse-once-per-distinct-payload pipeline — must produce the exact
+    same per-doc span text as the base pipeline (same oracle SQL)."""
+    from clawrag_ray.pipelines.extraction import extract_spans_dedup
+
+    return _flatten_spans(extract_spans_dedup(_docs_as_raw(sf_dir), concurrency=(1, 4), batch_size=64))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -459,6 +469,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_chunks": _q_semantic_chunks,
         "doc_embedding_near_dups": _q_doc_embedding_near_dups,
         "extract_spans_text": _q_extract_spans_text,
+        "extract_spans_dedup_text": _q_extract_spans_dedup_text,
     }
 
 
@@ -613,6 +624,10 @@ def oracle_sql() -> dict[str, str]:
             "WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5"
         ),
         "extract_spans_text": (
+            "SELECT CAST(doc_id AS VARCHAR) AS doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS span_text "
+            "FROM documents WHERE length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) > 0"
+        ),
+        "extract_spans_dedup_text": (
             "SELECT CAST(doc_id AS VARCHAR) AS doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS span_text "
             "FROM documents WHERE length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) > 0"
         ),
