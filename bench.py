@@ -20,7 +20,8 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-DOCS_PER_SF = 40_000  # sf0.1 -> 4000 synthetic interleaved docs
+DOCS_PER_SF = 160_000  # sf0.1 -> 16000 synthetic interleaved docs (big
+# enough that the ~4-5 s pipeline spin-up doesn't dominate the docs/sec)
 BENCH_SEED = 42
 # scaling mode: compute must dominate fixed overhead for the efficiency
 # number to mean anything, so it uses a larger corpus + a warmup pass
