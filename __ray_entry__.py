@@ -211,6 +211,9 @@ def _q_asof_latest_order(sf_dir: str):
         left_ts="ts",
         right_ts="o_orderdate",
         right_value_cols=["o_orderkey", "o_totalprice"],
+        # deterministic winner among orders tied on (custkey, orderdate);
+        # mirrored in the oracle's QUALIFY pre-dedup
+        right_tiebreak="o_orderkey",
     )
 
     # inner semantics for the oracle: drop events with no prior order
@@ -572,8 +575,12 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY o_orderpriority"
         ),
         "asof_latest_order": (
+            # right side pre-deduped to one row per (key, ts) — greatest
+            # o_orderkey wins, matching asof_join(right_tiebreak="o_orderkey")
+            "WITH o1 AS (SELECT * FROM orders QUALIFY row_number() OVER "
+            "(PARTITION BY o_custkey, o_orderdate ORDER BY o_orderkey DESC) = 1) "
             "SELECT e.event_id, o.o_orderkey, o.o_totalprice FROM events e "
-            "ASOF JOIN orders o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate"
+            "ASOF JOIN o1 o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate"
         ),
         "value_quantiles": (
             "SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50, "

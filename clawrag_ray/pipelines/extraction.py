@@ -258,11 +258,12 @@ def extract_spans_dedup(
     from clawrag_ray.schema import SPANS_TYPE
 
     def add_hash(b: pa.Table) -> pa.Table:
-        # hash covers kind + payload: identical payloads under different
-        # kinds must not share a parse
+        # hash covers kind + n_pages + payload: extraction routing reads
+        # n_pages (mega split), so two docs with identical kind+payload but
+        # different n_pages must not share a representative's parse
         shas = [
-            hashlib.sha256(f"{k}\x00{p}".encode("utf-8", "surrogatepass")).hexdigest()
-            for k, p in zip(b["doc_kind"].to_pylist(), b["payload"].to_pylist())
+            hashlib.sha256(f"{k}\x00{n}\x00{p}".encode("utf-8", "surrogatepass")).hexdigest()
+            for k, n, p in zip(b["doc_kind"].to_pylist(), b["n_pages"].to_pylist(), b["payload"].to_pylist())
         ]
         return b.append_column("payload_sha", pa.array(shas, pa.string()))
 

@@ -210,17 +210,26 @@ def asof_join(
     left_ts: str,
     right_ts: str,
     right_value_cols: list[str],
+    right_tiebreak: str | None = None,
 ) -> Dataset:
     """As-of join (Ray Data has no native one — task-level custom operator):
     for each left row, attach the LATEST right row of the same ``by`` key
     with ``right_ts`` <= ``left_ts``; right columns are null when no such
     row exists.
 
+    ``right_tiebreak``: when several right rows share (key, ts), the row
+    with the GREATEST tiebreak value wins — without it the winner would be
+    whichever tied row the shuffle delivered last (nondeterministic).
+    Matched rows take the winning right row's ACTUAL values (a legitimate
+    null right value propagates as null; the fill is by row index, not by
+    value).
+
     Implementation: tag both sides, union, groupby(key), per-group sort by
-    (ts, side) and vectorized forward-fill of the right-side values — one
-    shuffle, no per-row search. Partitioning assumption: all rows of one
-    key fit in one group task (salt + two-phase merge would lift this for
-    pathological keys)."""
+    (ts, side, tiebreak) and vectorized forward-fill of the winning right
+    ROW INDEX — one shuffle, no per-row search. Partitioning assumption:
+    all rows of one key fit in one group task (salt + two-phase merge
+    would lift this for pathological keys)."""
+    import numpy as np
     left_schema = left.schema()
     left_cols = list(left_schema.names)
     left_only = [c for c in left_cols if c not in (by, left_ts)]
@@ -239,6 +248,8 @@ def asof_join(
             cols[c] = pa.nulls(n, right_types[c])
         return pa.table(cols)
 
+    tb_cols = [right_tiebreak] if right_tiebreak and right_tiebreak not in right_value_cols else []
+
     def tag_right(b: pa.Table) -> pa.Table:
         n = b.num_rows
         cols = {"__key": b[right_by], "__ts": b[right_ts], "__side": pa.array([0] * n, pa.int8())}
@@ -246,20 +257,41 @@ def asof_join(
             cols[c] = pa.nulls(n, left_only_types[c])
         for c in right_value_cols:
             cols[c] = b[c]
+        if right_tiebreak:
+            cols["__tb"] = b[right_tiebreak]
         return pa.table(cols)
 
-    lt = left.map_batches(tag_left, batch_format="pyarrow", zero_copy_batch=True)
-    rt = right.select_columns([right_by, right_ts] + right_value_cols).map_batches(
+    if right_tiebreak:
+
+        def tag_left_tb(b: pa.Table) -> pa.Table:
+            t = tag_left(b)
+            return t.append_column("__tb", pa.nulls(t.num_rows, right_schema.base_schema.field(right_tiebreak).type))
+
+        lt = left.map_batches(tag_left_tb, batch_format="pyarrow", zero_copy_batch=True)
+    else:
+        lt = left.map_batches(tag_left, batch_format="pyarrow", zero_copy_batch=True)
+    rt = right.select_columns([right_by, right_ts] + right_value_cols + tb_cols).map_batches(
         tag_right, batch_format="pyarrow", zero_copy_batch=True
     )
 
     def per_key(g: pd.DataFrame) -> pd.DataFrame:
         # right rows (side 0) sort before left rows at equal ts -> a right
-        # row at exactly left_ts matches (<= semantics, DuckDB ASOF parity)
-        g = g.sort_values(["__ts", "__side"], kind="mergesort").reset_index(drop=True)
+        # row at exactly left_ts matches (<= semantics, DuckDB ASOF parity).
+        # Among right rows tied on ts, ascending tiebreak puts the greatest
+        # value LAST -> the index-ffill below picks it deterministically.
+        sort_cols = ["__ts", "__side"] + (["__tb"] if right_tiebreak else [])
+        g = g.sort_values(sort_cols, kind="mergesort").reset_index(drop=True)
+        is_right = (g["__side"] == 0).to_numpy()
+        # forward-fill the winning right ROW INDEX, then gather values by
+        # index — a matched row's legitimately-null right value stays null
+        ridx = pd.Series(np.where(is_right, np.arange(len(g)), np.nan)).ffill()
+        out = g[g["__side"] == 1].copy()
+        pos = ridx[~is_right]
+        matched = pos.notna().to_numpy()
+        gather = pos.fillna(0).astype(int).to_numpy()
         for col in right_value_cols:
-            g[col] = g[col].where(g["__side"] == 0).ffill()
-        out = g[g["__side"] == 1]
+            vals = g[col].to_numpy()[gather]
+            out[col] = pd.Series(vals, index=out.index).where(matched)
         keep = ["__key", "__ts"] + left_only + right_value_cols
         out = out[keep].rename(columns={"__key": by, "__ts": left_ts})
         # the side-union floats integer columns (NaN padding); restore
@@ -282,7 +314,8 @@ def grouped_quantiles(
     schema."""
     import numpy as np
 
-    qcols = [f"p{int(q * 100)}" for q in quantiles]
+    # round() not int(): int truncates float artifacts (q=0.29 -> 28.999 -> 'p28')
+    qcols = [f"p{int(round(q * 100))}" for q in quantiles]
 
     def per_group(g: pd.DataFrame) -> pd.DataFrame:
         vals = g[value_col].to_numpy(dtype=float)
@@ -346,8 +379,13 @@ def hopping_window(
     hop_us = hop_minutes * 60 * 1_000_000
 
     def explode(b: pa.Table) -> pa.Table:
+        import numpy as np
+
         ts = pc.cast(b[ts_col], pa.int64())  # microseconds since epoch
-        base = pc.multiply(pc.divide(ts, hop_us), hop_us)  # int division: newest window start
+        # numpy // floors toward -inf (arrow divide truncates toward zero,
+        # which would misalign pre-epoch/negative timestamps)
+        ts_np = ts.combine_chunks().to_numpy(zero_copy_only=False) if isinstance(ts, pa.ChunkedArray) else ts.to_numpy(zero_copy_only=False)
+        base = pa.array((ts_np // hop_us) * hop_us, pa.int64())  # newest window start
         parts = []
         for i in range(n_windows):
             start = pc.subtract(base, i * hop_us)

@@ -173,6 +173,31 @@ class TestNewRelationalOps:
                        right_value_cols=["price"]).to_pandas()
         assert df["price"].tolist() == [5.0]  # <= semantics
 
+    def test_asof_join_tied_right_rows_deterministic(self):
+        from clawrag_ray.stages.relational import asof_join
+
+        left = ray.data.from_arrow(pa.table({"id": [1], "k": [7], "t": [30]}))
+        # three right rows tied on (key, ts): greatest tiebreak (rid) wins
+        right = ray.data.from_arrow(
+            pa.table({"rk": [7, 7, 7], "rt": [20, 20, 20], "rid": [3, 1, 2], "price": [30.0, 10.0, 20.0]})
+        ).repartition(3)
+        df = asof_join(left, right, by="k", right_by="rk", left_ts="t", right_ts="rt",
+                       right_value_cols=["rid", "price"], right_tiebreak="rid").to_pandas()
+        assert df["rid"].tolist() == [3] and df["price"].tolist() == [30.0]
+
+    def test_asof_join_null_right_value_propagates(self):
+        from clawrag_ray.stages.relational import asof_join
+
+        left = ray.data.from_arrow(pa.table({"id": [1], "k": [7], "t": [30]}))
+        # matched right row (rt=20) has a NULL price; the earlier row's 1.0
+        # must NOT leak into the match via value-ffill
+        right = ray.data.from_arrow(
+            pa.table({"rk": [7, 7], "rt": [5, 20], "price": pa.array([1.0, None], pa.float64())})
+        )
+        df = asof_join(left, right, by="k", right_by="rk", left_ts="t", right_ts="rt",
+                       right_value_cols=["price"]).to_pandas()
+        assert pd.isna(df["price"].iloc[0])
+
     def test_grouped_quantiles_matches_numpy(self):
         import numpy as np
 
