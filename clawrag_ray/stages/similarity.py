@@ -173,6 +173,10 @@ def kmeans_centroids(
             lambda s: pa.array(s.tolist())
         )
     )
+    # block arrival order is not deterministic across executions; sort the
+    # sample rows lexicographically so the seeded init (and therefore the
+    # whole quantizer) is a pure function of the sample SET
+    sample = sample[np.lexsort(sample.T[::-1])]
     sample = _normalize(sample)
     rng = np.random.RandomState(seed)
     centroids = sample[rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)]
