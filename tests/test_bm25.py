@@ -1,0 +1,96 @@
+"""BM25 build/scoring vs an independent single-process reference."""
+
+import math
+
+import pyarrow as pa
+import ray.data
+
+from clawrag_ray.stages.bm25 import (
+    bm25_idf_table,
+    bm25_score_reference,
+    bm25_tokenize,
+    bm25_topk,
+)
+
+CORPUS = [
+    "The contract under § 230 pays 250 EUR per month",
+    "section 230 is unrelated to §17 entirely",
+    "spark merge window value spark spark",
+    "merge merge merge window",
+    "completely unrelated words here",
+    "",
+]
+
+
+def _ds():
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(CORPUS)]
+    return ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(3)
+
+
+class TestTokenizer:
+    def test_section_rules(self):
+        # '§ 230' -> '§230' + bare number; digits of multi-digit numbers
+        toks = bm25_tokenize("Pay § 230 and 250 EUR")
+        assert "§230" in toks and "230" in toks
+        assert "250" in toks
+        # digits of 250: '2','5' ('0' skipped)
+        assert "2" in toks and "5" in toks and "0" not in toks
+
+    def test_lowercase_and_word_runs(self):
+        assert bm25_tokenize("Hello WORLD_x") == ["hello", "world_x"]
+
+    def test_single_digit_not_expanded(self):
+        assert bm25_tokenize("7") == ["7"]
+
+
+class TestIdf:
+    def test_matches_reference_math(self):
+        idf = bm25_idf_table(_ds())
+        n = len(CORPUS)
+        df = {}
+        for t in CORPUS:
+            for tok in set(bm25_tokenize(t)):
+                df[tok] = df.get(tok, 0) + 1
+        raw = {t: math.log(n - d + 0.5) - math.log(d + 0.5) for t, d in df.items()}
+        eps = 0.25 * sum(raw.values()) / len(raw)
+        want = {t: (eps if v < 0 else v) for t, v in raw.items()}
+        got = dict(zip(idf["token"], idf["idf"]))
+        assert set(got) == set(want)
+        for t in want:
+            assert abs(got[t] - want[t]) < 1e-5, t
+        got_df = dict(zip(idf["token"], idf["df"]))
+        assert got_df == df
+
+    def test_negative_idf_floored(self):
+        # a token in most docs goes negative and is replaced by
+        # eps = 0.25 * avg(raw idf) — which rank_bm25 allows to be negative
+        # itself; the invariant is exact equality with that floor value
+        rows = [{"doc_id": i, "text": "common word"} for i in range(9)] + [
+            {"doc_id": 9, "text": "rare"}
+        ]
+        ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+        idf = bm25_idf_table(ds)
+        common = float(idf.loc[idf["token"] == "common", "idf"].iloc[0])
+        rare = float(idf.loc[idf["token"] == "rare", "idf"].iloc[0])
+        raw_common = math.log(10 - 9 + 0.5) - math.log(9 + 0.5)
+        raw_rare = math.log(10 - 1 + 0.5) - math.log(1 + 0.5)
+        eps = 0.25 * (2 * raw_common + raw_rare) / 3
+        assert abs(rare - raw_rare) < 1e-5
+        assert abs(common - eps) < 1e-5  # floored, not raw
+        assert common > raw_common
+
+
+class TestTopK:
+    def test_scores_match_reference(self):
+        got = bm25_topk(_ds(), "spark merge window", k=6)
+        ref = bm25_score_reference(CORPUS, "spark merge window")
+        ranked = sorted(range(len(CORPUS)), key=lambda i: (-round(ref[i], 6), i))
+        assert got["doc_id"].tolist() == ranked
+        for doc_id, score in zip(got["doc_id"], got["score"]):
+            assert abs(score - ref[doc_id]) < 1e-5
+
+    def test_query_with_section_token(self):
+        got = bm25_topk(_ds(), "§ 230", k=2)
+        # docs 0 and 1 both contain '230'; doc 0 also matches '§230'
+        assert got["doc_id"].iloc[0] == 0
+        assert set(got["doc_id"]) == {0, 1}

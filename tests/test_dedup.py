@@ -118,3 +118,58 @@ class TestJaccardAllPairs:
         # <k words fall back to one joined shingle; empty text -> {''}
         assert _shingle_strings("one two", 3) == frozenset(["one two"])
         assert _shingle_strings("", 3) == frozenset([""])
+
+    def test_pruned_path_equals_brute_force(self):
+        """The LSH-pruned jaccard path must reproduce the exact all-pairs
+        result (the property its DuckDB oracle relies on)."""
+        import itertools
+
+        from clawrag_ray.stages.dedup import _shingle_strings, jaccard_near_dup_pairs
+
+        texts = {}
+        words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+        for i in range(30):
+            # overlapping sliding vocabularies create a range of jaccards
+            start = i % 6
+            texts[i] = " ".join(words[start : start + 5] * 3)
+        ds = ray.data.from_arrow(
+            pa.Table.from_pylist([{"doc_id": i, "text": t} for i, t in texts.items()])
+        ).repartition(4)
+        got = jaccard_near_dup_pairs(ds, threshold=0.5)
+        have = sorted(zip(got["doc_a"], got["doc_b"], got["jaccard"]))
+        want = []
+        for a, b in itertools.combinations(sorted(texts), 2):
+            sa, sb = _shingle_strings(texts[a], 3), _shingle_strings(texts[b], 3)
+            j = len(sa & sb) / len(sa | sb)
+            if j >= 0.5:
+                want.append((a, b, round(j, 6)))
+        assert have == sorted(want)
+        assert len(want) > 10  # fixture actually exercises the path
+
+
+class TestSimHashPairs:
+    def test_pairs_equal_brute_force(self):
+        import itertools
+
+        from clawrag_ray.stages.dedup import simhash_near_dup_pairs
+
+        texts = [BASE, NEAR, FAR, BASE + " extra", NEAR + " words appended here"]
+        rows = [{"doc_id": i, "text": t} for i, t in enumerate(texts * 2)]
+        for r in rows[5:]:
+            r["doc_id"] += 5
+        ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(3)
+        got = simhash_near_dup_pairs(ds, max_hamming=6)
+        sh = simhash_table(ds).to_pandas().set_index("doc_id")["simhash"].to_dict()
+        want = sorted(
+            (a, b, hamming_distance(sh[a], sh[b]))
+            for a, b in itertools.combinations(sorted(sh), 2)
+            if hamming_distance(sh[a], sh[b]) <= 6
+        )
+        assert sorted(zip(got["doc_a"], got["doc_b"], got["hamming"])) == want
+        assert want  # identical docs pair at hamming 0
+
+    def test_max_hamming_must_fit_bands(self):
+        from clawrag_ray.stages.dedup import simhash_near_dup_pairs
+
+        with pytest.raises(ValueError):
+            simhash_near_dup_pairs(_docs_ds(), max_hamming=8, n_bands=8)

@@ -1,0 +1,86 @@
+"""Real container parsers (PNG/TIFF/JPEG-EXIF/WAV) over deterministic
+fixture bytes, plus the Ray actor-pool metadata stages (S10 de-stubbed)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from clawrag_ray.functions.mediafixtures import (
+    encode_jpeg_with_exif,
+    encode_png,
+    encode_tiff,
+    encode_wav,
+)
+from clawrag_ray.stages.multimodal import (
+    audio_metadata_pipeline,
+    image_metadata_pipeline,
+    parse_image_metadata,
+    parse_wav_metadata,
+)
+
+
+class TestImageParsers:
+    def test_png_ihdr(self):
+        m = parse_image_metadata(encode_png(13, 9, seed=4))
+        assert m == {"format": "png", "width": 13, "height": 9, "make": "", "model": "", "orientation": -1}
+
+    def test_tiff_ifd_with_outofline_ascii(self):
+        m = parse_image_metadata(encode_tiff(20, 11, "clawrag", "model-Y9", 5))
+        assert (m["format"], m["width"], m["height"]) == ("tiff", 20, 11)
+        assert (m["make"], m["model"], m["orientation"]) == ("clawrag", "model-Y9", 5)
+
+    def test_tiff_inline_ascii(self):
+        m = parse_image_metadata(encode_tiff(5, 6, "abc", "x", 1))
+        assert m["make"] == "abc" and m["model"] == "x"
+
+    def test_jpeg_segments_and_exif(self):
+        m = parse_image_metadata(encode_jpeg_with_exif(17, 23, "clawrag", "m6", 2))
+        assert m == {"format": "jpeg", "width": 17, "height": 23, "make": "clawrag", "model": "m6", "orientation": 2}
+
+    @pytest.mark.parametrize("payload", [b"", b"garbage", b"\x89PNGbroken", b"\xff\xd8\x00\x00\x00\x00"])
+    def test_corrupt_raises(self, payload):
+        with pytest.raises(ValueError):
+            parse_image_metadata(payload)
+
+
+class TestWavParser:
+    def test_header_and_pcm(self):
+        w = parse_wav_metadata(encode_wav(16000, 2, 100, lambda i: i - 50))
+        assert (w["sample_rate"], w["channels"], w["bits"], w["n_frames"]) == (16000, 2, 16, 100)
+        assert w["duration_ms"] == 100 * 1000 // 16000
+        pcm = np.frombuffer(w["pcm"], dtype="<i2")
+        assert len(pcm) == 200 and pcm[0] == -50 and pcm[199] == 149
+
+    def test_not_riff_raises(self):
+        with pytest.raises(ValueError):
+            parse_wav_metadata(b"OggS but not riff")
+
+
+class TestStages:
+    def test_image_metadata_stage_mixed_formats_and_errors(self):
+        rows = [
+            {"media_id": "a", "payload": encode_png(10, 12)},
+            {"media_id": "b", "payload": encode_tiff(9, 9, "mk", "md", 3)},
+            {"media_id": "c", "payload": encode_jpeg_with_exif(4, 5, "mk", "md", 7)},
+            {"media_id": "d", "payload": b"corrupt"},
+        ]
+        ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(2)
+        got = image_metadata_pipeline(ds, concurrency=1).to_pandas().set_index("media_id")
+        assert got.loc["a", "format"] == "png" and got.loc["a", "width"] == 10
+        assert got.loc["b", "exif_model"] == "md" and got.loc["b", "exif_orientation"] == 3
+        assert got.loc["c", "format"] == "jpeg" and got.loc["c", "height"] == 5
+        assert got.loc["d", "format"] == "error" and got.loc["d", "width"] == -1
+
+    def test_audio_metadata_stage(self):
+        rows = [
+            {"media_id": "x", "payload": encode_wav(8000, 1, 40, lambda i: 100)},
+            {"media_id": "bad", "payload": b"nope"},
+        ]
+        ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+        got = audio_metadata_pipeline(ds, concurrency=1).to_pandas().set_index("media_id")
+        assert got.loc["x", "sample_rate"] == 8000
+        assert got.loc["x", "n_samples"] == 40
+        assert got.loc["x", "sum_sq"] == 40 * 100 * 100
+        assert got.loc["x", "rms"] == 100.0
+        assert got.loc["bad", "sample_rate"] == -1

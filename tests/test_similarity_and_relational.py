@@ -63,6 +63,33 @@ class TestSimilarity:
         pairs = embedding_near_dup_pairs(ds, threshold=0.99, concurrency=1)
         assert [(0, 199)] == list(zip(pairs["vec_a"], pairs["vec_b"]))
 
+    def test_tile_sweep_matches_numpy_all_pairs(self):
+        ds, vecs = _emb_ds()
+        got = embedding_near_dup_pairs(ds, threshold=0.5, num_blocks=5)
+        # embeddings are float32 in the table; mirror that precision
+        norm32 = (vecs.astype(np.float32)).astype(np.float64)
+        norm32 = norm32 / np.linalg.norm(norm32, axis=1, keepdims=True)
+        sims = norm32 @ norm32.T
+        want = sorted(
+            (a, b, round(float(sims[a, b]), 6))
+            for a in range(len(vecs))
+            for b in range(a + 1, len(vecs))
+            if sims[a, b] >= 0.5
+        )
+        assert sorted(zip(got["vec_a"], got["vec_b"], got["cosine"])) == want
+        assert len(want) >= 1
+
+    def test_lsh_pairs_subset_of_exact_and_finds_planted(self):
+        from clawrag_ray.stages.similarity import embedding_near_dup_pairs_lsh
+
+        ds, _ = _emb_ds()
+        exact = embedding_near_dup_pairs(ds, threshold=0.9)
+        lsh = embedding_near_dup_pairs_lsh(ds, threshold=0.9)
+        exact_pairs = set(zip(exact["vec_a"], exact["vec_b"]))
+        lsh_pairs = set(zip(lsh["vec_a"], lsh["vec_b"]))
+        assert lsh_pairs <= exact_pairs  # verification is exact -> never extra
+        assert (0, 199) in lsh_pairs  # planted near-dup survives pruning
+
 
 def _events_ds():
     rows = []
@@ -110,6 +137,105 @@ class TestRelational:
         ds = ray.data.from_pandas(pd.DataFrame({"a": list(range(100))})).repartition(5)
         got = top_k(ds, "a", 3).to_pandas()
         assert got["a"].tolist() == [99, 98, 97]
+
+
+class TestHotKeyVariants:
+    """Two-phase variants for keys whose rows exceed one group task: one
+    pathological key holds the bulk of the rows, spread over many blocks,
+    and the salted/bucketed output must equal the single-phase output."""
+
+    def test_top_n_per_group_salted(self):
+        from clawrag_ray.stages.relational import top_n_per_group
+
+        rng = np.random.RandomState(3)
+        df = pd.DataFrame(
+            {
+                "k": [1] * 5000 + [2] * 20,
+                "v": np.concatenate([rng.permutation(5000), rng.permutation(20)]).astype("int64"),
+                "id": np.arange(5020, dtype="int64"),
+            }
+        )
+        ds = ray.data.from_pandas(df).repartition(8)
+        plain = top_n_per_group(ds, ["k"], "v", 5, tiebreak_col="id").to_pandas()
+        salted = top_n_per_group(ds, ["k"], "v", 5, tiebreak_col="id", salt=16).to_pandas()
+        key = lambda d: sorted(zip(d["k"], d["v"], d["id"]))  # noqa: E731
+        assert key(plain) == key(salted)
+        assert len(salted) == 10
+
+    def test_sessionize_bucketed_equals_plain(self):
+        from clawrag_ray.stages.relational import sessionize, sessionize_bucketed
+
+        rng = np.random.RandomState(7)
+        base = pd.Timestamp("2024-01-01")
+        rows = []
+        t = base
+        # one hot user with ~3000 events across days incl. cross-bucket gaps
+        for _ in range(3000):
+            t = t + pd.Timedelta(minutes=int(rng.choice([1, 2, 5, 50], p=[0.5, 0.3, 0.1, 0.1])))
+            rows.append({"user_id": 1, "ts": t})
+        for i in range(10):
+            rows.append({"user_id": 2, "ts": base + pd.Timedelta(hours=i * 2)})
+        ds = ray.data.from_pandas(pd.DataFrame(rows)).repartition(6)
+        plain = sessionize(ds, gap_minutes=30).to_pandas().set_index("user_id").sort_index()
+        buck = (
+            sessionize_bucketed(ds, gap_minutes=30, bucket_hours=6.0)
+            .to_pandas()
+            .set_index("user_id")
+            .sort_index()
+        )
+        pd.testing.assert_frame_equal(plain, buck, check_like=True)
+
+    def test_sessionize_bucketed_session_spans_buckets(self):
+        from clawrag_ray.stages.relational import sessionize_bucketed
+
+        # events every 10 min straddling a bucket edge -> ONE session
+        rows = [
+            {"user_id": 9, "ts": pd.Timestamp("2024-01-01 05:40") + pd.Timedelta(minutes=10 * i)}
+            for i in range(6)
+        ]
+        ds = ray.data.from_pandas(pd.DataFrame(rows))
+        got = sessionize_bucketed(ds, gap_minutes=30, bucket_hours=1.0).to_pandas()
+        assert got["n_sessions"].iloc[0] == 1
+        assert got["longest_session_events"].iloc[0] == 6
+
+    def test_asof_join_bucketed_equals_plain(self):
+        from clawrag_ray.stages.relational import asof_join
+
+        rng = np.random.RandomState(11)
+        base = pd.Timestamp("2024-01-01")
+        left = pd.DataFrame(
+            {
+                "event_id": np.arange(2000, dtype="int64"),
+                "user_id": np.concatenate([np.full(1900, 1), rng.randint(2, 5, 100)]).astype("int64"),
+                "ts": [base + pd.Timedelta(minutes=int(m)) for m in rng.randint(0, 50000, 2000)],
+            }
+        )
+        right = pd.DataFrame(
+            {
+                "o_custkey": np.concatenate([np.full(300, 1), rng.randint(2, 5, 50)]).astype("int64"),
+                "o_ts": [base + pd.Timedelta(minutes=int(m)) for m in rng.randint(0, 50000, 350)],
+                "o_id": np.arange(350, dtype="int64"),
+                "o_val": rng.randint(0, 1000, 350).astype("int64"),
+            }
+        )
+        lds = ray.data.from_pandas(left).repartition(7)
+        rds = ray.data.from_pandas(right).repartition(3)
+        kw = dict(
+            by="user_id",
+            right_by="o_custkey",
+            left_ts="ts",
+            right_ts="o_ts",
+            right_value_cols=["o_id", "o_val"],
+            right_tiebreak="o_id",
+        )
+        plain = asof_join(lds, rds, **kw).to_pandas()
+        bucketed = asof_join(lds, rds, ts_bucket_us=3_600_000_000, **kw).to_pandas()
+        key = lambda d: sorted(  # noqa: E731
+            (int(e), None if pd.isna(i) else int(i), None if pd.isna(v) else int(v))
+            for e, i, v in zip(d["event_id"], d["o_id"], d["o_val"])
+        )
+        assert key(plain) == key(bucketed)
+        assert len(bucketed) == 2000
 
 
 class TestIVF:
