@@ -142,15 +142,17 @@ def run_sharded(n_docs: int) -> tuple[float, int]:
     path = ensure_corpus(n_docs)
     # data partitioning (n_shards) is FIXED — independent of cluster size,
     # like real partitioned input; only the stream count scales with the
-    # cluster. 2 waves per stream at the top level load-balances stragglers.
+    # cluster (the 4N-node cluster runs 4x the shard streams).
     streams = max(1, NUM_CPUS // 8)
     t0 = time.time()
     summary = run_resumable_extraction(
         path,
         out,
-        n_shards=8,
+        n_shards=4,
         concurrent_shards=streams,
         concurrency=(1, 16),
+        batch_size=None,
+        actor_num_cpus=0.5,
     )
     wall = time.time() - t0
     assert summary["complete"], summary
@@ -180,6 +182,28 @@ def run_queries(sf_dir: str) -> dict[str, float]:
                 pass
         times[name] = round(time.time() - t0, 3)
     return times
+
+
+def ann_recalls(sf_dir: str) -> dict[str, float]:
+    """Recall of the approximate ANN paths vs the exact brute-force top-k —
+    the quantitative stand-in for an oracle on queries that are approximate
+    BY DESIGN (ann_lsh_topk / ann_ivf_topk)."""
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    exact = qs["ann_topk"](sf_dir)
+    want = {
+        qid: set(g["vec_id"]) for qid, g in exact.groupby("query_id")
+    }
+    out: dict[str, float] = {}
+    for name in ("ann_lsh_topk", "ann_ivf_topk"):
+        approx = qs[name](sf_dir)
+        hits = total = 0
+        for qid, g in approx.groupby("query_id"):
+            hits += len(set(g["vec_id"]) & want.get(qid, set()))
+            total += len(want.get(qid, set()))
+        out[f"recall_{name}"] = round(hits / total, 4) if total else 0.0
+    return out
 
 
 def main() -> None:
@@ -238,6 +262,8 @@ def main() -> None:
     }
     if null_s is not None:
         result["extraction_null_s"] = round(null_s, 3)
+    if not EXTRACT_ONLY:
+        result.update(ann_recalls(SF_DIR))
     ray.shutdown()
     print(json.dumps(result))
 

@@ -109,34 +109,73 @@ def _run_one_shard(
 ) -> None:
     import ray.data
 
-    from clawrag_ray.pipelines.extraction import extract_spans
+    from clawrag_ray.pipelines.extraction import _inline_branch, _mega_branch, extract_spans
 
     t0 = time.time()
-    raw = ray.data.read_parquet(shard_files)
-    spans = extract_spans(
-        raw,
-        chunk_size=chunk_size,
-        chunk_overlap=chunk_overlap,
-        concurrency=concurrency,
-        batch_size=batch_size,
-        actor_num_cpus=actor_num_cpus,
-    )
+    # route-partitioned corpora (write_corpus default layout) keep the 1x-
+    # scan shape per shard: inline files feed the inline branch directly and
+    # mega files the explode/reassemble branch — no second filtered read
+    # (same trick as extract_spans_from_path, applied to the shard's file
+    # list). Unpartitioned layouts fall back to the generic filter split.
+    inline_files = [f for f in shard_files if "route_part=mega" not in f]
+    mega_files = [f for f in shard_files if "route_part=mega" in f]
+    partitioned = any("route_part=" in f for f in shard_files)
+    if partitioned:
+        parts = []
+        if inline_files:
+            raw_i = ray.data.read_parquet(
+                inline_files, override_num_blocks=max(16, 2 * len(inline_files))
+            )
+            parts.append(
+                _inline_branch(raw_i, chunk_size, chunk_overlap, concurrency, batch_size, actor_num_cpus)
+            )
+        if mega_files:
+            raw_m = ray.data.read_parquet(mega_files)
+            parts.append(
+                _mega_branch(raw_m, chunk_size, chunk_overlap, (1, 4), 1024, 16, actor_num_cpus)
+            )
+        spans = parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
+    else:
+        raw = ray.data.read_parquet(shard_files)
+        spans = extract_spans(
+            raw,
+            chunk_size=chunk_size,
+            chunk_overlap=chunk_overlap,
+            concurrency=concurrency,
+            batch_size=batch_size,
+            actor_num_cpus=actor_num_cpus,
+        )
     final_dir = os.path.join(out_dir, f"shard={shard_idx}")
     tmp_dir = os.path.join(out_dir, f"_tmp-shard-{shard_idx}")
     shutil.rmtree(tmp_dir, ignore_errors=True)
     shutil.rmtree(final_dir, ignore_errors=True)
     spans.write_parquet(tmp_dir)
     # gather lineage/metrics from the written shard (no second pass over the
-    # pipeline; vectorized arrow kernels, no python loop over spans)
-    n_docs = n_spans = n_errors = n_chars = 0
-    for f in glob.glob(os.path.join(tmp_dir, "*.parquet")):
-        t = pq.read_table(f, columns=["n_spans", "error_code", "spans"])
-        n_docs += t.num_rows
-        n_spans += pa.compute.sum(t["n_spans"]).as_py() or 0
-        n_errors += pa.compute.sum(pa.compute.not_equal(t["error_code"], "")).as_py() or 0
-        flat = t["spans"].combine_chunks().flatten()
-        if len(flat):
-            n_chars += pa.compute.sum(pa.compute.utf8_length(flat.field("text"))).as_py() or 0
+    # pipeline; vectorized arrow kernels) — one Ray task per written file so
+    # the stats pass parallelizes instead of serializing on the driver
+    import ray
+
+    @ray.remote(num_cpus=0.5)
+    def _file_stats(paths: list[str]) -> tuple[int, int, int, int]:
+        nd = ns = ne = nc = 0
+        for path in paths:
+            t = pq.read_table(path, columns=["n_spans", "error_code", "spans"])
+            nd += t.num_rows
+            ns += pa.compute.sum(t["n_spans"]).as_py() or 0
+            ne += pa.compute.sum(pa.compute.not_equal(t["error_code"], "")).as_py() or 0
+            flat = t["spans"].combine_chunks().flatten()
+            if len(flat):
+                nc += pa.compute.sum(pa.compute.utf8_length(flat.field("text"))).as_py() or 0
+        return nd, ns, ne, nc
+
+    files = sorted(glob.glob(os.path.join(tmp_dir, "*.parquet")))
+    n_tasks = min(8, max(1, len(files)))  # bounded fan-out: no worker storm
+    chunks = [files[i::n_tasks] for i in range(n_tasks)]
+    stats = ray.get([_file_stats.remote(c) for c in chunks if c])
+    n_docs = sum(s[0] for s in stats)
+    n_spans = sum(s[1] for s in stats)
+    n_errors = sum(s[2] for s in stats)
+    n_chars = sum(s[3] for s in stats)
     os.rename(tmp_dir, final_dir)  # atomic commit of shard data
     manifest = {
         "shard": shard_idx,
