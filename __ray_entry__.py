@@ -434,6 +434,49 @@ def _q_simhash_near_dups(sf_dir: str):
     return simhash_near_dup_pairs(_read(sf_dir, "documents", ["doc_id", "text"]), max_hamming=6)
 
 
+def _q_magic_validation(sf_dir: str):
+    """Magic-byte file-type validation (M6, upload.py:48-116 parity) over
+    deterministic payload/extension combos — valid matches, a renamed
+    binary, binary-in-text, and empty files; oracle predicts the verdicts."""
+    from clawrag_ray.functions.mediafixtures import encode_jpeg_with_exif, encode_png
+    from clawrag_ray.stages.routing import validate_magic_bytes
+
+    def to_files(batch: pa.Table) -> pa.Table:
+        payloads, exts = [], []
+        for d, t in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            sel = d % 6
+            if sel == 0:
+                payloads.append(b"%PDF-1.4\n" + (t or "")[:32].encode())
+                exts.append(".pdf")
+            elif sel == 1:
+                payloads.append(encode_png(8, 8, seed=d))
+                exts.append(".png")
+            elif sel == 2:  # PNG renamed to .pdf -> magic mismatch
+                payloads.append(encode_png(8, 8, seed=d))
+                exts.append(".pdf")
+            elif sel == 3:
+                payloads.append((t or "x").encode())
+                exts.append(".md")
+            elif sel == 4:  # JPEG renamed to .md -> binary in text ext
+                payloads.append(encode_jpeg_with_exif(4, 4, "m", "m", 1))
+                exts.append(".md")
+            else:  # empty file
+                payloads.append(b"")
+                exts.append(".pdf")
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "payload": pa.array(payloads, pa.binary()),
+                "extension": pa.array(exts, pa.string()),
+            }
+        )
+
+    files = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        to_files, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return validate_magic_bytes(files)
+
+
 def _q_bm25_idf(sf_dir: str):
     """Corpus-wide BM25 DF/IDF build (reference bm25_index.py:94-176) as a
     two-level grouped aggregate."""
@@ -512,6 +555,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": _q_fingerprints,
         "bm25_idf": _q_bm25_idf,
         "bm25_topk": _q_bm25_topk,
+        "magic_validation": _q_magic_validation,
         "media_features": _q_media_features,
         "audio_features": _q_audio_features,
         "frame_sample": _q_frame_sample,
@@ -789,6 +833,13 @@ def oracle_sql() -> dict[str, str]:
             "FROM p JOIN agg ON p.doc_id = agg.doc_id"
         ),
         "bm25_idf": _BM25_PRESENCE_CTE + " SELECT token, df, idf FROM idf",
+        "magic_validation": (
+            "SELECT doc_id, CASE doc_id % 6 WHEN 1 THEN '.png' WHEN 3 THEN '.md' "
+            "WHEN 4 THEN '.md' ELSE '.pdf' END AS extension, "
+            "(doc_id % 6) IN (0, 1, 3) AS valid, "
+            "CASE doc_id % 6 WHEN 2 THEN 'MAGIC_MISMATCH' WHEN 4 THEN 'BINARY_IN_TEXT' "
+            "WHEN 5 THEN 'EMPTY' ELSE '' END AS reason FROM documents"
+        ),
         "bm25_topk": (
             _BM25_PRESENCE_CTE + ", "
             "tf_base AS (SELECT doc_id, t, count(*)::BIGINT AS c FROM tok GROUP BY 1, 2), "

@@ -115,3 +115,68 @@ def recommend_strategy(ds: Dataset, size_col: str = "n_chars", ext_col: str = "e
         return batch.append_column("recommended_strategy", pa.array(out, pa.string()))
 
     return ds.map_batches(rec, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+
+
+# Magic-byte validation (SURVEY.md §2.2 M6; reference upload.py:48-116
+# FIX BUG #7): first-512-bytes magic check per claimed extension, with the
+# reference's text-extension rule (md/csv/html validate by UTF-8
+# decodability instead of magic bytes). Extended with the image/audio
+# container magics this engine's multimodal tier actually parses.
+MAGIC_BYTES: dict[str, list[bytes]] = {
+    ".pdf": [b"%PDF"],
+    ".docx": [b"PK\x03\x04"],
+    ".xlsx": [b"PK\x03\x04"],
+    ".pptx": [b"PK\x03\x04"],
+    ".png": [b"\x89PNG\r\n\x1a\n"],
+    ".jpg": [b"\xff\xd8"],
+    ".jpeg": [b"\xff\xd8"],
+    ".tiff": [b"II*\x00", b"MM\x00*"],
+    ".wav": [b"RIFF"],
+}
+TEXT_EXTENSIONS = (".md", ".csv", ".html")
+
+
+def validate_magic(header: bytes, claimed_extension: str) -> tuple[bool, str]:
+    """(valid, reason) for one header vs its claimed extension — the exact
+    decision procedure of upload.py:validate_file_type: empty fails; text
+    extensions pass iff the header decodes as UTF-8; known binary
+    extensions must start with a registered magic; unknown extensions fail
+    (nothing registered)."""
+    ext = claimed_extension.lower()
+    if not header:
+        return False, "EMPTY"
+    if ext in TEXT_EXTENSIONS:
+        try:
+            header.decode("utf-8")
+            return True, ""
+        except UnicodeDecodeError:
+            return False, "BINARY_IN_TEXT"
+    for magic in MAGIC_BYTES.get(ext, []):
+        if header.startswith(magic):
+            return True, ""
+    return False, "MAGIC_MISMATCH"
+
+
+def validate_magic_bytes(
+    ds: Dataset, payload_col: str = "payload", ext_col: str = "extension", id_col: str = "doc_id"
+) -> Dataset:
+    """Stateless batch validation: (id, extension, valid, reason) per row,
+    reading only the first 512 payload bytes (M6). Invalid rows are the
+    error side-channel the upload path would reject."""
+
+    def validate(batch: pa.Table) -> pa.Table:
+        valids, reasons = [], []
+        for payload, ext in zip(batch[payload_col].to_pylist(), batch[ext_col].to_pylist()):
+            v, r = validate_magic((payload or b"")[:512], ext or "")
+            valids.append(v)
+            reasons.append(r)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                ext_col: batch[ext_col],
+                "valid": pa.array(valids, pa.bool_()),
+                "reason": pa.array(reasons, pa.string()),
+            }
+        )
+
+    return ds.map_batches(validate, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)

@@ -84,3 +84,35 @@ class TestStages:
         assert got.loc["x", "sum_sq"] == 40 * 100 * 100
         assert got.loc["x", "rms"] == 100.0
         assert got.loc["bad", "sample_rate"] == -1
+
+
+class TestMagicValidation:
+    def test_decision_procedure(self):
+        from clawrag_ray.stages.routing import validate_magic
+
+        assert validate_magic(b"%PDF-1.7 blah", ".pdf") == (True, "")
+        assert validate_magic(b"PK\x03\x04rest", ".docx") == (True, "")
+        assert validate_magic(b"\x89PNG\r\n\x1a\nxx", ".png") == (True, "")
+        assert validate_magic(b"\x89PNG\r\n\x1a\nxx", ".pdf") == (False, "MAGIC_MISMATCH")
+        assert validate_magic(b"# heading", ".md") == (True, "")
+        assert validate_magic(b"\xff\xd8\xff", ".md") == (False, "BINARY_IN_TEXT")
+        assert validate_magic(b"", ".pdf") == (False, "EMPTY")
+        assert validate_magic(b"anything", ".exe") == (False, "MAGIC_MISMATCH")
+        # case-insensitive extension, like the reference's .lower()
+        assert validate_magic(b"%PDF", ".PDF") == (True, "")
+
+    def test_stage(self):
+        import ray.data
+
+        from clawrag_ray.stages.routing import validate_magic_bytes
+
+        rows = [
+            {"doc_id": 1, "payload": b"%PDF-1.4", "extension": ".pdf"},
+            {"doc_id": 2, "payload": b"\x89PNG\r\n\x1a\n", "extension": ".pdf"},
+            {"doc_id": 3, "payload": b"plain text", "extension": ".csv"},
+        ]
+        ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(2)
+        got = validate_magic_bytes(ds).to_pandas().set_index("doc_id")
+        assert bool(got.loc[1, "valid"]) and not bool(got.loc[2, "valid"])
+        assert got.loc[2, "reason"] == "MAGIC_MISMATCH"
+        assert bool(got.loc[3, "valid"])
