@@ -434,6 +434,39 @@ def _q_simhash_near_dups(sf_dir: str):
     return simhash_near_dup_pairs(_read(sf_dir, "documents", ["doc_id", "text"]), max_hamming=6)
 
 
+RESIZE_W, RESIZE_H = 12, 10
+
+
+def _q_media_resize(sf_dir: str):
+    """Real image resize: deterministic PNGs (pixel = (doc_id + y*31 + x*7)
+    % 256) -> full PNG decode (chunk walk + inflate + unfilter) ->
+    nearest-neighbor resample -> re-encode; the oracle recomputes the
+    resampled pixel sum from the generator formula, so a wrong unfilter,
+    index mapping, or dimension handling fails the hash."""
+    from clawrag_ray.functions.mediafixtures import encode_png
+    from clawrag_ray.stages.multimodal import ImageResize
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        ids, payloads = [], []
+        for doc_id, n_chars in zip(batch["doc_id"].to_pylist(), batch["n_chars"].to_pylist()):
+            ids.append(str(doc_id))
+            payloads.append(encode_png(8 + doc_id % 16, 8 + n_chars % 16, seed=doc_id))
+        return pa.table({"media_id": pa.array(ids, pa.string()), "payload": pa.array(payloads, pa.binary())})
+
+    media = _read(sf_dir, "documents", ["doc_id", "n_chars"]).map_batches(
+        to_media, batch_format="pyarrow", zero_copy_batch=True
+    )
+    resized = media.map_batches(
+        ImageResize,
+        fn_constructor_kwargs={"width": RESIZE_W, "height": RESIZE_H},
+        batch_format="pyarrow",
+        batch_size=16,
+        concurrency=(1, 4),
+        zero_copy_batch=True,
+    )
+    return resized.select_columns(["media_id", "width", "height", "pixel_sum"])
+
+
 def _q_magic_validation(sf_dir: str):
     """Magic-byte file-type validation (M6, upload.py:48-116 parity) over
     deterministic payload/extension combos — valid matches, a renamed
@@ -556,6 +589,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_idf": _q_bm25_idf,
         "bm25_topk": _q_bm25_topk,
         "magic_validation": _q_magic_validation,
+        "media_resize": _q_media_resize,
         "media_features": _q_media_features,
         "audio_features": _q_audio_features,
         "frame_sample": _q_frame_sample,
@@ -833,6 +867,13 @@ def oracle_sql() -> dict[str, str]:
             "FROM p JOIN agg ON p.doc_id = agg.doc_id"
         ),
         "bm25_idf": _BM25_PRESENCE_CTE + " SELECT token, df, idf FROM idf",
+        "media_resize": (
+            f"WITH p AS (SELECT doc_id, 8 + doc_id % 16 AS w, 8 + n_chars % 16 AS h FROM documents), "
+            f"px AS (SELECT doc_id, ((doc_id + ((y - 1) * h // {RESIZE_H}) * 31 + ((x - 1) * w // {RESIZE_W}) * 7) % 256) AS v "
+            f"FROM p, unnest(generate_series(1, {RESIZE_H})) AS ty(y), unnest(generate_series(1, {RESIZE_W})) AS tx(x)) "
+            f"SELECT CAST(doc_id AS VARCHAR) AS media_id, {RESIZE_W}::INTEGER AS width, "
+            f"{RESIZE_H}::INTEGER AS height, sum(v)::BIGINT AS pixel_sum FROM px GROUP BY doc_id"
+        ),
         "magic_validation": (
             "SELECT doc_id, CASE doc_id % 6 WHEN 1 THEN '.png' WHEN 3 THEN '.md' "
             "WHEN 4 THEN '.md' ELSE '.pdf' END AS extension, "

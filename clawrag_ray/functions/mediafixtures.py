@@ -43,6 +43,24 @@ def encode_png(width: int, height: int, seed: int = 0) -> bytes:
     )
 
 
+def encode_png_from_array(img) -> bytes:
+    """8-bit grayscale PNG from a (h, w) uint8 array (filter 0 rows)."""
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        body = typ + data
+        return struct.pack(">I", len(data)) + body + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+
+    height, width = img.shape
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes(img[y].tolist()) for y in range(height))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
 def _tiff_body(width: int, height: int, make: str, model: str, orientation: int) -> bytes:
     """Little-endian TIFF 6.0: header + one IFD with baseline metadata tags.
     ASCII values longer than 4 bytes are stored out-of-line per spec."""

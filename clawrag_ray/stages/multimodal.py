@@ -290,22 +290,110 @@ class ImageFeatures:
         )
 
 
+def decode_png_gray8(payload: bytes) -> np.ndarray:
+    """Real PNG decode for 8-bit grayscale images: chunk walk, zlib
+    inflate, and per-row unfiltering for all five PNG filter types
+    (None/Sub/Up/Average/Paeth — RFC 2083 §6). Returns (h, w) uint8."""
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, width, height, idat = 8, None, None, b""
+    bit_depth = color_type = None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        typ = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        if typ == b"IHDR":
+            width, height, bit_depth, color_type = struct.unpack(">IIBB", body[:10])
+        elif typ == b"IDAT":
+            idat += body
+        elif typ == b"IEND":
+            break
+        pos += 12 + length
+    if width is None:
+        raise ValueError("PNG without IHDR")
+    if bit_depth != 8 or color_type != 0:
+        raise ValueError("only 8-bit grayscale supported")
+    raw = zlib.decompress(idat)
+    stride = width + 1
+    out = np.zeros((height, width), dtype=np.int32)
+    for y in range(height):
+        row = raw[y * stride : (y + 1) * stride]
+        filt, data = row[0], np.frombuffer(row[1:], dtype=np.uint8).astype(np.int32)
+        prev = out[y - 1] if y else np.zeros(width, dtype=np.int32)
+        if filt == 0:
+            out[y] = data
+        elif filt == 1:  # Sub
+            acc = 0
+            for x in range(width):
+                acc = (data[x] + acc) & 0xFF
+                out[y, x] = acc
+        elif filt == 2:  # Up
+            out[y] = (data + prev) & 0xFF
+        elif filt == 3:  # Average
+            left = 0
+            for x in range(width):
+                left = (data[x] + (left + prev[x]) // 2) & 0xFF
+                out[y, x] = left
+        elif filt == 4:  # Paeth
+            left = 0
+            for x in range(width):
+                up = int(prev[x])
+                ul = int(prev[x - 1]) if x else 0
+                p = left + up - ul
+                pa_, pb, pc_ = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if (pa_ <= pb and pa_ <= pc_) else (up if pb <= pc_ else ul)
+                left = (data[x] + pred) & 0xFF
+                out[y, x] = left
+        else:
+            raise ValueError(f"bad PNG filter {filt}")
+    return out.astype(np.uint8)
+
+
+def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Nearest-neighbor resample (the floor-index mapping out[y,x] =
+    src[y*H//H2, x*W//W2]) — vectorized."""
+    h, w = img.shape
+    ys = (np.arange(height) * h) // height
+    xs = (np.arange(width) * w) // width
+    return img[np.ix_(ys, xs)]
+
+
 class ImageResize:
-    """Actor-pool stage: resize stub — emits (media_id, payload, width,
-    height) with the target dims recorded; payload passthrough (a real
-    implementation re-encodes)."""
+    """Actor-pool stage: REAL resize for PNG payloads — decode (chunk walk
+    + inflate + unfilter), nearest-neighbor resample, re-encode as PNG.
+    Non-PNG/corrupt payloads become error rows (width = -1), mirroring the
+    metadata stage's error contract."""
 
     def __init__(self, width: int = 224, height: int = 224):
         self.width, self.height = width, height
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
+        from clawrag_ray.functions.mediafixtures import encode_png_from_array
+
+        ids, payloads, ws, hs, sums = [], [], [], [], []
+        for mid, payload in zip(batch["media_id"].to_pylist(), batch["payload"].to_pylist()):
+            ids.append(mid)
+            try:
+                img = decode_png_gray8(payload or b"")
+                small = resize_nearest(img, self.width, self.height)
+                payloads.append(encode_png_from_array(small))
+                ws.append(self.width)
+                hs.append(self.height)
+                sums.append(int(small.astype(np.int64).sum()))
+            except ValueError:
+                payloads.append(b"")
+                ws.append(-1)
+                hs.append(-1)
+                sums.append(-1)
         return pa.table(
             {
-                "media_id": batch["media_id"],
-                "payload": batch["payload"],
-                "width": pa.array([self.width] * n, pa.int32()),
-                "height": pa.array([self.height] * n, pa.int32()),
+                "media_id": pa.array(ids, pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+                "width": pa.array(ws, pa.int32()),
+                "height": pa.array(hs, pa.int32()),
+                "pixel_sum": pa.array(sums, pa.int64()),
             }
         )
 

@@ -116,3 +116,94 @@ class TestMagicValidation:
         assert bool(got.loc[1, "valid"]) and not bool(got.loc[2, "valid"])
         assert got.loc[2, "reason"] == "MAGIC_MISMATCH"
         assert bool(got.loc[3, "valid"])
+
+
+class TestPngDecodeResize:
+    def test_roundtrip_filter0(self):
+        from clawrag_ray.functions.mediafixtures import encode_png_from_array
+        from clawrag_ray.stages.multimodal import decode_png_gray8
+
+        img = (np.arange(11 * 7, dtype=np.uint8).reshape(7, 11) * 3) % 256
+        assert (decode_png_gray8(encode_png_from_array(img)) == img).all()
+
+    def test_unfilter_all_five_types(self):
+        """Forward-filter a known image with every PNG filter type, then
+        decode — exercises Sub/Up/Average/Paeth reconstruction."""
+        import struct
+        import zlib
+
+        from clawrag_ray.stages.multimodal import decode_png_gray8
+
+        h, w = 5, 8
+        rng = np.random.RandomState(0)
+        src = rng.randint(0, 256, (h, w)).astype(np.int32)
+
+        def paeth(a, b, c):
+            p = a + b - c
+            pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+            return a if (pa_ <= pb and pa_ <= pc_) else (b if pb <= pc_ else c)
+
+        rows = []
+        for y in range(h):
+            prev = src[y - 1] if y else np.zeros(w, dtype=np.int32)
+            cur = src[y]
+            f = y % 5
+            if f == 0:
+                data = cur.copy()
+            elif f == 1:
+                data = np.array([(cur[x] - (cur[x - 1] if x else 0)) & 0xFF for x in range(w)])
+            elif f == 2:
+                data = (cur - prev) & 0xFF
+            elif f == 3:
+                data = np.array(
+                    [(cur[x] - ((cur[x - 1] if x else 0) + prev[x]) // 2) & 0xFF for x in range(w)]
+                )
+            else:
+                data = np.array(
+                    [
+                        (cur[x] - paeth((cur[x - 1] if x else 0), prev[x], (prev[x - 1] if x else 0))) & 0xFF
+                        for x in range(w)
+                    ]
+                )
+            rows.append(bytes([f]) + bytes(data.astype(np.uint8).tolist()))
+
+        def chunk(typ, data):
+            body = typ + data
+            return struct.pack(">I", len(data)) + body + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF)
+
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(b"".join(rows)))
+            + chunk(b"IEND", b"")
+        )
+        assert (decode_png_gray8(png) == src.astype(np.uint8)).all()
+
+    def test_resize_stage_real_and_error(self):
+        import ray.data
+
+        from clawrag_ray.functions.mediafixtures import encode_png
+        from clawrag_ray.stages.multimodal import ImageResize, decode_png_gray8, resize_nearest
+
+        rows = [
+            {"media_id": "a", "payload": encode_png(20, 14, seed=5)},
+            {"media_id": "bad", "payload": b"not a png"},
+        ]
+        ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+        got = (
+            ds.map_batches(
+                ImageResize,
+                fn_constructor_kwargs={"width": 6, "height": 4},
+                batch_format="pyarrow",
+                concurrency=1,
+            )
+            .to_pandas()
+            .set_index("media_id")
+        )
+        src = decode_png_gray8(encode_png(20, 14, seed=5))
+        want = resize_nearest(src, 6, 4)
+        assert got.loc["a", "pixel_sum"] == int(want.astype(np.int64).sum())
+        # output payload is itself a decodable PNG of the resized image
+        back = decode_png_gray8(got.loc["a", "payload"])
+        assert (back == want).all()
+        assert got.loc["bad", "width"] == -1
