@@ -302,9 +302,10 @@ def embedding_near_dup_pairs(
 def embedding_near_dup_pairs_lsh(
     ds: Dataset,
     threshold: float = 0.9,
-    n_tables: int = 24,
-    bits_per_table: int = 6,
+    n_tables: int = 36,
+    bits_per_table: int = 16,
     seed: int = 17,
+    max_bucket_size: int = 1024,
     concurrency=None,
 ) -> pd.DataFrame:
     """Near-dup pairs via banded random-hyperplane LSH pruning — the scale
@@ -314,9 +315,17 @@ def embedding_near_dup_pairs_lsh(
 
     Recall: two vectors at cosine t agree on one hyperplane bit with
     p = 1 - arccos(t)/pi, so a pair is missed with (1 - p^r)^L; at the
-    default r=6, L=24 and t=0.9 the miss probability is ~2e-6. Pruning
-    weakens as the threshold drops (p -> 0.5) — for thresholds below ~0.7
-    prefer the exact tile sweep (embedding_near_dup_pairs)."""
+    default r=16, L=36 and t=0.95 (p≈0.90) the miss probability is ~7e-4.
+    r is deliberately LARGE: on corpora whose vectors are correlated
+    (e.g. same-vocabulary documents, random-pair cosine ~0.57 ⇒ per-bit
+    agreement ~0.69) a short band puts most of the corpus in a handful of
+    buckets and the candidate set degenerates toward n^2 (measured: 6-bit
+    bands stalled the pair-dedup shuffle at 5k docs). ``max_bucket_size``
+    bounds the worst case regardless: oversized buckets are dropped (their
+    pairs are recovered by the other L-1 tables with high probability —
+    the standard LSH cap). Pruning still weakens as the threshold drops —
+    for thresholds below ~0.7 prefer the exact tile sweep
+    (embedding_near_dup_pairs)."""
     from ray.data.aggregate import AggregateFn, Count
 
     dim = len(ds.select_columns(["embedding"]).limit(1).to_pandas()["embedding"].iloc[0])
@@ -360,7 +369,7 @@ def embedding_near_dup_pairs_lsh(
     def bucket_pairs(batch: pa.Table) -> pa.Table:
         out_a, out_b = [], []
         for ids in batch["vec_ids"].to_pylist():
-            if len(ids) < 2:
+            if len(ids) < 2 or len(ids) > max_bucket_size:
                 continue
             ids = sorted(ids)
             for i in range(len(ids)):
