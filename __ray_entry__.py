@@ -288,7 +288,15 @@ def _q_ann_topk(sf_dir: str):
 def _q_ann_lsh(sf_dir: str):
     from clawrag_ray.stages.similarity import lsh_topk
 
-    return lsh_topk(_read(sf_dir, "embeddings", ["vec_id", "embedding"]), _ann_queries(sf_dir), k=ANN_K)
+    # 6-bit buckets probed to Hamming radius 2: ~1/3 of buckets scanned for
+    # ~0.9 recall vs exact (recall_ann_lsh_topk in the bench JSON)
+    return lsh_topk(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        _ann_queries(sf_dir),
+        k=ANN_K,
+        n_bits=6,
+        probe_hamming=2,
+    )
 
 
 def _q_embedding_near_dup(sf_dir: str):

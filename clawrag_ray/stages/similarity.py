@@ -136,14 +136,21 @@ def lsh_topk(
     """Approximate top-k: probe only buckets within Hamming distance
     ``probe_hamming`` of each query's bucket. Same output schema as
     brute_force_topk (recall < 1 by design)."""
+    from itertools import combinations
+
     bucketed = lsh_bucket_table(ds, n_bits=n_bits, seed=seed, concurrency=concurrency)
     planes = np.random.RandomState(seed).standard_normal((len(next(iter(queries.values()))), n_bits))
     probe: set[int] = set()
     for v in queries.values():
         b = int(((np.asarray(v, dtype=np.float64) @ planes) > 0) @ (1 << np.arange(n_bits)))
-        probe.add(b)
-        if probe_hamming >= 1:
-            probe.update(b ^ (1 << i) for i in range(n_bits))
+        # probe every bucket within the full Hamming radius (flip each
+        # subset of up to ``probe_hamming`` bits)
+        for r in range(probe_hamming + 1):
+            for bits in combinations(range(n_bits), r):
+                flip = 0
+                for i in bits:
+                    flip |= 1 << i
+                probe.add(b ^ flip)
 
     def keep_probed(batch: pa.Table) -> pa.Table:
         mask = pa.compute.is_in(batch["lsh_bucket"], value_set=pa.array(sorted(probe), pa.int32()))
