@@ -64,16 +64,23 @@ def exact_dedup_stats(ds: Dataset, text_col: str = "text", id_col: str = "doc_id
 def dedup_versions(ds: Dataset, text_col: str = "text", id_col: str = "doc_id") -> Dataset:
     """VERSION policy (deduplication_service.py:29-199): every copy of the
     same content gets a version number in id order; only the newest stays
-    active. Returns (doc_id, version, is_active)."""
+    active. Returns (doc_id, version, is_active).
+
+    Processes whole HASH PARTITIONS of groups (hash_partitioned_groups) so
+    the per-group work is a vectorized cumcount, not one task per distinct
+    text."""
+    from clawrag_ray.stages.relational import hash_partitioned_groups
+
     hashed = with_text_hash(ds.select_columns([id_col, text_col]), text_col)
 
-    def assign(group: pd.DataFrame) -> pd.DataFrame:
-        group = group.sort_values(id_col).reset_index(drop=True)
-        group["version"] = np.arange(1, len(group) + 1, dtype=np.int64)
-        group["is_active"] = group["version"] == len(group)
-        return group[[id_col, "version", "is_active"]]
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["text_sha256", id_col], kind="mergesort").reset_index(drop=True)
+        grp = g.groupby("text_sha256", sort=False)
+        version = (grp.cumcount() + 1).astype("int64")
+        total = grp[id_col].transform("size")
+        return pd.DataFrame({id_col: g[id_col], "version": version, "is_active": version == total})
 
-    return hashed.groupby("text_sha256").map_groups(assign, batch_format="pandas")
+    return hash_partitioned_groups(hashed, ["text_sha256"], per_part)
 
 
 # ---------------------------------------------------------------------------
