@@ -264,6 +264,56 @@ def _q_events_hopping(sf_dir: str):
     return win.map_batches(round_out, batch_format="pyarrow")
 
 
+def _q_events_after_purchase(sf_dir: str):
+    """Range (interval) join: every event of a user inside the 2-hour
+    window opened by each of that user's 'purchase' events, counted per
+    window — the bucketed interval-join operator with a DuckDB range-join
+    oracle (windows derive from the same events table, so they genuinely
+    overlap)."""
+    import pyarrow.compute as pc
+
+    from clawrag_ray.stages.relational import pre_aggregate, range_join
+
+    events = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def to_windows(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["event_type"], "purchase"))
+        start = pc.cast(b["ts"], pa.timestamp("us"))
+        end = pc.add(start, pa.scalar(2 * 3_600_000_000, pa.duration("us")))
+        return pa.table(
+            {
+                "window_id": b["event_id"],
+                "w_user": b["user_id"],
+                "w_start": start,
+                "w_end": end,
+            }
+        )
+
+    windows = events.map_batches(to_windows, batch_format="pyarrow", zero_copy_batch=True)
+    left = events.select_columns(["event_id", "user_id", "ts"])
+    j = range_join(
+        left,
+        windows,
+        left_ts="ts",
+        right_start="w_start",
+        right_end="w_end",
+        by="user_id",
+        right_by="w_user",
+        right_keep=["window_id"],
+        bucket_us=2 * 3_600_000_000,
+    )
+    return pre_aggregate(j, ["window_id"], [], count_alias="n_events")
+
+
+def _q_late_events(sf_dir: str):
+    """Watermark/late-data semantics: rows behind (max event time - delay)
+    flagged late, counted per (event_type, is_late)."""
+    from clawrag_ray.stages.relational import pre_aggregate, watermark_late_split
+
+    flagged = watermark_late_split(_read(sf_dir, "events", ["ts", "event_type"]), delay_minutes=120.0)
+    return pre_aggregate(flagged, ["event_type", "is_late"], [], count_alias="n")
+
+
 def _q_doc_sample(sf_dir: str):
     from clawrag_ray.stages.relational import deterministic_sample
 
@@ -588,6 +638,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users": _q_distinct_users,
         "top_orders_per_customer": _q_top_orders_per_customer,
         "events_hopping": _q_events_hopping,
+        "events_after_purchase": _q_events_after_purchase,
+        "late_events": _q_late_events,
         "doc_sample": _q_doc_sample,
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh,
@@ -797,6 +849,15 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT max(ts) FROM events), INTERVAL 30 MINUTE)) AS ws) "
             "SELECT ws AS window_start, event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value "
             "FROM w JOIN events e ON e.ts >= w.ws AND e.ts < w.ws + INTERVAL 60 MINUTE GROUP BY 1, 2"
+        ),
+        "events_after_purchase": (
+            "SELECT w.event_id AS window_id, count(*) AS n_events FROM events e "
+            "JOIN events w ON e.user_id = w.user_id AND w.event_type = 'purchase' "
+            "AND e.ts >= w.ts AND e.ts < w.ts + INTERVAL 2 HOUR GROUP BY w.event_id"
+        ),
+        "late_events": (
+            "WITH w AS (SELECT max(ts) - INTERVAL 120 MINUTE AS wm FROM events) "
+            "SELECT event_type, ts < wm AS is_late, count(*) AS n FROM events, w GROUP BY 1, 2"
         ),
         "doc_sample": (
             "SELECT doc_id, n_chars FROM documents "

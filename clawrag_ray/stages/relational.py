@@ -693,6 +693,127 @@ def hopping_window(
     return agg
 
 
+def range_join(
+    left: Dataset,
+    right: Dataset,
+    left_ts: str,
+    right_start: str,
+    right_end: str,
+    by: str | None = None,
+    right_by: str | None = None,
+    right_keep: list[str] | None = None,
+    bucket_us: int = 86_400_000_000,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Range (interval) join — another operator Ray Data lacks natively:
+    each left row pairs with every right row whose [start, end) interval
+    contains its timestamp (optionally also matching ``by`` == ``right_by``).
+
+    Distribution: time is cut into ``bucket_us`` buckets; left rows land in
+    their timestamp's bucket once, right INTERVALS are replicated to every
+    bucket they overlap (intervals are assumed short relative to the
+    corpus; replication factor = interval span / bucket width). A
+    hash(key, bucket) shuffle then co-locates candidates, and each
+    partition resolves the containment predicate with one vectorized
+    pandas merge — no all-pairs scan, no single giant group."""
+    import numpy as np
+
+    right_keep = right_keep or []
+
+    def bucket_of(col) -> np.ndarray:
+        arr = pc.cast(pc.cast(col, pa.timestamp("us")), pa.int64())
+        arr = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        return arr.to_numpy(zero_copy_only=False)
+
+    def tag_left(b: pa.Table) -> pa.Table:
+        ts = bucket_of(b[left_ts])
+        cols = {c: b[c] for c in b.column_names}
+        cols["__bucket"] = pa.array(ts // bucket_us, pa.int64())
+        cols["__side"] = pa.array([1] * b.num_rows, pa.int8())
+        return pa.table(cols)
+
+    def tag_right(b: pa.Table) -> pa.Table:
+        starts = bucket_of(b[right_start])
+        ends = bucket_of(b[right_end])
+        first = starts // bucket_us
+        last = np.maximum(first, (ends - 1) // bucket_us)  # end exclusive
+        idx, buckets = [], []
+        for i, (f, l) in enumerate(zip(first, last)):
+            for bk in range(f, l + 1):
+                idx.append(i)
+                buckets.append(bk)
+        taken = b.take(pa.array(idx, pa.int64()))
+        cols = {c: taken[c] for c in taken.column_names}
+        if by and right_by and right_by != by:
+            # the key must share ONE name before the union so right rows
+            # hash-partition on the key value, not on a null pad column
+            cols[by] = cols.pop(right_by)
+        cols["__bucket"] = pa.array(buckets, pa.int64())
+        cols["__side"] = pa.array([0] * len(idx), pa.int8())
+        return pa.table(cols)
+
+    lt = left.map_batches(tag_left, batch_format="pyarrow", zero_copy_batch=True)
+    rt = right.map_batches(tag_right, batch_format="pyarrow", zero_copy_batch=True)
+
+    left_cols = list(left.schema().names)
+    right_cols = [right_start, right_end] + right_keep
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        lf = g[g["__side"] == 1][left_cols + ["__bucket"]]
+        # each right interval appears exactly once per bucket and each left
+        # row lives in exactly one bucket, so the merge yields every
+        # qualifying (left, right) pair exactly once — multiset-correct
+        rf = g[g["__side"] == 0][right_cols + ([by] if by else []) + ["__bucket"]]
+        join_on = ([by] if by else []) + ["__bucket"]
+        m = lf.merge(rf, on=join_on, how="inner")
+        m = m[(m[left_ts] >= m[right_start]) & (m[left_ts] < m[right_end])]
+        m = m.drop(columns=["__bucket"])
+        # the side union NaN-pads integer columns into floats; restore
+        for c in m.columns:
+            if c in all_fields and pa.types.is_integer(all_fields[c]):
+                m[c] = m[c].astype("Int64")
+        return m
+
+    keys = ([by] if by else []) + ["__bucket"]
+    # union needs identical schemas; sides differ -> pad with typed nulls
+    l_schema = _as_arrow_schema(lt.schema())
+    r_schema = _as_arrow_schema(rt.schema())
+    all_fields: dict[str, pa.DataType] = {}
+    for sch in (l_schema, r_schema):
+        for f in sch:
+            all_fields.setdefault(f.name, f.type)
+
+    def pad(b: pa.Table) -> pa.Table:
+        cols = {}
+        for name, typ in all_fields.items():
+            cols[name] = pc.cast(b[name], typ) if name in b.column_names else pa.nulls(b.num_rows, typ)
+        return pa.table(cols)
+
+    unioned = lt.map_batches(pad, batch_format="pyarrow").union(rt.map_batches(pad, batch_format="pyarrow"))
+    return hash_partitioned_groups(unioned, keys, per_part, num_partitions=num_partitions)
+
+
+def watermark_late_split(
+    ds: Dataset, ts_col: str = "ts", delay_minutes: float = 60.0
+) -> Dataset:
+    """Watermark semantics for batch replays of event streams: the
+    watermark is max(event time) - delay (what a streaming engine would
+    have advanced to by end of input); rows below it are LATE. Adds
+    (watermark, is_late) — downstream aggregates can then drop or
+    side-channel late rows exactly like a streaming window with allowed
+    lateness. The max() is a metadata-cheap global aggregate broadcast
+    into a vectorized flagging map."""
+    wm = ds.max(ts_col)
+    delay = pd.Timedelta(minutes=delay_minutes)
+    watermark = (pd.Timestamp(wm) - delay).to_pydatetime()
+
+    def flag(b: pa.Table) -> pa.Table:
+        late = pc.less(b[ts_col], pa.scalar(watermark, type=b.schema.field(ts_col).type))
+        return b.append_column("is_late", late)
+
+    return ds.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def deterministic_sample(ds: Dataset, id_col: str, mod: int = 10, keep: int = 0) -> Dataset:
     """Content-deterministic sampling: keep rows whose md5(id) prefix mod
     ``mod`` equals ``keep`` — reproducible across runs/cluster sizes and

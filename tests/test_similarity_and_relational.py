@@ -370,3 +370,74 @@ class TestNewRelationalOps:
         # partition-independent: same rows at any layout
         c = sorted(deterministic_sample(ds.repartition(7), "doc_id", 10, 0).to_pandas()["doc_id"])
         assert a == c
+
+
+class TestRangeJoinAndWatermark:
+    def test_range_join_matches_bruteforce(self):
+        from clawrag_ray.stages.relational import range_join
+
+        rng = np.random.RandomState(2)
+        base = pd.Timestamp("2024-03-01")
+        left = pd.DataFrame(
+            {
+                "eid": np.arange(400, dtype="int64"),
+                "uid": rng.randint(0, 5, 400).astype("int64"),
+                "ts": [base + pd.Timedelta(minutes=int(m)) for m in rng.randint(0, 3000, 400)],
+            }
+        )
+        right = pd.DataFrame(
+            {
+                "wid": np.arange(30, dtype="int64"),
+                "w_uid": rng.randint(0, 5, 30).astype("int64"),
+                "start": [base + pd.Timedelta(minutes=int(m)) for m in rng.randint(0, 2800, 30)],
+            }
+        )
+        right["end"] = right["start"] + pd.Timedelta(minutes=90)
+        got = range_join(
+            ray.data.from_pandas(left).repartition(4),
+            ray.data.from_pandas(right).repartition(2),
+            left_ts="ts",
+            right_start="start",
+            right_end="end",
+            by="uid",
+            right_by="w_uid",
+            right_keep=["wid"],
+            bucket_us=45 * 60 * 1_000_000,  # windows span multiple buckets
+        ).to_pandas()
+        want = set()
+        for e in left.itertuples():
+            for w in right.itertuples():
+                if e.uid == w.w_uid and w.start <= e.ts < w.end:
+                    want.add((e.eid, w.wid))
+        assert set(zip(got["eid"].astype(int), got["wid"].astype(int))) == want
+        assert len(got) == len(want)  # exactly-once per qualifying pair
+        assert len(want) > 50
+
+    def test_range_join_unkeyed(self):
+        from clawrag_ray.stages.relational import range_join
+
+        base = pd.Timestamp("2024-03-01")
+        left = pd.DataFrame({"eid": [0, 1, 2], "ts": [base, base + pd.Timedelta(hours=1), base + pd.Timedelta(hours=5)]})
+        right = pd.DataFrame({"wid": [7], "start": [base - pd.Timedelta(minutes=30)]})
+        right["end"] = right["start"] + pd.Timedelta(hours=2)
+        got = range_join(
+            ray.data.from_pandas(left),
+            ray.data.from_pandas(right),
+            left_ts="ts",
+            right_start="start",
+            right_end="end",
+            right_keep=["wid"],
+            bucket_us=3_600_000_000,
+        ).to_pandas()
+        assert sorted(got["eid"].astype(int)) == [0, 1]
+
+    def test_watermark_late_split(self):
+        from clawrag_ray.stages.relational import watermark_late_split
+
+        base = pd.Timestamp("2024-03-01")
+        df = pd.DataFrame({"ts": [base, base + pd.Timedelta(minutes=30), base + pd.Timedelta(minutes=100)]})
+        got = watermark_late_split(ray.data.from_pandas(df), delay_minutes=60.0).to_pandas()
+        got = got.sort_values("ts")
+        # watermark = max - 60min = base+40min: events at base and base+30
+        # are behind it (late); the max event itself never is
+        assert got["is_late"].tolist() == [True, True, False]
