@@ -325,7 +325,7 @@ def scaling() -> None:
         # spin-up-corrected view: subtract each level's measured null-job
         # floor (fixed pipeline spin-up a node-count scale-out overlaps).
         # Raw stays the headline number; this quantifies the decomposition.
-        if nulls[lo] > 0 and nulls[hi] > 0 and results[hi] > nulls[hi]:
+        if nulls[lo] > 0 and nulls[hi] > 0 and results[lo] > nulls[lo] and results[hi] > nulls[hi]:
             c_lo = SCALING_DOCS / (results[lo] - nulls[lo])
             c_hi = SCALING_DOCS / (results[hi] - nulls[hi])
             entry["null_sec_lo"] = nulls[lo]

@@ -152,27 +152,34 @@ def bm25_topk(
     top-k (doc_id, score rounded to 6) sorted by score desc, doc_id asc."""
     import ray
 
-    n_docs = ds.count()
-    idf = bm25_idf_table(ds, id_col, text_col, n_docs=n_docs)
-    q_tokens = sorted(set(bm25_tokenize(query)))
-    q_idf = dict(zip(idf["token"], idf["idf"]))
-    q_weights = {t: float(q_idf.get(t, 0.0)) for t in q_tokens}
-
-    rows = bm25_token_rows(ds, id_col, text_col)
-    # avgdl: aggregate over the dl rows (token='')
     import pyarrow.compute as pc
 
-    def dl_partial(batch: pa.Table) -> pa.Table:
-        m = batch.filter(pc.equal(batch["token"], ""))
-        return pa.table(
-            {
-                "s": pa.array([pc.sum(m["tf"]).as_py() or 0], pa.int64()),
-                "n": pa.array([m.num_rows], pa.int64()),
-            }
-        )
+    # ONE tokenizer pass: materialize the (doc_id, token, tf) rows, then
+    # derive df / n_docs / avgdl from them with a single grouped aggregate
+    # (the token='' dl rows double as the per-doc marker: their count is
+    # n_docs and their tf sum is the total token count)
+    rows = bm25_token_rows(ds, id_col, text_col).materialize()
 
-    dl_stats = rows.map_batches(dl_partial, batch_format="pyarrow").to_pandas()
-    avgdl = dl_stats["s"].sum() / max(1, dl_stats["n"].sum())
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("token").aggregate([("tf", "count"), ("tf", "sum")])
+        return g.rename_columns(["token", "p_cnt", "p_sum"])
+
+    stats = (
+        rows.map_batches(stats_partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        .groupby("token")
+        .aggregate(Sum("p_cnt", alias_name="cnt"), Sum("p_sum", alias_name="tfsum"))
+        .to_pandas()
+    )
+    dl_row = stats[stats["token"] == ""]
+    n_docs = int(dl_row["cnt"].iloc[0]) if len(dl_row) else 0
+    avgdl = (float(dl_row["tfsum"].iloc[0]) / n_docs) if n_docs else 1.0
+    vocab = stats[stats["token"] != ""]
+    raw = np.log(n_docs - vocab["cnt"] + 0.5) - np.log(vocab["cnt"] + 0.5)
+    eps = BM25_EPSILON * raw.mean() if len(raw) else 0.0
+    idf_vals = np.round(np.where(raw < 0, eps, raw), 6)
+    q_idf = dict(zip(vocab["token"], idf_vals))
+    q_tokens = sorted(set(bm25_tokenize(query)))
+    q_weights = {t: float(q_idf.get(t, 0.0)) for t in q_tokens}
     weights_ref = ray.put(q_weights)
 
     class Scorer:

@@ -61,7 +61,9 @@ def exact_dedup_stats(ds: Dataset, text_col: str = "text", id_col: str = "doc_id
     return agg.select_columns(["keeper_doc_id", "n_copies"])
 
 
-def dedup_versions(ds: Dataset, text_col: str = "text", id_col: str = "doc_id") -> Dataset:
+def dedup_versions(
+    ds: Dataset, text_col: str = "text", id_col: str = "doc_id", num_partitions: int = 64
+) -> Dataset:
     """VERSION policy (deduplication_service.py:29-199): every copy of the
     same content gets a version number in id order; only the newest stays
     active. Returns (doc_id, version, is_active).
@@ -80,7 +82,7 @@ def dedup_versions(ds: Dataset, text_col: str = "text", id_col: str = "doc_id") 
         total = grp[id_col].transform("size")
         return pd.DataFrame({id_col: g[id_col], "version": version, "is_active": version == total})
 
-    return hash_partitioned_groups(hashed, ["text_sha256"], per_part)
+    return hash_partitioned_groups(hashed, ["text_sha256"], per_part, num_partitions=num_partitions)
 
 
 # ---------------------------------------------------------------------------
@@ -304,6 +306,8 @@ def jaccard_near_dup_pairs(
     threshold: float = 0.5,
     shingle_k: int = 3,
     concurrency=None,
+    n_perm: int = 128,
+    n_bands: int | None = None,
 ) -> pd.DataFrame:
     """Exact word-k-gram Jaccard near-dup pairs >= threshold, computed via
     LSH candidate pruning: MinHash band buckets generate the candidate set
@@ -320,9 +324,15 @@ def jaccard_near_dup_pairs(
     For much lower thresholds, raise n_bands (or drop to 1 row per band).
 
     Replaces the previous all-pairs broadcast-scan baseline, which held the
-    whole corpus shingle list on the driver and did O(n^2) work."""
+    whole corpus shingle list on the driver and did O(n^2) work.
+
+    ``n_bands`` defaults adaptively: 2 rows/band for thresholds >= 0.5,
+    1 row/band below (miss prob (1 - J)^n_perm — e.g. < 1e-19 at J = 0.3 —
+    at the cost of a larger candidate set); pass explicitly to override."""
+    if n_bands is None:
+        n_bands = n_perm // 2 if threshold >= 0.5 else n_perm
     return minhash_near_dups(
-        ds, threshold=threshold, shingle_k=shingle_k, n_perm=128, n_bands=64, concurrency=concurrency
+        ds, threshold=threshold, shingle_k=shingle_k, n_perm=n_perm, n_bands=n_bands, concurrency=concurrency
     )
 
 
@@ -380,6 +390,7 @@ def simhash_near_dup_pairs(
     max_hamming: int = 3,
     n_bands: int = 8,
     concurrency=None,
+    max_bucket_size: int | None = None,
 ) -> pd.DataFrame:
     """SimHash near-dup pairs: all (doc_a < doc_b) with
     Hamming(simhash_a, simhash_b) <= max_hamming. The MinHash-shaped
@@ -394,7 +405,15 @@ def simhash_near_dup_pairs(
 
     Only (doc_id, band_value) rows and the candidate pairs shuffle; the
     verify step broadcasts the candidates' hashes (bounded by the candidate
-    count). Returns (doc_a, doc_b, hamming) sorted."""
+    count). Returns (doc_a, doc_b, hamming) sorted.
+
+    Degenerate inputs: a corpus with many IDENTICAL hashes (e.g. thousands
+    of empty docs all at simhash 0) has an inherently quadratic OUTPUT —
+    every identical pair qualifies — so bucket expansion is quadratic too.
+    Run exact dedup first (exact_dedup_stats) and near-dup the distinct
+    survivors, the standard pipeline order; ``max_bucket_size`` optionally
+    caps expansion instead (drops pairs inside oversized buckets — recall
+    loss, disabled by default to preserve the exactness guarantee)."""
     if max_hamming >= n_bands:
         raise ValueError(f"max_hamming={max_hamming} needs n_bands > max_hamming (pigeonhole guarantee)")
     from ray.data.aggregate import AggregateFn, Count
@@ -433,7 +452,7 @@ def simhash_near_dup_pairs(
     def bucket_pairs(batch: pa.Table) -> pa.Table:
         out_a, out_b = [], []
         for ids in batch["doc_ids"].to_pylist():
-            if len(ids) < 2:
+            if len(ids) < 2 or (max_bucket_size and len(ids) > max_bucket_size):
                 continue
             ids = sorted(ids)
             for i in range(len(ids)):

@@ -110,12 +110,20 @@ def parse_image_metadata(payload: bytes) -> dict:
         return meta
     if payload[:2] == b"\xff\xd8":
         pos = 2
-        while pos + 4 <= len(payload):
+        while pos + 2 <= len(payload):
             if payload[pos] != 0xFF:
                 raise ValueError("bad JPEG marker")
+            # 0xFF fill bytes may pad between segments
+            while pos < len(payload) and payload[pos + 1 : pos + 2] == b"\xff":
+                pos += 1
             marker = payload[pos + 1]
-            if marker == 0xD9:  # EOI
-                break
+            if marker in (0xD9, 0xDA):  # EOI, or SOS: entropy-coded scan
+                break  # follows — metadata never decodes pixels, stop here
+            if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM/RSTn: no body
+                pos += 2
+                continue
+            if pos + 4 > len(payload):
+                raise ValueError("truncated JPEG segment")
             (seg_len,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
             body = payload[pos + 4 : pos + 2 + seg_len]
             if marker == 0xE1 and body[:6] == b"Exif\x00\x00":

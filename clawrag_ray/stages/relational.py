@@ -53,7 +53,12 @@ def hash_partitioned_groups(
     grouping by it keeps each key's rows together while cutting the fn
     calls to P; ``part_fn`` receives a pandas frame holding MANY whole
     groups (plus the ``__part`` column) and must handle them vectorized
-    (measured: the sf0.1 asof join dropped 10.8 s -> 3.3 s)."""
+    (measured: the sf0.1 asof join dropped 10.8 s -> 3.3 s).
+
+    Memory contract: one partition (~1/num_partitions of the grouped
+    columns) must fit a task's pandas heap, and parallelism is capped at
+    ``num_partitions`` — size it to ~2-4x the cluster's cores for big
+    inputs (callers expose the knob)."""
     import numpy as np
 
     def add_part(b: pa.Table) -> pa.Table:
@@ -143,6 +148,7 @@ def sessionize(
     user_col: str = "user_id",
     ts_col: str = "ts",
     gap_minutes: float = 30.0,
+    num_partitions: int = 64,
 ) -> Dataset:
     """Session windows per user: events sorted by ts; a gap > gap_minutes
     starts a new session. Returns (user_id, n_sessions, n_events,
@@ -170,7 +176,7 @@ def sessionize(
         )
         return out.astype({"n_sessions": "int64", "n_events": "int64", "longest_session_events": "int64"})
 
-    return hash_partitioned_groups(ds.select_columns([user_col, ts_col]), [user_col], per_part)
+    return hash_partitioned_groups(ds.select_columns([user_col, ts_col]), [user_col], per_part, num_partitions=num_partitions)
 
 
 def sessionize_bucketed(
@@ -366,7 +372,9 @@ def asof_join(
     (ts, side, tiebreak) and vectorized forward-fill of the winning right
     ROW INDEX — one shuffle, no per-row search.
 
-    Partitioning: by default all rows of one key must fit one group task.
+    Partitioning: rows shuffle by hash(key) into ``num_partitions``
+    partitions processed vectorized (one partition's rows must fit a task;
+    size num_partitions accordingly).
     ``ts_bucket_us`` lifts that for pathological keys by time-bucketing the
     shuffle key to (key, ts-bucket): each bucket joins locally after a
     CARRY row — the latest right row from any earlier bucket — is routed to
@@ -620,6 +628,7 @@ def top_n_per_group(
     n: int,
     tiebreak_col: str | None = None,
     salt: int | None = None,
+    num_partitions: int = 64,
 ) -> Dataset:
     """Top-n rows per group by ``order_col`` desc (window rank semantics).
     Per-group head after the groupby shuffle; ``tiebreak_col`` ascending
@@ -642,15 +651,15 @@ def top_n_per_group(
         return fn
 
     if not salt or salt <= 1:
-        return hash_partitioned_groups(ds, keys, head_part(keys))
+        return hash_partitioned_groups(ds, keys, head_part(keys), num_partitions=num_partitions)
     import numpy as np
 
     def add_salt(b: pa.Table) -> pa.Table:
         return b.append_column("__salt", pa.array(np.arange(b.num_rows) % salt, pa.int32()))
 
     salted = ds.map_batches(add_salt, batch_format="pyarrow", zero_copy_batch=True)
-    local = hash_partitioned_groups(salted, keys + ["__salt"], head_part(keys + ["__salt"]))
-    return hash_partitioned_groups(local.drop_columns(["__salt"]), keys, head_part(keys))
+    local = hash_partitioned_groups(salted, keys + ["__salt"], head_part(keys + ["__salt"]), num_partitions=num_partitions)
+    return hash_partitioned_groups(local.drop_columns(["__salt"]), keys, head_part(keys), num_partitions=num_partitions)
 
 
 def hopping_window(

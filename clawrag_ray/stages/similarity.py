@@ -249,7 +249,13 @@ def ivf_topk(
 
 def _block_pair_hits(ta: pa.Table, tb: pa.Table, threshold: float, same: bool) -> pa.Table:
     """Pairs (vec_a < vec_b, cosine >= threshold) between two vector blocks
-    — one bounded matmul; only the qualifying pairs come back."""
+    — one bounded matmul; only the qualifying pairs come back.
+
+    Diagonal tiles keep the upper triangle (va < vb drops self-pairs and
+    halves duplicates); CROSS tiles are computed once per unordered block
+    pair, so every hit is kept and normalized to (min, max) — filtering
+    va < vb there would silently drop pairs whenever ids are not
+    block-monotonic (tile (j, i) is never computed)."""
     ids_a = ta["vec_id"].to_numpy(zero_copy_only=False)
     ids_b = tb["vec_id"].to_numpy(zero_copy_only=False)
     ma = _normalize(_stack(ta["embedding"]))
@@ -257,8 +263,15 @@ def _block_pair_hits(ta: pa.Table, tb: pa.Table, threshold: float, same: bool) -
     sims = ma @ mb.T
     ai, bi = np.where(sims >= threshold)
     va, vb = ids_a[ai], ids_b[bi]
-    keep = va < vb  # orders each pair once; drops self-pairs on the diagonal
-    va, vb, cs = va[keep], vb[keep], sims[ai[keep], bi[keep]]
+    cs = sims[ai, bi]
+    if same:
+        keep = va < vb
+        va, vb, cs = va[keep], vb[keep], cs[keep]
+    else:
+        lo = np.minimum(va, vb)
+        hi = np.maximum(va, vb)
+        keep = lo != hi  # same id in both blocks (duplicated row) is a self-pair
+        va, vb, cs = lo[keep], hi[keep], cs[keep]
     return pa.table(
         {
             "vec_a": pa.array(va.astype(np.int64)),

@@ -207,3 +207,20 @@ class TestPngDecodeResize:
         back = decode_png_gray8(got.loc["a", "payload"])
         assert (back == want).all()
         assert got.loc["bad", "width"] == -1
+
+
+class TestJpegScanData:
+    def test_sos_and_rst_markers_do_not_break_metadata(self):
+        """Real camera JPEGs carry entropy-coded scan data after SOS; the
+        metadata walker must stop there, and skip standalone RST/TEM
+        markers, instead of erroring."""
+        import struct
+
+        base = encode_jpeg_with_exif(17, 23, "clawrag", "m6", 2)
+        assert base.endswith(b"\xff\xd9")
+        head = base[:-2]
+        sos = b"\xff\xda" + struct.pack(">H", 8) + b"\x01\x01\x00\x00\x3f\x00"
+        scan = bytes(range(251)) * 3  # arbitrary non-marker scan bytes
+        jpeg = head + b"\xff\xd0" + sos + scan + b"\xff\xd9"
+        m = parse_image_metadata(jpeg)
+        assert (m["format"], m["width"], m["height"], m["make"]) == ("jpeg", 17, 23, "clawrag")

@@ -441,3 +441,21 @@ class TestRangeJoinAndWatermark:
         # watermark = max - 60min = base+40min: events at base and base+30
         # are behind it (late); the max event itself never is
         assert got["is_late"].tolist() == [True, True, False]
+
+
+class TestTileSweepIdOrder:
+    def test_cross_block_pairs_survive_non_monotonic_ids(self):
+        """A near-dup pair whose SMALLER id lives in the LATER block must
+        still be found (cross tiles are computed once per unordered block
+        pair — regression for the va < vb cross-tile filter bug)."""
+        rng = np.random.RandomState(9)
+        vecs = rng.standard_normal((40, 8))
+        vecs[3] = vecs[39]  # identical pair with ids far apart
+        ids = list(range(40))[::-1]  # ids strictly DECREASING across rows
+        rows = [
+            {"vec_id": ids[i], "embedding": vecs[i].astype(np.float32).tolist()} for i in range(40)
+        ]
+        ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(8)
+        got = embedding_near_dup_pairs(ds, threshold=0.999, num_blocks=8)
+        pairs = set(zip(got["vec_a"].astype(int), got["vec_b"].astype(int)))
+        assert (0, 36) in pairs  # row 3 has id 36, row 39 has id 0
