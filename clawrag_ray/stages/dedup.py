@@ -176,14 +176,14 @@ def minhash_candidate_pairs(ds: Dataset, concurrency=None, **minhash_kw) -> Data
     The banding stage runs as TASKS with a per-worker-process cached
     hasher, not an actor pool: the state is ~2 KB of permutation params, so
     pool ramp-up would cost more than the whole stage (measured 6.4 s ->
-    ~2 s on 5k docs). The bucket collection is a shuffle AGGREGATE (collect
-    doc_ids per (band_id, band_hash)), not map_groups — per-group task
-    overhead on the overwhelmingly-singleton buckets would dominate
-    otherwise. Cross-band pair dedup is a second (small) grouped aggregate
-    over the pair rows themselves — fully distributed, so a high-dup crawl
-    whose candidate set does NOT fit one machine still works; nothing here
-    ever materializes on the driver."""
-    from ray.data.aggregate import AggregateFn, Count
+    ~2 s on 5k docs). Bucket formation and cross-band pair dedup both run
+    as hash-partitioned group passes (64 partitions each, NOT one group
+    per bucket/pair): per-partition pandas drops the overwhelmingly-
+    singleton buckets vectorized before the tiny Python pair loop, and the
+    per-group aggregate overhead of 300k+ singleton groups disappears
+    (measured: the sf0.1 candidate stage dropped ~11 s -> ~4 s). Fully
+    distributed — nothing corpus-sized ever lands on the driver."""
+    from clawrag_ray.stages.relational import hash_partitioned_groups
 
     def band_rows(batch: pa.Table) -> pa.Table:
         return _cached_hasher(**minhash_kw)(batch)
@@ -195,31 +195,27 @@ def minhash_candidate_pairs(ds: Dataset, concurrency=None, **minhash_kw) -> Data
         zero_copy_batch=True,
         **kw,
     )
-    collect = AggregateFn(
-        init=lambda k: [],
-        merge=lambda a, b: a + b,
-        name="doc_ids",
-        accumulate_block=lambda a, block: a + block["doc_id"].to_pylist(),
-    )
-    buckets = bands.groupby(["band_id", "band_hash"]).aggregate(collect)
 
-    def bucket_pairs(batch: pa.Table) -> pa.Table:
+    def part_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # singleton buckets (the vast majority) drop in one vectorized mask
+        colliding = g[g.duplicated(subset=["band_id", "band_hash"], keep=False)]
         out_a, out_b = [], []
-        for ids in batch["doc_ids"].to_pylist():
-            if len(ids) < 2:
-                continue
-            ids = sorted(ids)
+        for _, grp in colliding.groupby(["band_id", "band_hash"], sort=False):
+            ids = sorted(grp["doc_id"].tolist())
             for i in range(len(ids)):
                 for j in range(i + 1, len(ids)):
                     out_a.append(ids[i])
                     out_b.append(ids[j])
-        elem = batch.schema.field("doc_ids").type
-        elem = elem.value_type if hasattr(elem, "value_type") else pa.int64()
-        return pa.table({"doc_a": pa.array(out_a, elem), "doc_b": pa.array(out_b, elem)})
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series(out_a, dtype=g["doc_id"].dtype),
+                "doc_b": pd.Series(out_b, dtype=g["doc_id"].dtype),
+            }
+        ).drop_duplicates()
 
-    pairs = buckets.map_batches(bucket_pairs, batch_format="pyarrow", batch_size=None)
-    deduped = pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="_n"))
-    return deduped.drop_columns(["_n"])
+    cand = hash_partitioned_groups(bands, ["band_id", "band_hash"], part_pairs)
+    # cross-band duplicates span partitions; dedup with one more 64-group pass
+    return hash_partitioned_groups(cand, ["doc_a", "doc_b"], lambda g: g.drop_duplicates())
 
 
 def _verify_pairs_jaccard(ds: Dataset, pairs: pd.DataFrame, threshold: float, shingle_k: int) -> pd.DataFrame:
