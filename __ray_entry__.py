@@ -79,6 +79,42 @@ def _q_dedup_versions(sf_dir: str):
     return dedup_versions(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def _q_dedup_audit(sf_dir: str):
+    """Audit side-output of the dedup POLICY engine (J1/D1,
+    deduplication_service.py:29-199): REPLACE_IF_NEWER keeps the copy
+    ranked first by (n_chars desc, doc_id asc) per distinct text and emits
+    one DuplicationAuditLog row per replaced duplicate, with the
+    metadata_diff JSON comparing keeper vs duplicate n_chars. The corpus
+    is near-duplicate-free at small sf, so deterministic duplication is
+    synthesized first (every 5th doc cloned under doc_id + 1000000 — same
+    text, same n_chars), mirrored exactly by the oracle's UNION ALL."""
+    import pyarrow.compute as pc
+
+    from clawrag_ray.stages.policies import apply_dedup_policy
+
+    def with_clones(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        clones = b.filter(pa.array(ids % 5 == 0))
+        clones = clones.set_column(
+            clones.schema.get_field_index("doc_id"),
+            "doc_id",
+            pc.add(clones["doc_id"], pa.scalar(1_000_000, pa.int64())),
+        )
+        return pa.concat_tables([b, clones])
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"]).map_batches(
+        with_clones, batch_format="pyarrow", zero_copy_batch=True
+    )
+    unified = apply_dedup_policy(docs, policy="REPLACE_IF_NEWER", size_col="n_chars")
+
+    def audit_only(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b["record"], "audit")).select(
+            ["doc_id", "action_taken", "original_id", "metadata_diff"]
+        )
+
+    return unified.map_batches(audit_only, batch_format="pyarrow")
+
+
 def _q_lang_histogram(sf_dir: str):
     from clawrag_ray.stages.text_analysis import language_histogram
 
@@ -621,6 +657,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "exact_dedup": _q_exact_dedup,
         "dedup_versions": _q_dedup_versions,
+        "dedup_audit": _q_dedup_audit,
         "lang_histogram": _q_lang_histogram,
         "quality_by_source": _q_quality_by_source,
         "token_stats_by_lang": _q_token_stats,
@@ -745,6 +782,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS version, "
             "row_number() OVER (PARTITION BY text ORDER BY doc_id) = count(*) OVER (PARTITION BY text) AS is_active "
             "FROM documents"
+        ),
+        "dedup_audit": (
+            "WITH all_docs AS (SELECT doc_id, text, n_chars FROM documents "
+            "UNION ALL SELECT doc_id + 1000000, text, n_chars FROM documents WHERE doc_id % 5 = 0), "
+            "k AS (SELECT doc_id, n_chars, "
+            "first_value(doc_id) OVER w AS keeper_id, "
+            "first_value(n_chars) OVER w AS keeper_n, "
+            "row_number() OVER w AS rn FROM all_docs "
+            "WINDOW w AS (PARTITION BY text ORDER BY n_chars DESC, doc_id)) "
+            "SELECT doc_id, 'REPLACED' AS action_taken, keeper_id AS original_id, "
+            "'{\"n_chars\": [' || keeper_n || ', ' || n_chars || ']}' AS metadata_diff "
+            "FROM k WHERE rn > 1"
         ),
         "lang_histogram": (
             f"WITH d AS (SELECT CASE WHEN length(text) < 50 THEN 'unknown' "

@@ -211,16 +211,29 @@ def bm25_topk(
 
     scored = rows.map_batches(Scorer, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8))
 
-    def per_doc(group: pd.DataFrame) -> pd.DataFrame:
-        dl = float(group.loc[group["kind"] == "dl", "tf"].sum())
-        tfg = group[group["kind"] == "tf"]
-        denom_scale = k1 * (1 - b + b * dl / avgdl)
-        score = float(
-            (tfg["w"] * tfg["tf"] * (k1 + 1) / (tfg["tf"] + denom_scale)).sum()
-        )
-        return pd.DataFrame({"doc_id": [group["doc_id"].iloc[0]], "score": [round(score, 6)]})
+    # Reduce: one vectorized pandas pass per HASH PARTITION of whole doc
+    # groups (hash_partitioned_groups), NOT one fn call per document — the
+    # per-doc map_groups shape is the measured per-group-overhead trap
+    # (relational.py:46-61). Each partition emits only its LOCAL top-k
+    # (score desc, doc_id asc); top-k selection under a total order is
+    # associative, so the driver-side merge over num_partitions * k rows is
+    # exact and tiny. Zero-score docs (dl row, no matching tf rows) are
+    # kept via the reindex so tie-at-zero behavior matches the oracle's
+    # LEFT JOIN ... coalesce(score, 0).
+    from clawrag_ray.stages.relational import hash_partitioned_groups
 
-    per = scored.groupby("doc_id").map_groups(per_doc, batch_format="pandas").to_pandas()
+    def part_topk(g: pd.DataFrame) -> pd.DataFrame:
+        dl_per_doc = g.loc[g["kind"] == "dl"].groupby("doc_id", sort=False)["tf"].sum()
+        tfg = g[g["kind"] == "tf"]
+        dl_of = tfg["doc_id"].map(dl_per_doc).astype(float)
+        denom_scale = k1 * (1 - b + b * dl_of / avgdl)
+        contrib = tfg["w"] * tfg["tf"] * (k1 + 1) / (tfg["tf"] + denom_scale)
+        scores = contrib.groupby(tfg["doc_id"], sort=False).sum()
+        scores = scores.reindex(dl_per_doc.index, fill_value=0.0).round(6)
+        out = pd.DataFrame({"doc_id": scores.index, "score": scores.to_numpy()})
+        return out.sort_values(["score", "doc_id"], ascending=[False, True]).head(k)
+
+    per = hash_partitioned_groups(scored, ["doc_id"], part_topk).to_pandas()
     per = per.sort_values(["score", "doc_id"], ascending=[False, True]).head(k)
     return per.reset_index(drop=True)
 

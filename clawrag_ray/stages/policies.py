@@ -11,21 +11,32 @@ Every non-keeper copy produces an audit row (original_id, duplicate_id,
 action_taken, metadata_diff) — the DuplicationAuditLog analog
 (backend/src/database/models.py:381-408).
 
-Implemented as one groupby(text_hash) pass emitting BOTH streams in a
-single output table discriminated by a ``record`` column ("doc" | "audit"),
-so the shuffle runs once; callers split with split_policy_output().
+Implemented as one hash-partitioned group pass (hash_partitioned_groups —
+NOT one map_groups call per distinct text, which at 10k+ mostly-singleton
+groups is dominated by per-call overhead; relational.py:46-61) emitting
+BOTH streams in a single output table discriminated by a ``record`` column
+("doc" | "audit"), so the shuffle runs once; callers split with
+split_policy_output(). All keeper/version/ordering logic is vectorized
+over whole partitions; only the audit metadata_diff JSON strings are built
+per DUPLICATE row (bounded by the duplicate count, not the corpus).
 """
 
 from __future__ import annotations
 
-import json
-
+import numpy as np
 import pandas as pd
 from ray.data import Dataset
 
 from clawrag_ray.stages.dedup import with_text_hash
 
 POLICIES = ("SKIP", "VERSION", "REPLACE_IF_NEWER", "NOTIFY_ONLY")
+
+_ACTION = {
+    "SKIP": "SKIPPED",
+    "VERSION": "VERSIONED",
+    "REPLACE_IF_NEWER": "REPLACED",
+    "NOTIFY_ONLY": "NOTIFIED",
+}
 
 
 def apply_dedup_policy(
@@ -35,84 +46,92 @@ def apply_dedup_policy(
     text_col: str = "text",
     mtime_col: str | None = None,
     size_col: str | None = None,
+    num_partitions: int = 64,
 ) -> Dataset:
     """Returns a unified stream: rows with record="doc" are surviving
     documents (plus version/is_active for VERSION); rows with
     record="audit" are DuplicationAuditLog entries."""
     if policy not in POLICIES:
         raise ValueError(f"unknown policy {policy}; expected one of {POLICIES}")
+    from clawrag_ray.stages.relational import hash_partitioned_groups
+
     cols = [id_col, text_col] + [c for c in (mtime_col, size_col) if c]
-    hashed = with_text_hash(ds.select_columns(cols), text_col)
+    hashed = with_text_hash(ds.select_columns(cols), text_col).drop_columns([text_col])
+    action = _ACTION[policy]
 
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col).reset_index(drop=True)
-        n = len(g)
-        out_rows = []
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        # keeper order within each text group: REPLACE_IF_NEWER ranks by
+        # (mtime desc, size desc, id asc); every other policy by id asc
+        if policy == "REPLACE_IF_NEWER" and (mtime_col or size_col):
+            by = ["text_sha256"] + [c for c in (mtime_col, size_col) if c] + [id_col]
+            asc = [True] + [False] * ((1 if mtime_col else 0) + (1 if size_col else 0)) + [True]
+            g = g.sort_values(by, ascending=asc, kind="mergesort").reset_index(drop=True)
+        else:
+            g = g.sort_values(["text_sha256", id_col], kind="mergesort").reset_index(drop=True)
+        grp = g.groupby("text_sha256", sort=False)
+        rank = grp.cumcount().to_numpy()
+        total = grp[id_col].transform("size").to_numpy()
+        keeper_id = grp[id_col].transform("first")
+        is_first = rank == 0
 
-        def doc_row(r, version=1, is_active=True):
-            out_rows.append(
-                {
-                    "record": "doc",
-                    id_col: r[id_col],
-                    "version": version,
-                    "is_active": is_active,
-                    "action_taken": "",
-                    "original_id": r[id_col],
-                    "metadata_diff": "",
-                }
-            )
+        # ---- doc stream (vectorized) ----
+        if policy == "SKIP" or policy == "REPLACE_IF_NEWER":
+            doc_mask = is_first
+        else:  # VERSION / NOTIFY_ONLY keep every copy
+            doc_mask = np.ones(len(g), dtype=bool)
+        docs = pd.DataFrame(
+            {
+                "record": "doc",
+                id_col: g.loc[doc_mask, id_col].to_numpy(),
+                "version": (rank[doc_mask] + 1).astype("int64") if policy == "VERSION" else np.int64(1),
+                "is_active": (rank[doc_mask] == total[doc_mask] - 1) if policy == "VERSION" else True,
+                "action_taken": "",
+                "original_id": g.loc[doc_mask, id_col].to_numpy(),
+                "metadata_diff": "",
+            }
+        )
 
-        def audit_row(keeper, dup, action):
-            diff = {}
+        # ---- audit stream: one row per non-keeper copy ----
+        dup_mask = ~is_first
+        dups = g[dup_mask]
+        keepers = keeper_id[dup_mask]
+        # metadata_diff JSON per duplicate (json.dumps-compatible layout:
+        # sorted keys, ", "/": " separators — mtime values as str, size as
+        # int). Built only for duplicates, so the Python loop is bounded by
+        # the duplicate count.
+        if mtime_col or size_col:
+            parts = []
             if mtime_col:
-                diff[mtime_col] = [str(keeper[mtime_col]), str(dup[mtime_col])]
+                km = grp[mtime_col].transform("first")[dup_mask].astype(str).to_numpy()
+                dm = dups[mtime_col].astype(str).to_numpy()
+                parts.append(('"%s": ["' % mtime_col, km, '", "', dm, '"]'))
             if size_col:
-                diff[size_col] = [int(keeper[size_col]), int(dup[size_col])]
-            out_rows.append(
-                {
-                    "record": "audit",
-                    id_col: dup[id_col],
-                    "version": -1,
-                    "is_active": False,
-                    "action_taken": action,
-                    "original_id": keeper[id_col],
-                    "metadata_diff": json.dumps(diff, sort_keys=True),
-                }
-            )
+                ks = grp[size_col].transform("first")[dup_mask].astype("int64").to_numpy()
+                dsz = dups[size_col].astype("int64").to_numpy()
+                parts.append(('"%s": [' % size_col, ks, ", ", dsz, "]"))
+            # assemble with key-sorted field order, matching json.dumps(sort_keys=True)
+            parts.sort(key=lambda p: p[0])
+            diffs = []
+            for i in range(len(dups)):
+                fields = [f"{p[0]}{p[1][i]}{p[2]}{p[3][i]}{p[4]}" for p in parts]
+                diffs.append("{" + ", ".join(fields) + "}")
+        else:
+            diffs = ["{}"] * len(dups)
+        audit = pd.DataFrame(
+            {
+                "record": "audit",
+                id_col: dups[id_col].to_numpy(),
+                "version": np.int64(-1),
+                "is_active": False,
+                "action_taken": action,
+                "original_id": keepers.to_numpy(),
+                "metadata_diff": diffs,
+            }
+        )
+        out = pd.concat([docs, audit], ignore_index=True)
+        return out.astype({"version": "int64", "is_active": "bool"})
 
-        if n == 1:
-            doc_row(g.iloc[0])
-        elif policy == "SKIP":
-            doc_row(g.iloc[0])
-            for i in range(1, n):
-                audit_row(g.iloc[0], g.iloc[i], "SKIPPED")
-        elif policy == "VERSION":
-            for i in range(n):
-                doc_row(g.iloc[i], version=i + 1, is_active=(i == n - 1))
-                if i > 0:
-                    audit_row(g.iloc[0], g.iloc[i], "VERSIONED")
-        elif policy == "REPLACE_IF_NEWER":
-            if mtime_col:
-                order = g.sort_values(
-                    [mtime_col] + ([size_col] if size_col else []) + [id_col],
-                    ascending=[False] + ([False] if size_col else []) + [True],
-                )
-            elif size_col:
-                order = g.sort_values([size_col, id_col], ascending=[False, True])
-            else:
-                order = g
-            keeper = order.iloc[0]
-            doc_row(keeper)
-            for i in range(1, n):
-                audit_row(keeper, order.iloc[i], "REPLACED")
-        else:  # NOTIFY_ONLY
-            for i in range(n):
-                doc_row(g.iloc[i])
-                if i > 0:
-                    audit_row(g.iloc[0], g.iloc[i], "NOTIFIED")
-        return pd.DataFrame(out_rows)
-
-    return hashed.groupby("text_sha256").map_groups(per_group, batch_format="pandas")
+    return hash_partitioned_groups(hashed, ["text_sha256"], per_part, num_partitions=num_partitions)
 
 
 def split_policy_output(unified: Dataset) -> tuple[Dataset, Dataset]:
