@@ -502,17 +502,18 @@ def _q_semantic_chunks(sf_dir: str):
 
 
 def _q_doc_embedding_near_dups(sf_dir: str):
-    """documents -> hash-embedder vectors -> cosine near-dup pairs via the
-    distributed tile sweep (exact, object-store block refs, no driver-side
-    matrix). The banded-LSH variant exists (embedding_near_dup_pairs_lsh)
-    but same-vocabulary documents have correlated embeddings (random-pair
-    cosine ~0.57) that defeat hyperplane pruning — measured 102 s LSH vs
-    6.4 s exact at sf0.1 with identical output — so the exact path is the
-    right wiring for THIS corpus; LSH is for diverse vector sets."""
+    """documents -> hash-embedder vectors -> cosine near-dup pairs via
+    IVF-CELL-BUCKETED candidate pairs (embedding_near_dup_pairs_ivf): a
+    k-means quantizer adapts to the corpus's correlation structure —
+    same-vocabulary documents have correlated embeddings (random-pair
+    cosine ~0.57) that defeat hyperplane LSH (measured 102 s vs 6.4 s at
+    sf0.1) but bucket fine in data-dependent cells. No stage does O(n^2)
+    total work at the sqrt(n) centroid sizing; output equality vs the
+    exact tile sweep is pinned in tests at sf-scale inputs."""
     import pyarrow.compute as pc
 
     from clawrag_ray.stages.embed import embed_texts
-    from clawrag_ray.stages.similarity import embedding_near_dup_pairs
+    from clawrag_ray.stages.similarity import embedding_near_dup_pairs_ivf
 
     emb = embed_texts(_read(sf_dir, "documents", ["doc_id", "text"]), concurrency=(1, 4))
 
@@ -520,7 +521,7 @@ def _q_doc_embedding_near_dups(sf_dir: str):
         return pa.table({"vec_id": pc.cast(batch["doc_id"], pa.int64()), "embedding": batch["embedding"]})
 
     vecs = emb.map_batches(to_vec, batch_format="pyarrow", zero_copy_batch=True)
-    return embedding_near_dup_pairs(vecs, threshold=0.95)
+    return embedding_near_dup_pairs_ivf(vecs, threshold=0.95, n_centroids=32, n_probe=3)
 
 
 def _q_simhash_near_dups(sf_dir: str):

@@ -270,14 +270,25 @@ def extract_spans_dedup(
     hashed = raw.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
 
     # one representative per distinct payload, extracted under the HASH as
-    # its doc_id (so span rows are already keyed for the fan-out)
-    def first_per_hash(g: pa.Table) -> pa.Table:
-        one = g.slice(0, 1)
+    # its doc_id (so span rows are already keyed for the fan-out). One
+    # vectorized pass per hash PARTITION of whole payload groups — not one
+    # map_groups call per distinct payload (the per-group-overhead trap,
+    # relational.py:46-61); arrow format so payload bytes never round-trip
+    # pandas.
+    import numpy as np
+    import pandas as pd
+
+    from clawrag_ray.stages.relational import hash_partitioned_groups
+
+    def first_per_hash_part(t: pa.Table) -> pa.Table:
+        keys = t["payload_sha"].to_pandas()
+        first_idx = np.flatnonzero(~keys.duplicated().to_numpy())
+        one = t.take(pa.array(first_idx, pa.int64()))
         return one.set_column(one.schema.get_field_index("doc_id"), "doc_id", one["payload_sha"]).drop_columns(
             ["payload_sha"]
         )
 
-    reps = hashed.groupby("payload_sha").map_groups(first_per_hash, batch_format="pyarrow")
+    reps = hash_partitioned_groups(hashed, ["payload_sha"], first_per_hash_part, batch_format="pyarrow")
     rep_spans = extract_spans(reps, chunk_size, chunk_overlap, concurrency, batch_size)
 
     def tag_span(b: pa.Table) -> pa.Table:
@@ -302,28 +313,36 @@ def extract_spans_dedup(
         tag_mapping, batch_format="pyarrow", zero_copy_batch=True
     )
 
-    def fan_out(g: pa.Table) -> pa.Table:
+    # fan-out: one vectorized arrow pass per hash partition — each mapping
+    # row gathers its payload's single span row by index (take), so the
+    # nested spans replicate without a pandas round-trip and without one
+    # map_groups call per distinct payload hash.
+    def fan_out_part(g: pa.Table) -> pa.Table:
         mask = pa.compute.is_valid(g["orig_doc_id"])
-        docs = g.filter(mask)
-        span_row = g.filter(pa.compute.invert(mask)).slice(0, 1)
-        n = docs.num_rows
-        if n == 0 or span_row.num_rows == 0:
+        docs = g.filter(mask)  # mapping rows (doc_id = payload_sha, orig_doc_id = original)
+        span_rows = g.filter(pa.compute.invert(mask))  # one span row per distinct payload
+        if docs.num_rows == 0 or span_rows.num_rows == 0:
             return pa.Table.from_arrays(
                 [pa.array([], t) for t in (pa.string(), pa.string(), pa.string(), pa.string(), pa.int32())]
                 + [pa.nulls(0, SPANS_TYPE)],
                 names=["doc_id", "doc_kind", "route", "error_code", "n_spans", "spans"],
             )
-        rep = {c: span_row[c] for c in ("doc_kind", "route", "error_code", "n_spans", "spans")}
-        idx = pa.array([0] * n, pa.int32())
+        span_idx = pd.Series(np.arange(span_rows.num_rows), index=span_rows["doc_id"].to_pandas())
+        pos = span_idx.reindex(docs["doc_id"].to_pandas()).to_numpy()
+        have = ~pd.isna(pos)
+        docs = docs.filter(pa.array(have))
+        rep = span_rows.take(pa.array(pos[have].astype("int64")))
         return pa.table(
             {
                 "doc_id": docs["orig_doc_id"],
-                "doc_kind": rep["doc_kind"].take(idx),
-                "route": rep["route"].take(idx),
-                "error_code": rep["error_code"].take(idx),
-                "n_spans": rep["n_spans"].take(idx),
-                "spans": rep["spans"].take(idx),
+                "doc_kind": rep["doc_kind"],
+                "route": rep["route"],
+                "error_code": rep["error_code"],
+                "n_spans": rep["n_spans"],
+                "spans": rep["spans"],
             }
         )
 
-    return spans_side.union(mapping_side).groupby("doc_id").map_groups(fan_out, batch_format="pyarrow")
+    return hash_partitioned_groups(
+        spans_side.union(mapping_side), ["doc_id"], fan_out_part, batch_format="pyarrow"
+    )

@@ -44,7 +44,7 @@ def _as_arrow_schema(schema) -> pa.Schema:
 
 
 def hash_partitioned_groups(
-    ds: Dataset, keys: list[str], part_fn, num_partitions: int = 64
+    ds: Dataset, keys: list[str], part_fn, num_partitions: int = 64, batch_format: str = "pandas"
 ) -> Dataset:
     """Run ``part_fn`` once per HASH PARTITION of complete key groups
     instead of once per key: Ray's groupby().map_groups() invokes the fn
@@ -58,7 +58,11 @@ def hash_partitioned_groups(
     Memory contract: one partition (~1/num_partitions of the grouped
     columns) must fit a task's pandas heap, and parallelism is capped at
     ``num_partitions`` — size it to ~2-4x the cluster's cores for big
-    inputs (callers expose the knob)."""
+    inputs (callers expose the knob).
+
+    ``batch_format="pyarrow"`` hands ``part_fn`` the partition as a
+    pa.Table instead — required when columns carry nested types
+    (list<struct> spans) that do not survive a pandas round-trip."""
     import numpy as np
 
     def add_part(b: pa.Table) -> pa.Table:
@@ -69,11 +73,18 @@ def hash_partitioned_groups(
             h = h * np.uint64(0x9E3779B97F4A7C15) + pd.util.hash_array(arr)
         return b.append_column("__part", pa.array((h % np.uint64(num_partitions)).astype(np.int64)))
 
-    def run(g: pd.DataFrame) -> pd.DataFrame:
-        return part_fn(g.drop(columns=["__part"]))
+    if batch_format == "pyarrow":
+
+        def run(t: pa.Table) -> pa.Table:
+            return part_fn(t.drop_columns(["__part"]))
+
+    else:
+
+        def run(g: pd.DataFrame) -> pd.DataFrame:
+            return part_fn(g.drop(columns=["__part"]))
 
     parted = ds.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
-    return parted.groupby("__part").map_groups(run, batch_format="pandas")
+    return parted.groupby("__part").map_groups(run, batch_format=batch_format)
 
 
 def pre_aggregate(ds: Dataset, keys: list[str], sums: list[str], count_alias: str = "n") -> Dataset:

@@ -319,6 +319,90 @@ def embedding_near_dup_pairs(
     return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
 
 
+def embedding_near_dup_pairs_ivf(
+    ds: Dataset,
+    threshold: float = 0.9,
+    n_centroids: int = 32,
+    n_probe: int = 3,
+    seed: int = 13,
+    num_partitions: int = 64,
+    concurrency=None,
+) -> pd.DataFrame:
+    """Near-dup pairs via a DATA-DEPENDENT partitioner — the scale path for
+    corpora whose embeddings are correlated (same-vocabulary documents,
+    random-pair cosine ~0.57), where hyperplane LSH degenerates (measured
+    102 s vs 6.4 s at sf0.1): a coarse k-means quantizer adapts its cells
+    to the corpus's correlation structure, so near-identical vectors land
+    in the same cell regardless of how correlated the bulk is.
+
+    Pipeline: train centroids on a bounded sample (kmeans_centroids), then
+    MULTI-assign every vector to its ``n_probe`` nearest cells (replication
+    factor n_probe), compute exact within-cell pairs (one numpy matmul per
+    cell task), and drop cross-cell duplicate pairs with a hash-partitioned
+    pass. Output schema identical to embedding_near_dup_pairs.
+
+    Recall: a qualifying pair is found iff the two vectors share at least
+    one assigned cell. At high thresholds the two vectors are within
+    arccos(t) of each other (18° at t=0.95), so their centroid preference
+    lists agree near the top; multi-probe (n_probe>=2) covers boundary
+    splits. This is the standard IVF recall argument, not a proof — the
+    suite pins equality against the exact tile sweep at test scale
+    (tests/test_similarity_and_relational.py), and ``n_probe`` is the
+    recall knob. Total work is sum(|cell|^2) ~= n_probe^2 * n^2 /
+    n_centroids for balanced cells: size ``n_centroids`` ~ sqrt(n) (the
+    standard IVF rule) so per-cell work stays bounded as the corpus grows —
+    no stage does O(n^2) total work at that sizing."""
+    centroids = kmeans_centroids(ds, n_centroids=n_centroids, seed=seed, concurrency=concurrency)
+    cref = ray.put(centroids)
+
+    class MultiAssign:
+        def __init__(self):
+            self.c = ray.get(cref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vm = _normalize(_stack(batch["embedding"]))
+            sims = vm @ self.c.T  # (n, k)
+            m = min(n_probe, sims.shape[1])
+            top = np.argpartition(-sims, kth=m - 1, axis=1)[:, :m]
+            idx = np.repeat(np.arange(batch.num_rows), m)
+            t = batch.take(pa.array(idx, pa.int64()))
+            return t.append_column("cell", pa.array(top.reshape(-1).astype(np.int32)))
+
+    assigned = ds.select_columns(["vec_id", "embedding"]).map_batches(
+        MultiAssign, batch_format="pyarrow", zero_copy_batch=True, concurrency=concurrency or (1, 8)
+    )
+
+    def per_cell(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["vec_id"].to_numpy()
+        vm = _normalize(np.array(g["embedding"].tolist(), dtype=np.float64))
+        sims = vm @ vm.T
+        ai, bi = np.where(sims >= threshold)
+        keep = ids[ai] < ids[bi]  # upper triangle by id: drops self + mirror
+        va, vb, cs = ids[ai][keep], ids[bi][keep], sims[ai, bi][keep]
+        return pd.DataFrame(
+            {"vec_a": va.astype("int64"), "vec_b": vb.astype("int64"), "cosine": np.round(cs, 6)}
+        )
+
+    pairs = assigned.groupby("cell").map_groups(per_cell, batch_format="pandas")
+    # cross-cell duplicates (both vectors multi-assigned to >=2 shared
+    # cells) carry identical rounded cosine — one hash-partitioned dedup
+    from clawrag_ray.stages.relational import hash_partitioned_groups
+
+    deduped = hash_partitioned_groups(
+        pairs, ["vec_a", "vec_b"], lambda g: g.drop_duplicates(subset=["vec_a", "vec_b"]), num_partitions=num_partitions
+    )
+    out = deduped.to_pandas()
+    if out.empty:
+        return pd.DataFrame(
+            {
+                "vec_a": pd.Series([], dtype="int64"),
+                "vec_b": pd.Series([], dtype="int64"),
+                "cosine": pd.Series([], dtype="float64"),
+            }
+        )
+    return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+
 def embedding_near_dup_pairs_lsh(
     ds: Dataset,
     threshold: float = 0.9,

@@ -90,6 +90,50 @@ class TestSimilarity:
         assert lsh_pairs <= exact_pairs  # verification is exact -> never extra
         assert (0, 199) in lsh_pairs  # planted near-dup survives pruning
 
+    def test_ivf_pairs_equal_exact_on_random_vectors(self):
+        from clawrag_ray.stages.similarity import embedding_near_dup_pairs_ivf
+
+        ds, _ = _emb_ds()
+        exact = embedding_near_dup_pairs(ds, threshold=0.9).reset_index(drop=True)
+        ivf = embedding_near_dup_pairs_ivf(ds, threshold=0.9, n_centroids=8, n_probe=3).reset_index(drop=True)
+        assert exact.equals(ivf)
+        assert (0, 199) in set(zip(ivf["vec_a"], ivf["vec_b"]))
+
+    def test_ivf_pairs_equal_exact_on_correlated_embedder_corpus(self):
+        """The wiring case the tile sweep used to own: HashEmbedder vectors
+        over same-vocabulary documents are heavily correlated (random-pair
+        cosine ~0.57) — the regime where hyperplane LSH degenerates. The
+        IVF cell path must reproduce the exact sweep's pairs bit-for-bit."""
+        import pyarrow.compute as pc
+
+        from clawrag_ray.stages.embed import embed_texts
+        from clawrag_ray.stages.similarity import embedding_near_dup_pairs_ivf
+
+        words = ["spark", "merge", "window", "value", "shuffle", "join", "batch", "actor"]
+        rows = []
+        rng = np.random.RandomState(3)
+        for i in range(150):
+            text = " ".join(words[j % len(words)] for j in rng.randint(0, len(words), size=30))
+            rows.append({"doc_id": i, "text": text})
+        # planted near-dup: doc 149 = doc 0 with one word changed
+        rows[149]["text"] = rows[0]["text"].replace("spark", "merge", 1)
+        docs = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(4)
+        emb = embed_texts(docs, concurrency=1)
+
+        def to_vec(b):
+            return pa.table({"vec_id": pc.cast(b["doc_id"], pa.int64()), "embedding": b["embedding"]})
+
+        vecs = emb.map_batches(to_vec, batch_format="pyarrow", zero_copy_batch=True)
+        exact = embedding_near_dup_pairs(vecs, threshold=0.95).reset_index(drop=True)
+        # this synthetic corpus is far denser than the sf documents table
+        # (306 qualifying pairs among 150 docs) — n_probe=4 is the recall
+        # knob setting that makes the cell cover exact here; the driver
+        # wiring's n_probe=3 is verified against the real corpus at
+        # sf0.001-0.1 (see _q_doc_embedding_near_dups)
+        ivf = embedding_near_dup_pairs_ivf(vecs, threshold=0.95, n_centroids=8, n_probe=4).reset_index(drop=True)
+        assert exact.equals(ivf)
+        assert len(ivf) >= 1  # correlated corpus genuinely has near-dups
+
 
 def _events_ds():
     rows = []
