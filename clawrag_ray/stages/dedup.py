@@ -7,9 +7,10 @@ Scale design notes:
     groupby, so the shuffle moves one row per (key, batch) not per doc.
   * MinHash/LSH is the shingle -> signature -> band-bucket groupby pattern;
     only (band_hash, doc_id) pairs shuffle, never documents.
-  * candidate verification broadcasts the shingle sets via ray.put for the
-    sandbox-scale corpus; at 10^12 docs this becomes a hash-bucket join of
-    (doc_id, shingles) against candidates (documented, not needed here).
+  * candidate verification is a DISTRIBUTED bucket join: pairs explode
+    into doc-keyed legs, hash-join against the corpus, and a
+    hash-partitioned group pass reassembles both legs per pair — nothing
+    driver-side scales with the candidate set (the 10^12-doc shape).
 
 Reference parity: exact dedup policies SKIP/VERSION/REPLACE_IF_NEWER/
 NOTIFY_ONLY from ClawRag's DeduplicationService
@@ -218,51 +219,71 @@ def minhash_candidate_pairs(ds: Dataset, concurrency=None, **minhash_kw) -> Data
     return hash_partitioned_groups(cand, ["doc_a", "doc_b"], lambda g: g.drop_duplicates())
 
 
-def _verify_pairs_jaccard(ds: Dataset, pairs: pd.DataFrame, threshold: float, shingle_k: int) -> pd.DataFrame:
-    """Exact per-pair word-k-gram Jaccard over CANDIDATE pairs only: the
-    candidate docs' texts (bounded by the candidate set, never the corpus)
-    are broadcast once via ray.put; verification fans out as Ray tasks.
-    Jaccard uses the string-shingle definition (_shingle_strings) so the
-    values match the DuckDB oracle digit-for-digit. Returns
-    (doc_a, doc_b, jaccard rounded to 6) sorted by (doc_a, doc_b)."""
-    import ray
+def _explode_pair_legs(pairs: Dataset) -> Dataset:
+    """(doc_a, doc_b) pairs -> two LEG rows per pair (side 0 carries doc_a,
+    side 1 carries doc_b) keyed by ``doc_id`` — the join key against the
+    corpus. Purely columnar."""
+
+    def explode(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.concat_tables(
+            [
+                pa.table(
+                    {"doc_a": b["doc_a"], "doc_b": b["doc_b"], "side": pa.array([0] * n, pa.int8()), "doc_id": b["doc_a"]}
+                ),
+                pa.table(
+                    {"doc_a": b["doc_a"], "doc_b": b["doc_b"], "side": pa.array([1] * n, pa.int8()), "doc_id": b["doc_b"]}
+                ),
+            ]
+        )
+
+    return pairs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _verify_pairs_jaccard(
+    ds: Dataset, pairs: Dataset, threshold: float, shingle_k: int, num_partitions: int = 64
+) -> pd.DataFrame:
+    """Exact per-pair word-k-gram Jaccard over CANDIDATE pairs via a
+    DISTRIBUTED bucket join — no driver-side text dict (whose size scales
+    with the candidate set): each pair explodes into two legs keyed by
+    doc_id, legs hash-join against the corpus texts, and a hash-partitioned
+    group pass reassembles both legs per pair and verifies. The corpus
+    shuffles once (the standard verify-join shape at 10^12 docs); shingle
+    sets are memoized per doc within each partition. Jaccard uses the
+    string-shingle definition (_shingle_strings) so the values match the
+    DuckDB oracle digit-for-digit. Returns (doc_a, doc_b, jaccard rounded
+    to 6) sorted by (doc_a, doc_b)."""
+    from clawrag_ray.stages.relational import hash_join, hash_partitioned_groups
 
     empty = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64"), "jaccard": pd.Series([], dtype="float64")})
-    if pairs.empty:
-        return empty
-    cand_ids = set(pairs["doc_a"]) | set(pairs["doc_b"])
+    legs = _explode_pair_legs(pairs)
+    joined = hash_join(
+        legs, ds.select_columns(["doc_id", "text"]), on="doc_id", num_partitions=min(16, num_partitions)
+    )
 
-    def texts_of(batch: pa.Table) -> pa.Table:
-        mask = pa.compute.is_in(batch["doc_id"], value_set=pa.array(list(cand_ids)))
-        return batch.filter(mask).select(["doc_id", "text"])
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        a = g[g["side"] == 0][["doc_a", "doc_b", "text"]].rename(columns={"text": "text_a"})
+        b = g[g["side"] == 1][["doc_a", "doc_b", "text"]].rename(columns={"text": "text_b"})
+        m = a.merge(b, on=["doc_a", "doc_b"])
+        cache: dict = {}
 
-    texts = ds.select_columns(["doc_id", "text"]).map_batches(
-        texts_of, batch_format="pyarrow", zero_copy_batch=True
-    ).to_pandas()
-    lookup_ref = ray.put(dict(zip(texts["doc_id"], texts["text"])))
-
-    @ray.remote
-    def verify(chunk: pd.DataFrame, lookup) -> pd.DataFrame:
-        shingles: dict = {}
-
-        def sh(doc_id):
-            if doc_id not in shingles:
-                shingles[doc_id] = _shingle_strings(lookup.get(doc_id, "") or "", shingle_k)
-            return shingles[doc_id]
+        def sh(key, text):
+            if key not in cache:
+                cache[key] = _shingle_strings(text or "", shingle_k)
+            return cache[key]
 
         out_j = []
-        for a, b in zip(chunk["doc_a"], chunk["doc_b"]):
-            sa, sb = sh(a), sh(b)
+        for da, db, ta, tb in zip(m["doc_a"], m["doc_b"], m["text_a"], m["text_b"]):
+            sa, sb = sh(da, ta), sh(db, tb)
             inter = len(sa & sb)
             out_j.append(round(inter / (len(sa) + len(sb) - inter), 6) if inter else 0.0)
-        chunk = chunk.copy()
-        chunk["jaccard"] = out_j
-        return chunk
+        m = m.assign(jaccard=out_j)[["doc_a", "doc_b", "jaccard"]]
+        return m[m["jaccard"] >= threshold]
 
-    n_chunks = max(1, min(16, len(pairs) // 256))
-    futures = [verify.remote(c, lookup_ref) for c in np.array_split(pairs, n_chunks)]
-    verified = pd.concat(ray.get(futures), ignore_index=True)
-    out = verified[verified["jaccard"] >= threshold]
+    verified = hash_partitioned_groups(joined, ["doc_a", "doc_b"], per_part, num_partitions=num_partitions)
+    out = verified.to_pandas()  # bounded: qualifying pairs only (output-sized)
+    if out.empty:
+        return empty
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
 
 
@@ -282,7 +303,7 @@ def minhash_near_dups(
     (and shares its DuckDB oracle). Returns (doc_a, doc_b, jaccard)."""
     pairs = minhash_candidate_pairs(
         ds, concurrency=concurrency, shingle_k=shingle_k, n_perm=n_perm, n_bands=n_bands
-    ).to_pandas()
+    )
     return _verify_pairs_jaccard(ds, pairs, threshold, shingle_k)
 
 
@@ -464,7 +485,6 @@ def simhash_near_dup_pairs(
         .groupby(["doc_a", "doc_b"])
         .aggregate(Count(alias_name="_n"))
         .drop_columns(["_n"])
-        .to_pandas()
     )
     empty = pd.DataFrame(
         {
@@ -473,30 +493,26 @@ def simhash_near_dup_pairs(
             "hamming": pd.Series([], dtype="int64"),
         }
     )
-    if pairs.empty:
+    # verify via the DISTRIBUTED bucket join (no driver-side hash dict):
+    # pair legs join against the (doc_id, simhash) table, a hash-partitioned
+    # pass reassembles both legs per pair and computes Hamming vectorized
+    # (xor + unpackbits popcount)
+    from clawrag_ray.stages.relational import hash_join, hash_partitioned_groups
+
+    legs = _explode_pair_legs(pairs)
+    joined = hash_join(legs, hashed, on="doc_id", num_partitions=16)
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        a = g[g["side"] == 0][["doc_a", "doc_b", "simhash"]].rename(columns={"simhash": "h_a"})
+        b = g[g["side"] == 1][["doc_a", "doc_b", "simhash"]].rename(columns={"simhash": "h_b"})
+        m = a.merge(b, on=["doc_a", "doc_b"])
+        x = np.bitwise_xor(m["h_a"].to_numpy(dtype=np.int64), m["h_b"].to_numpy(dtype=np.int64))
+        ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1).astype("int64")
+        m = m.assign(hamming=ham)[["doc_a", "doc_b", "hamming"]]
+        return m[m["hamming"] <= max_hamming]
+
+    verified = hash_partitioned_groups(joined, ["doc_a", "doc_b"], per_part)
+    out = verified.to_pandas()  # bounded: qualifying pairs only
+    if out.empty:
         return empty
-    import ray
-
-    cand_ids = set(pairs["doc_a"]) | set(pairs["doc_b"])
-
-    def hashes_of(batch: pa.Table) -> pa.Table:
-        mask = pa.compute.is_in(batch["doc_id"], value_set=pa.array(list(cand_ids)))
-        return batch.filter(mask)
-
-    cand = hashed.map_batches(hashes_of, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
-    lookup_ref = ray.put(dict(zip(cand["doc_id"], cand["simhash"])))
-
-    @ray.remote
-    def verify(chunk: pd.DataFrame, lookup) -> pd.DataFrame:
-        chunk = chunk.copy()
-        chunk["hamming"] = [
-            hamming_distance(int(lookup.get(a, 0)), int(lookup.get(b, 0)))
-            for a, b in zip(chunk["doc_a"], chunk["doc_b"])
-        ]
-        return chunk
-
-    n_chunks = max(1, min(16, len(pairs) // 256))
-    futures = [verify.remote(c, lookup_ref) for c in np.array_split(pairs, n_chunks)]
-    verified = pd.concat(ray.get(futures), ignore_index=True)
-    out = verified[verified["hamming"] <= max_hamming].astype({"hamming": "int64"})
-    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    return out.astype({"hamming": "int64"}).sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
