@@ -493,6 +493,33 @@ def _q_frame_sample(sf_dir: str):
     return frame_sample(media, every_ms=1000)
 
 
+def _q_video_features(sf_dir: str):
+    """Byte-real video metadata: deterministic ISO-BMFF (MP4) containers
+    are synthesized per doc (real ftyp/moov/mvhd/trak/tkhd box structure,
+    alternating full-box versions 0/1), then parsed back by the pure-stdlib
+    box walker — duration/timescale/dimensions come from BYTES, and the
+    frame count derives from the parsed duration. The oracle predicts the
+    parsed values from the generator formulas, including the
+    timescale-unit floor on the stored duration."""
+    from clawrag_ray.functions.mediafixtures import encode_mp4
+    from clawrag_ray.stages.multimodal import video_metadata_pipeline
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        ids, payloads = [], []
+        for doc_id, n_chars in zip(batch["doc_id"].to_pylist(), batch["n_chars"].to_pylist()):
+            ts = 600 + 100 * (doc_id % 5)
+            dms = 500 + (n_chars * 37) % 60000
+            w, h = 16 * (1 + doc_id % 8), 16 * (1 + n_chars % 8)
+            payloads.append(encode_mp4(dms, ts, w, h, version=doc_id % 2))
+            ids.append(str(doc_id))
+        return pa.table({"media_id": pa.array(ids, pa.string()), "payload": pa.array(payloads, pa.binary())})
+
+    media = _read(sf_dir, "documents", ["doc_id", "n_chars"]).map_batches(
+        to_media, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return video_metadata_pipeline(media, frame_every_ms=1000)
+
+
 def _q_semantic_chunks(sf_dir: str):
     from clawrag_ray.stages.chunk_ops import semantic_chunk_explode
 
@@ -695,6 +722,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _q_media_features,
         "audio_features": _q_audio_features,
         "frame_sample": _q_frame_sample,
+        "video_features": _q_video_features,
         "semantic_chunks": _q_semantic_chunks,
         "doc_embedding_near_dups": _q_doc_embedding_near_dups,
         "extract_spans_text": _q_extract_spans_text,
@@ -988,6 +1016,17 @@ def oracle_sql() -> dict[str, str]:
             "p.ch::INTEGER AS channels, (p.frames * 1000 // p.sr)::INTEGER AS duration_ms, "
             "agg.n AS n_samples, agg.sum_sq, round(sqrt(agg.sum_sq::DOUBLE / agg.n), 6) AS rms "
             "FROM p JOIN agg ON p.doc_id = agg.doc_id"
+        ),
+        "video_features": (
+            # stored duration floors to timescale units: parsed_ms =
+            # (dms*ts//1000)*1000//ts — mirrored exactly
+            "WITH p AS (SELECT doc_id, 600 + 100 * (doc_id % 5) AS ts, "
+            "500 + (n_chars * 37) % 60000 AS dms, "
+            "16 * (1 + doc_id % 8) AS w, 16 * (1 + n_chars % 8) AS h FROM documents) "
+            "SELECT CAST(doc_id AS VARCHAR) AS media_id, 'isom' AS brand, ts::INTEGER AS timescale, "
+            "(((dms * ts) // 1000) * 1000 // ts)::INTEGER AS duration_ms, "
+            "w::INTEGER AS width, h::INTEGER AS height, 1::INTEGER AS n_tracks, "
+            "greatest(1, (((dms * ts) // 1000) * 1000 // ts) // 1000)::INTEGER AS n_frames FROM p"
         ),
         "bm25_idf": _BM25_PRESENCE_CTE + " SELECT token, df, idf FROM idf",
         "media_resize": (

@@ -127,3 +127,38 @@ def encode_wav(sample_rate: int, channels: int, frames: int, sample_fn) -> bytes
         + struct.pack("<I", len(data))
         + data
     )
+
+
+def encode_mp4(
+    duration_ms: int, timescale: int, width: int, height: int, version: int = 0, brand: bytes = b"isom"
+) -> bytes:
+    """Minimal ISO BMFF (MP4) container: ftyp + moov(mvhd + trak(tkhd)) +
+    mdat, per the public ISO/IEC 14496-12 box layout. ``version`` selects
+    the mvhd/tkhd full-box version (0 = 32-bit times, 1 = 64-bit) so both
+    parser paths are exercised. Duration is stored in timescale units
+    (duration_ms * timescale // 1000 — the parser's read-back therefore
+    floors to the representable millisecond value)."""
+
+    def box(typ: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+    def full_box(typ: bytes, ver: int, payload: bytes) -> bytes:
+        return box(typ, bytes([ver]) + b"\x00\x00\x00" + payload)
+
+    dur_units = duration_ms * timescale // 1000
+    matrix = struct.pack(">9I", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+    if version == 1:
+        mvhd = struct.pack(">QQIQ", 0, 0, timescale, dur_units)
+    else:
+        mvhd = struct.pack(">IIII", 0, 0, timescale, dur_units)
+    mvhd += struct.pack(">I", 0x00010000) + struct.pack(">H", 0x0100) + b"\x00" * 10 + matrix + b"\x00" * 24
+    mvhd += struct.pack(">I", 2)  # next_track_ID
+    if version == 1:
+        tkhd = struct.pack(">QQI4xQ", 0, 0, 1, dur_units)
+    else:
+        tkhd = struct.pack(">III4xI", 0, 0, 1, dur_units)
+    tkhd += b"\x00" * 8 + struct.pack(">hhhh", 0, 0, 0, 0) + matrix
+    tkhd += struct.pack(">II", width << 16, height << 16)  # 16.16 fixed
+    moov = box(b"moov", full_box(b"mvhd", version, mvhd) + box(b"trak", full_box(b"tkhd", version, tkhd)))
+    ftyp = box(b"ftyp", brand + struct.pack(">I", 0x200) + brand)
+    return ftyp + moov + box(b"mdat", b"\x00" * 8)

@@ -171,6 +171,67 @@ def parse_wav_metadata(payload: bytes) -> dict:
     }
 
 
+def parse_mp4_metadata(payload: bytes) -> dict:
+    """Real MP4/ISO-BMFF metadata from raw bytes (public ISO/IEC 14496-12
+    layout, pure stdlib): top-level box walk to ``moov``, ``mvhd`` for
+    timescale + movie duration (versions 0 and 1), ``trak`` count and the
+    first ``tkhd``'s 16.16-fixed presentation width/height. The byte-real
+    companion of the WAV/PNG/TIFF/JPEG parsers above — frame sampling can
+    derive durations from bytes instead of a metadata column. Returns
+    {brand, timescale, duration_ms, width, height, n_tracks}; raises
+    ValueError on non-MP4/corrupt containers."""
+
+    def walk(start: int, end: int):
+        pos = start
+        while pos + 8 <= end:
+            (size,) = struct.unpack(">I", payload[pos : pos + 4])
+            typ = payload[pos + 4 : pos + 8]
+            hdr = 8
+            if size == 1:  # 64-bit largesize
+                (size,) = struct.unpack(">Q", payload[pos + 8 : pos + 16])
+                hdr = 16
+            elif size == 0:  # box extends to end of enclosing scope
+                size = end - pos
+            if size < hdr or pos + size > end:
+                raise ValueError("bad MP4 box size")
+            yield typ, pos + hdr, pos + size
+            pos += size
+
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError("not an MP4 (no ftyp)")
+    meta = {
+        "brand": payload[8:12].decode("ascii", "replace"),
+        "timescale": -1,
+        "duration_ms": -1,
+        "width": -1,
+        "height": -1,
+        "n_tracks": 0,
+    }
+    for typ, s, e in walk(0, len(payload)):
+        if typ != b"moov":
+            continue
+        for t2, s2, e2 in walk(s, e):
+            if t2 == b"mvhd":
+                ver = payload[s2]
+                if ver == 1:
+                    ts, dur = struct.unpack(">IQ", payload[s2 + 4 + 16 : s2 + 4 + 16 + 12])
+                else:
+                    ts, dur = struct.unpack(">II", payload[s2 + 4 + 8 : s2 + 4 + 8 + 8])
+                meta["timescale"] = int(ts)
+                meta["duration_ms"] = int(dur * 1000 // ts) if ts else -1
+            elif t2 == b"trak":
+                meta["n_tracks"] += 1
+                for t3, s3, _e3 in walk(s2, e2):
+                    if t3 == b"tkhd" and meta["width"] < 0:
+                        ver = payload[s3]
+                        off = s3 + 4 + (84 if ver == 1 else 72)  # past times/ids/flags/matrix
+                        w16, h16 = struct.unpack(">II", payload[off : off + 8])
+                        meta["width"], meta["height"] = int(w16 >> 16), int(h16 >> 16)
+    if meta["timescale"] < 0:
+        raise ValueError("MP4 without moov/mvhd")
+    return meta
+
+
 class ImageMetadata:
     """Actor-pool stage: binary image column -> real container metadata
     (format, dims, EXIF make/model/orientation). Parse failures become
@@ -248,6 +309,56 @@ def image_metadata_pipeline(ds: Dataset, concurrency=(1, 4), batch_size: int = 1
 def audio_metadata_pipeline(ds: Dataset, concurrency=(1, 4), batch_size: int = 16) -> Dataset:
     return ds.map_batches(
         AudioMetadata,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        zero_copy_batch=True,
+    )
+
+
+class VideoMetadata:
+    """Actor-pool stage: binary MP4 column -> per-video container metadata
+    + the derived frame-sample count (byte-real: duration comes from the
+    parsed mvhd, not a metadata column). Unparseable payloads become error
+    rows (brand '', -1 numerics) instead of poisoning the batch."""
+
+    def __init__(self, frame_every_ms: int = 1000):
+        self.frame_every_ms = frame_every_ms
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols: dict[str, list] = {k: [] for k in ("brand", "timescale", "duration_ms", "width", "height", "n_tracks", "n_frames")}
+        for payload in batch["payload"].to_pylist():
+            try:
+                m = parse_mp4_metadata(payload or b"")
+                n_frames = max(1, m["duration_ms"] // self.frame_every_ms)
+            except ValueError:
+                m = {"brand": "", "timescale": -1, "duration_ms": -1, "width": -1, "height": -1, "n_tracks": 0}
+                n_frames = 0
+            for k in ("brand", "timescale", "duration_ms", "width", "height", "n_tracks"):
+                cols[k].append(m[k])
+            cols["n_frames"].append(n_frames)
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "brand": pa.array(cols["brand"], pa.string()),
+                "timescale": pa.array(cols["timescale"], pa.int32()),
+                "duration_ms": pa.array(cols["duration_ms"], pa.int32()),
+                "width": pa.array(cols["width"], pa.int32()),
+                "height": pa.array(cols["height"], pa.int32()),
+                "n_tracks": pa.array(cols["n_tracks"], pa.int32()),
+                "n_frames": pa.array(cols["n_frames"], pa.int32()),
+            }
+        )
+
+
+def video_metadata_pipeline(
+    ds: Dataset, frame_every_ms: int = 1000, concurrency=(1, 4), batch_size: int = 16
+) -> Dataset:
+    """Byte-real video metadata over a binary MP4 column (same small-batch
+    actor-pool shape as the image/audio pipelines)."""
+    return ds.map_batches(
+        VideoMetadata,
+        fn_constructor_kwargs={"frame_every_ms": frame_every_ms},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

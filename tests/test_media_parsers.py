@@ -224,3 +224,58 @@ class TestJpegScanData:
         jpeg = head + b"\xff\xd0" + sos + scan + b"\xff\xd9"
         m = parse_image_metadata(jpeg)
         assert (m["format"], m["width"], m["height"], m["make"]) == ("jpeg", 17, 23, "clawrag")
+
+
+class TestMp4Parser:
+    def test_round_trip_both_versions(self):
+        from clawrag_ray.functions.mediafixtures import encode_mp4
+        from clawrag_ray.stages.multimodal import parse_mp4_metadata
+
+        for v in (0, 1):
+            m = parse_mp4_metadata(encode_mp4(12345, 600, 320, 240, version=v))
+            assert m == {
+                "brand": "isom",
+                "timescale": 600,
+                "duration_ms": 12345,
+                "width": 320,
+                "height": 240,
+                "n_tracks": 1,
+            }
+
+    def test_duration_floors_to_timescale_units(self):
+        from clawrag_ray.functions.mediafixtures import encode_mp4
+        from clawrag_ray.stages.multimodal import parse_mp4_metadata
+
+        # 1001 ms at timescale 600 stores 600 units -> reads back 1000 ms
+        m = parse_mp4_metadata(encode_mp4(1001, 600, 16, 16))
+        assert m["duration_ms"] == (1001 * 600 // 1000) * 1000 // 600 == 1000
+
+    def test_corrupt_payloads_raise(self):
+        from clawrag_ray.functions.mediafixtures import encode_mp4
+        from clawrag_ray.stages.multimodal import parse_mp4_metadata
+
+        for bad in (b"", b"nope", b"\x00\x00\x00\x08ftypXXXX"):
+            with pytest.raises(ValueError):
+                parse_mp4_metadata(bad)
+        # oversized inner box size must not walk past the buffer
+        good = bytearray(encode_mp4(1000, 600, 16, 16))
+        good[0:4] = (2 ** 31).to_bytes(4, "big")
+        with pytest.raises(ValueError):
+            parse_mp4_metadata(bytes(good))
+
+    def test_video_metadata_pipeline(self):
+        from clawrag_ray.functions.mediafixtures import encode_mp4
+        from clawrag_ray.stages.multimodal import video_metadata_pipeline
+
+        rows = [
+            {"media_id": "a", "payload": encode_mp4(3500, 1000, 64, 48)},
+            {"media_id": "bad", "payload": b"not mp4"},
+        ]
+        got = (
+            video_metadata_pipeline(ray.data.from_arrow(pa.Table.from_pylist(rows)), frame_every_ms=1000)
+            .to_pandas()
+            .set_index("media_id")
+        )
+        assert got.loc["a", "duration_ms"] == 3500
+        assert got.loc["a", "n_frames"] == 3
+        assert got.loc["bad", "timescale"] == -1 and got.loc["bad", "n_frames"] == 0
