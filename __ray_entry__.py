@@ -266,6 +266,19 @@ def _q_value_quantiles(sf_dir: str):
     return grouped_quantiles(_read(sf_dir, "events", ["event_type", "value"]), ["event_type"], "value", [0.5, 0.95])
 
 
+def _q_value_quantiles_tdigest(sf_dir: str):
+    """Sketch-based grouped quantiles (grouped_quantiles_tdigest): partial
+    digests shuffle instead of raw values. Exact (same oracle as
+    value_quantiles) while group sizes stay under the 8192-centroid
+    compression — true at the driver's sf0.01 gate; beyond that the rank
+    error is bounded by W/compression (tests pin both regimes)."""
+    from clawrag_ray.stages.relational import grouped_quantiles_tdigest
+
+    return grouped_quantiles_tdigest(
+        _read(sf_dir, "events", ["event_type", "value"]), ["event_type"], "value", [0.5, 0.95]
+    )
+
+
 def _q_distinct_users(sf_dir: str):
     from clawrag_ray.stages.relational import distinct_count
 
@@ -700,6 +713,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_priority_revenue": _q_order_priority_revenue,
         "asof_latest_order": _q_asof_latest_order,
         "value_quantiles": _q_value_quantiles,
+        "value_quantiles_tdigest": _q_value_quantiles_tdigest,
         "distinct_users": _q_distinct_users,
         "top_orders_per_customer": _q_top_orders_per_customer,
         "events_hopping": _q_events_hopping,
@@ -911,6 +925,12 @@ def oracle_sql() -> dict[str, str]:
             "ASOF JOIN o1 o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate"
         ),
         "value_quantiles": (
+            "SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50, "
+            "round(quantile_cont(value, 0.95), 4) AS p95, count(*) AS n FROM events GROUP BY event_type"
+        ),
+        # exact-equality regime of the sketch (group sizes < compression
+        # at sf0.01) — same oracle as the exact path by design
+        "value_quantiles_tdigest": (
             "SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50, "
             "round(quantile_cont(value, 0.95), 4) AS p95, count(*) AS n FROM events GROUP BY event_type"
         ),

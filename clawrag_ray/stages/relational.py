@@ -594,9 +594,8 @@ def grouped_quantiles(
 ) -> Dataset:
     """Exact per-group quantiles (linear interpolation — numpy percentile
     and SQL quantile_cont agree). Per-group exact math needs the group's
-    values together -> one groupby shuffle; for sketch-sized state at
-    10^12 rows swap in a t-digest accumulate/merge with the same output
-    schema."""
+    values together -> one groupby shuffle; grouped_quantiles_tdigest is
+    the sketch-state swap (same output schema) for 10^12-row groups."""
     import numpy as np
 
     # round() not int(): int truncates float artifacts (q=0.29 -> 28.999 -> 'p28')
@@ -613,6 +612,103 @@ def grouped_quantiles(
     return ds.select_columns(keys + [value_col]).groupby(keys[0] if len(keys) == 1 else keys).map_groups(
         per_group, batch_format="pandas"
     )
+
+
+def _merge_centroids(means: "np.ndarray", weights: "np.ndarray", compression: int):
+    """Deterministic t-digest-style merge (uniform k0 scale): centroids
+    sorted by mean, adjacent centroids greedily coalesced so no merged
+    centroid exceeds W/compression weight. Rank error of any quantile read
+    from the result is bounded by the largest centroid's half-weight, i.e.
+    <= W/compression ranks (documented bound; exact when nothing merges)."""
+    import numpy as np
+
+    order = np.argsort(means, kind="mergesort")
+    means, weights = means[order], weights[order]
+    if len(means) <= compression:
+        return means, weights
+    w_total = float(weights.sum())
+    cap = w_total / compression
+    out_m, out_w = [], []
+    acc_w, acc_mw = 0.0, 0.0
+    for m, w in zip(means, weights):
+        if acc_w and acc_w + w > cap:
+            out_m.append(acc_mw / acc_w)
+            out_w.append(acc_w)
+            acc_w, acc_mw = 0.0, 0.0
+        acc_w += w
+        acc_mw += m * w
+    if acc_w:
+        out_m.append(acc_mw / acc_w)
+        out_w.append(acc_w)
+    return np.asarray(out_m), np.asarray(out_w)
+
+
+def _centroid_quantile(means: "np.ndarray", weights: "np.ndarray", q: float) -> float:
+    """Quantile from weighted centroids: linear interpolation between
+    centroid means placed at their rank midpoints. When every centroid is
+    a singleton (weight 1) this IS numpy's linear percentile — and
+    therefore SQL quantile_cont — exactly."""
+    import numpy as np
+
+    cum = np.cumsum(weights)
+    w_total = cum[-1]
+    mid = cum - (weights + 1.0) / 2.0  # 0-indexed rank midpoint of each centroid
+    target = q * (w_total - 1.0)
+    return float(np.interp(target, mid, means))
+
+
+def grouped_quantiles_tdigest(
+    ds: Dataset,
+    keys: list[str],
+    value_col: str,
+    quantiles: list[float],
+    ndigits: int = 4,
+    compression: int = 8192,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Sketch-based grouped quantiles — the 10^12-rows-per-group swap for
+    grouped_quantiles, same output schema: per-batch partial DIGESTS (one
+    (means, weights) centroid list per key per batch, each capped at
+    ``compression`` centroids) shuffle instead of raw values; a
+    hash-partitioned pass merges each key's partials and reads the
+    quantiles off the merged digest.
+
+    Exactness contract: while a group's total row count stays <=
+    ``compression`` every centroid remains a singleton and the result
+    equals the exact path / SQL quantile_cont bit-for-bit (pinned in
+    tests); beyond that the rank error is bounded by W/compression per
+    query (see _merge_centroids). State per (key, partial) is O(compression)
+    regardless of group size — the property the exact path lacks."""
+    import numpy as np
+
+    qcols = [f"p{int(round(q * 100))}" for q in quantiles]
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for key_vals, g in b.groupby(keys, sort=False):
+            vals = g[value_col].to_numpy(dtype=float)
+            m, w = _merge_centroids(vals, np.ones(len(vals)), compression)
+            key_vals = key_vals if isinstance(key_vals, tuple) else (key_vals,)
+            rows.append(dict(zip(keys, key_vals)) | {"means": m.tolist(), "weights": w.tolist()})
+        return pd.DataFrame(rows)
+
+    partials = ds.select_columns(keys + [value_col]).map_batches(partial, batch_format="pandas")
+
+    def merge_part(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for key_vals, kg in g.groupby(keys, sort=False):
+            means = np.concatenate([np.asarray(m, dtype=float) for m in kg["means"]])
+            weights = np.concatenate([np.asarray(w, dtype=float) for w in kg["weights"]])
+            m, w = _merge_centroids(means, weights, compression)
+            key_vals = key_vals if isinstance(key_vals, tuple) else (key_vals,)
+            row = dict(zip(keys, key_vals))
+            for q, name in zip(quantiles, qcols):
+                row[name] = round(_centroid_quantile(m, w, q), ndigits)
+            row["n"] = int(round(weights.sum()))
+            rows.append(row)
+        return pd.DataFrame(rows)
+
+    return hash_partitioned_groups(partials, keys, merge_part, num_partitions=num_partitions)
 
 
 def distinct_count(ds: Dataset, keys: list[str], value_col: str) -> Dataset:

@@ -380,6 +380,46 @@ class TestNewRelationalOps:
         assert df["p90"].iloc[0] == round(float(np.percentile(vals, 90)), 4)
         assert df["n"].iloc[0] == 5
 
+    def test_grouped_quantiles_tdigest_exact_regime(self):
+        """While group sizes stay under compression, the sketch path must
+        equal the exact path bit-for-bit (all centroids are singletons and
+        the midpoint interpolation reduces to numpy linear percentile)."""
+        from clawrag_ray.stages.relational import grouped_quantiles, grouped_quantiles_tdigest
+
+        rng = np.random.RandomState(11)
+        df = pd.DataFrame(
+            {"k": np.repeat(["a", "b", "c"], 200), "v": rng.standard_normal(600) * 10}
+        )
+        ds = ray.data.from_pandas(df).repartition(5)
+        exact = grouped_quantiles(ds, ["k"], "v", [0.5, 0.29, 0.95]).to_pandas().sort_values("k").reset_index(drop=True)
+        sketch = (
+            grouped_quantiles_tdigest(ds, ["k"], "v", [0.5, 0.29, 0.95], compression=1024)
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(exact[sorted(exact.columns)], sketch[sorted(sketch.columns)])
+
+    def test_grouped_quantiles_tdigest_bounded_error_when_merging(self):
+        """Forced merging (compression far below group size): quantile rank
+        error is bounded by W/compression, i.e. value error within the
+        span of ~2W/compression neighboring order stats."""
+        from clawrag_ray.stages.relational import grouped_quantiles_tdigest
+
+        rng = np.random.RandomState(7)
+        vals = rng.standard_normal(5000)
+        df = pd.DataFrame({"k": "a", "v": vals})
+        ds = ray.data.from_pandas(df).repartition(8)
+        got = grouped_quantiles_tdigest(ds, ["k"], "v", [0.5, 0.95], compression=64).to_pandas()
+        assert int(got["n"].iloc[0]) == 5000
+        srt = np.sort(vals)
+        for q, col in [(0.5, "p50"), (0.95, "p95")]:
+            rank = q * (len(srt) - 1)
+            slack = 2 * len(srt) / 64  # rank error bound (partial + merge passes)
+            lo = srt[max(0, int(rank - slack))]
+            hi = srt[min(len(srt) - 1, int(rank + slack) + 1)]
+            assert lo <= got[col].iloc[0] <= hi
+
     def test_distinct_count(self):
         from clawrag_ray.stages.relational import distinct_count
 
