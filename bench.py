@@ -58,6 +58,8 @@ TIMED_QUERIES = [
     "ann_topk",
     "ann_ivf_topk",
     "minhash_near_dups",
+    "bm25_topk",
+    "doc_embedding_near_dups",
     "extract_spans_text",
 ]
 
