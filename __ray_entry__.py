@@ -285,6 +285,37 @@ def _q_distinct_users(sf_dir: str):
     return distinct_count(_read(sf_dir, "events", ["event_type", "user_id"]), ["event_type"], "user_id")
 
 
+def _q_distinct_users_hll(sf_dir: str):
+    """HyperLogLog-based distinct count (sparse->dense, the Redis/BigQuery
+    shape): exact — same oracle as distinct_users — while each key's true
+    distinct count stays under the sparse limit (true at the sf0.01 gate);
+    beyond that the dense registers bound state at 2^12 per key with ~1.6%
+    standard error (tests pin both regimes)."""
+    from clawrag_ray.stages.relational import distinct_count_hll
+
+    return distinct_count_hll(_read(sf_dir, "events", ["event_type", "user_id"]), ["event_type"], "user_id")
+
+
+def _q_rrf_hybrid(sf_dir: str):
+    """Hybrid retrieval via Reciprocal Rank Fusion (the deterministic core
+    of the reference's enhanced_hybrid_retriever.py:8): fuse the BM25
+    top-50 for the bench query with a length-prior top-50 (n_chars desc —
+    a second SQL-expressible retriever), rrf_score = sum 1/(60+rank).
+    Both rankings are distributed operators; the fuse itself runs on two
+    bounded top-k lists."""
+    from clawrag_ray.stages.bm25 import bm25_topk
+    from clawrag_ray.stages.retrieval import rrf_fuse
+
+    bm = bm25_topk(_read(sf_dir, "documents", ["doc_id", "text"]), BM25_QUERY, k=50)
+    size = (
+        _read(sf_dir, "documents", ["doc_id", "n_chars"])
+        .sort(["n_chars", "doc_id"], descending=[True, False])
+        .limit(50)
+        .to_pandas()
+    )
+    return rrf_fuse([bm, size], top=10)
+
+
 def _q_top_orders_per_customer(sf_dir: str):
     from clawrag_ray.stages.relational import top_n_per_group
 
@@ -715,6 +746,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles": _q_value_quantiles,
         "value_quantiles_tdigest": _q_value_quantiles_tdigest,
         "distinct_users": _q_distinct_users,
+        "distinct_users_hll": _q_distinct_users_hll,
         "top_orders_per_customer": _q_top_orders_per_customer,
         "events_hopping": _q_events_hopping,
         "events_after_purchase": _q_events_after_purchase,
@@ -731,6 +763,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": _q_fingerprints,
         "bm25_idf": _q_bm25_idf,
         "bm25_topk": _q_bm25_topk,
+        "rrf_hybrid": _q_rrf_hybrid,
         "magic_validation": _q_magic_validation,
         "media_resize": _q_media_resize,
         "media_features": _q_media_features,
@@ -810,6 +843,29 @@ _BM25_PRESENCE_CTE = (
     "raw AS (SELECT token, df, ln((nd - df + 0.5) / (df + 0.5)) AS idf0 FROM df, nn), "
     "idf AS (SELECT token, df, round(CASE WHEN idf0 < 0 THEN "
     "0.25 * (SELECT avg(idf0) FROM raw) ELSE idf0 END, 6) AS idf FROM raw)"
+)
+# full per-doc BM25 score (mirrors stages/bm25.py digit-for-digit); ends at
+# CTE `sc` = (doc_id, score) over ALL documents so callers pick their own
+# top-k / ranking tail (shared by bm25_topk and rrf_hybrid)
+_BM25_SCORE_CTE = (
+    _BM25_PRESENCE_CTE + ", "
+    "tf_base AS (SELECT doc_id, t, count(*)::BIGINT AS c FROM tok GROUP BY 1, 2), "
+    "tf_sec AS (SELECT doc_id, substr(t, 2) AS t, count(*)::BIGINT AS c FROM tok "
+    "WHERE t LIKE '§%' AND regexp_full_match(substr(t, 2), '[0-9]+') GROUP BY 1, 2), "
+    "tf_dig AS (SELECT tok.doc_id, dg.d AS t, sum(length(t) - length(replace(t, dg.d, '')))::BIGINT AS c "
+    "FROM tok CROSS JOIN (SELECT unnest(['1','2','3','4','5','6','7','8','9']) AS d) dg "
+    "WHERE regexp_full_match(t, '[0-9]{2,}') AND position(dg.d IN t) > 0 GROUP BY 1, 2), "
+    "tf AS (SELECT doc_id, t, sum(c)::BIGINT AS c FROM "
+    "(SELECT * FROM tf_base UNION ALL SELECT * FROM tf_sec UNION ALL SELECT * FROM tf_dig) GROUP BY 1, 2), "
+    "dl AS (SELECT d.doc_id, coalesce(s.dl, 0)::DOUBLE AS dl FROM documents d "
+    "LEFT JOIN (SELECT doc_id, sum(c) AS dl FROM tf GROUP BY 1) s ON d.doc_id = s.doc_id), "
+    "ad AS (SELECT sum(dl) / count(*) AS avgdl FROM dl), "
+    f"q AS (SELECT unnest({BM25_QUERY.split()!r}) AS t), "
+    "sc0 AS (SELECT tf.doc_id, sum(idf.idf * tf.c * 2.5 / (tf.c + 1.5 * (0.25 + 0.75 * dl.dl / ad.avgdl))) AS score "
+    "FROM tf JOIN q ON tf.t = q.t JOIN idf ON idf.token = tf.t "
+    "JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN ad GROUP BY tf.doc_id), "
+    "sc AS (SELECT d.doc_id, round(coalesce(sc0.score, 0.0), 6) AS score FROM documents d "
+    "LEFT JOIN sc0 ON d.doc_id = sc0.doc_id)"
 )
 _EN_RE = r"\b(?:the|and|is|of|to|in|that|for|with|on)\b"
 _BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
@@ -935,6 +991,13 @@ def oracle_sql() -> dict[str, str]:
             "round(quantile_cont(value, 0.95), 4) AS p95, count(*) AS n FROM events GROUP BY event_type"
         ),
         "distinct_users": (
+            "SELECT event_type, count(DISTINCT user_id) AS n_distinct_user_id FROM events GROUP BY event_type"
+        ),
+        # HLL sparse mode is EXACT while each key's true distinct count is
+        # <= sparse_limit (4096; true for events at the sf0.01 gate), so the
+        # sketch query shares the exact oracle — the dense estimation regime
+        # is pinned by tests/test_similarity_and_relational.py instead
+        "distinct_users_hll": (
             "SELECT event_type, count(DISTINCT user_id) AS n_distinct_user_id FROM events GROUP BY event_type"
         ),
         "top_orders_per_customer": (
@@ -1064,25 +1127,18 @@ def oracle_sql() -> dict[str, str]:
             "WHEN 5 THEN 'EMPTY' ELSE '' END AS reason FROM documents"
         ),
         "bm25_topk": (
-            _BM25_PRESENCE_CTE + ", "
-            "tf_base AS (SELECT doc_id, t, count(*)::BIGINT AS c FROM tok GROUP BY 1, 2), "
-            "tf_sec AS (SELECT doc_id, substr(t, 2) AS t, count(*)::BIGINT AS c FROM tok "
-            "WHERE t LIKE '§%' AND regexp_full_match(substr(t, 2), '[0-9]+') GROUP BY 1, 2), "
-            "tf_dig AS (SELECT tok.doc_id, dg.d AS t, sum(length(t) - length(replace(t, dg.d, '')))::BIGINT AS c "
-            "FROM tok CROSS JOIN (SELECT unnest(['1','2','3','4','5','6','7','8','9']) AS d) dg "
-            "WHERE regexp_full_match(t, '[0-9]{2,}') AND position(dg.d IN t) > 0 GROUP BY 1, 2), "
-            "tf AS (SELECT doc_id, t, sum(c)::BIGINT AS c FROM "
-            "(SELECT * FROM tf_base UNION ALL SELECT * FROM tf_sec UNION ALL SELECT * FROM tf_dig) GROUP BY 1, 2), "
-            "dl AS (SELECT d.doc_id, coalesce(s.dl, 0)::DOUBLE AS dl FROM documents d "
-            "LEFT JOIN (SELECT doc_id, sum(c) AS dl FROM tf GROUP BY 1) s ON d.doc_id = s.doc_id), "
-            "ad AS (SELECT sum(dl) / count(*) AS avgdl FROM dl), "
-            f"q AS (SELECT unnest({BM25_QUERY.split()!r}) AS t), "
-            "sc0 AS (SELECT tf.doc_id, sum(idf.idf * tf.c * 2.5 / (tf.c + 1.5 * (0.25 + 0.75 * dl.dl / ad.avgdl))) AS score "
-            "FROM tf JOIN q ON tf.t = q.t JOIN idf ON idf.token = tf.t "
-            "JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN ad GROUP BY tf.doc_id), "
-            "sc AS (SELECT d.doc_id, round(coalesce(sc0.score, 0.0), 6) AS score FROM documents d "
-            "LEFT JOIN sc0 ON d.doc_id = sc0.doc_id) "
-            "SELECT doc_id, score FROM sc QUALIFY row_number() OVER (ORDER BY score DESC, doc_id) <= 10"
+            _BM25_SCORE_CTE
+            + " SELECT doc_id, score FROM sc QUALIFY row_number() OVER (ORDER BY score DESC, doc_id) <= 10"
+        ),
+        "rrf_hybrid": (
+            _BM25_SCORE_CTE + ", "
+            "bmr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r FROM sc "
+            "QUALIFY r <= 50), "
+            "szr AS (SELECT doc_id, row_number() OVER (ORDER BY n_chars DESC, doc_id) AS r FROM documents "
+            "QUALIFY r <= 50), "
+            "u AS (SELECT doc_id, 1.0 / (60 + r) AS c FROM bmr UNION ALL SELECT doc_id, 1.0 / (60 + r) FROM szr), "
+            "f AS (SELECT doc_id, round(sum(c), 6) AS rrf_score FROM u GROUP BY doc_id) "
+            "SELECT doc_id, rrf_score FROM f QUALIFY row_number() OVER (ORDER BY rrf_score DESC, doc_id) <= 10"
         ),
         # ann_lsh_topk / ann_ivf_topk: approximate by design (recall-vs-
         # exact asserted in pytest + surfaced in BENCH); semantic_chunks /

@@ -240,6 +240,70 @@ def _explode_pair_legs(pairs: Dataset) -> Dataset:
     return pairs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _join_legs(legs: Dataset, table: Dataset, value_cols: list[str], num_partitions: int = 64) -> Dataset:
+    """Distributed hash join of pair legs against a corpus-keyed table via
+    union + ONE hash-partitioned group pass (the asof_join shape) instead
+    of the Dataset.join operator, whose fixed hash-shuffle setup dominates
+    when the leg side is candidate-sized (measured: swapping it cut the
+    sf0.1 minhash verify by ~4 s). Corpus rows ride the same shuffle as
+    the legs (side -1) and attach per partition with a vectorized merge —
+    nothing lands on the driver."""
+    from clawrag_ray.stages.relational import _as_arrow_schema, hash_partitioned_groups
+
+    id_type = _as_arrow_schema(legs.schema()).field("doc_id").type
+    tbl_schema = _as_arrow_schema(table.schema())
+    value_types = [tbl_schema.field(c).type for c in value_cols]
+
+    def zero_pad(n: int, typ: pa.DataType) -> pa.Array:
+        # typed ZERO sentinels, not nulls: a null in an int64 column turns
+        # the whole pandas column float64 inside the group pass, and >53-bit
+        # values (simhash) silently lose low bits in the float mantissa.
+        # Pad values are dropped at merge time, so the sentinel never leaks.
+        if pa.types.is_integer(typ):
+            return pa.array(np.zeros(n, dtype="int64"), typ)
+        if pa.types.is_floating(typ):
+            return pa.array(np.zeros(n), typ)
+        if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+            return pa.array([""] * n, typ)
+        return pa.nulls(n, typ)
+
+    def pad_legs(b: pa.Table) -> pa.Table:
+        t = b
+        for c, typ in zip(value_cols, value_types):
+            t = t.append_column(c, zero_pad(b.num_rows, typ))
+        return t
+
+    def pad_table(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        cols = {
+            "doc_a": zero_pad(n, id_type),
+            "doc_b": zero_pad(n, id_type),
+            "side": pa.array([-1] * n, pa.int8()),
+            "doc_id": b["doc_id"],
+        }
+        for c in value_cols:
+            cols[c] = b[c]
+        return pa.table(cols)
+
+    unioned = legs.map_batches(pad_legs, batch_format="pyarrow", zero_copy_batch=True).union(
+        table.select_columns(["doc_id"] + value_cols).map_batches(
+            pad_table, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        vals = g[g["side"] == -1][["doc_id"] + value_cols]
+        lg = g[g["side"] != -1].drop(columns=value_cols)
+        out = lg.merge(vals, on="doc_id", how="inner")
+        # the side union NaN-pads int ids into floats; restore
+        for c in ("doc_a", "doc_b"):
+            if out[c].dtype.kind == "f":
+                out[c] = out[c].astype("int64")
+        return out
+
+    return hash_partitioned_groups(unioned, ["doc_id"], per_part, num_partitions=num_partitions)
+
+
 def _verify_pairs_jaccard(
     ds: Dataset, pairs: Dataset, threshold: float, shingle_k: int, num_partitions: int = 64
 ) -> pd.DataFrame:
@@ -253,13 +317,11 @@ def _verify_pairs_jaccard(
     string-shingle definition (_shingle_strings) so the values match the
     DuckDB oracle digit-for-digit. Returns (doc_a, doc_b, jaccard rounded
     to 6) sorted by (doc_a, doc_b)."""
-    from clawrag_ray.stages.relational import hash_join, hash_partitioned_groups
+    from clawrag_ray.stages.relational import hash_partitioned_groups
 
     empty = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64"), "jaccard": pd.Series([], dtype="float64")})
     legs = _explode_pair_legs(pairs)
-    joined = hash_join(
-        legs, ds.select_columns(["doc_id", "text"]), on="doc_id", num_partitions=min(16, num_partitions)
-    )
+    joined = _join_legs(legs, ds.select_columns(["doc_id", "text"]), ["text"], num_partitions=num_partitions)
 
     def per_part(g: pd.DataFrame) -> pd.DataFrame:
         a = g[g["side"] == 0][["doc_a", "doc_b", "text"]].rename(columns={"text": "text_a"})
@@ -420,9 +482,15 @@ def simhash_near_dup_pairs(
     whenever d < n_bands it matches at least one band exactly and is always
     a candidate. Default 8 bands of 8 bits covers any max_hamming <= 7.
 
-    Only (doc_id, band_value) rows and the candidate pairs shuffle; the
-    verify step broadcasts the candidates' hashes (bounded by the candidate
-    count). Returns (doc_a, doc_b, hamming) sorted.
+    Verification happens INSIDE the bucket group pass: band rows carry the
+    64-bit hash (8 bytes — cheap to replicate), so each bucket computes its
+    pairwise Hamming matrix vectorized (xor + unpackbits popcount, row-tiled
+    to bound memory) and emits ONLY qualifying pairs. Candidate pairs are
+    never materialized or shuffled — on correlated corpora the candidate
+    set approaches all-pairs (measured: 4.1M candidates for 8k real pairs
+    at sf0.1) and shuffling it dominated the old pipeline (130 s -> ~8 s).
+    Cross-band duplicate hits collapse in one output-sized hash-partitioned
+    pass. Returns (doc_a, doc_b, hamming) sorted.
 
     Degenerate inputs: a corpus with many IDENTICAL hashes (e.g. thousands
     of empty docs all at simhash 0) has an inherently quadratic OUTPUT —
@@ -433,7 +501,7 @@ def simhash_near_dup_pairs(
     loss, disabled by default to preserve the exactness guarantee)."""
     if max_hamming >= n_bands:
         raise ValueError(f"max_hamming={max_hamming} needs n_bands > max_hamming (pigeonhole guarantee)")
-    from ray.data.aggregate import AggregateFn, Count
+    from clawrag_ray.stages.relational import hash_partitioned_groups
 
     bits_per_band = 64 // n_bands
     hashed = simhash_table(ds, concurrency=concurrency)
@@ -452,67 +520,63 @@ def simhash_near_dup_pairs(
                         "doc_id": batch["doc_id"],
                         "band_id": pa.array([band] * batch.num_rows, pa.int32()),
                         "band_value": pc.cast(vals, pa.int64()),
+                        "simhash": h,
                     }
                 )
             )
         return pa.concat_tables(tables)
 
     bands = hashed.map_batches(band_rows, batch_format="pyarrow", zero_copy_batch=True)
-    collect = AggregateFn(
-        init=lambda k: [],
-        merge=lambda a, b: a + b,
-        name="doc_ids",
-        accumulate_block=lambda a, block: a + block["doc_id"].to_pylist(),
-    )
-    buckets = bands.groupby(["band_id", "band_value"]).aggregate(collect)
 
-    def bucket_pairs(batch: pa.Table) -> pa.Table:
-        out_a, out_b = [], []
-        for ids in batch["doc_ids"].to_pylist():
-            if len(ids) < 2 or (max_bucket_size and len(ids) > max_bucket_size):
+    def part_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # singleton buckets (the common case) drop in one vectorized mask
+        colliding = g[g.duplicated(subset=["band_id", "band_value"], keep=False)]
+        out_frames = []
+        for _, grp in colliding.groupby(["band_id", "band_value"], sort=False):
+            n = len(grp)
+            if max_bucket_size and n > max_bucket_size:
                 continue
-            ids = sorted(ids)
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
-        elem = batch.schema.field("doc_ids").type
-        elem = elem.value_type if hasattr(elem, "value_type") else pa.int64()
-        return pa.table({"doc_a": pa.array(out_a, elem), "doc_b": pa.array(out_b, elem)})
+            order = np.argsort(grp["doc_id"].to_numpy(), kind="mergesort")
+            ids = grp["doc_id"].to_numpy()[order]
+            hs = grp["simhash"].to_numpy(dtype=np.int64)[order]
+            for s in range(0, n, 512):  # row tiles bound the xor matrix
+                e = min(n, s + 512)
+                x = np.bitwise_xor(hs[s:e, None], hs[None, :])
+                ham = np.unpackbits(x.view(np.uint8).reshape(e - s, n, 8), axis=2).sum(axis=2)
+                ri, ci = np.where(ham <= max_hamming)
+                keep = (ri + s) < ci  # upper triangle: a < b, no self-pairs
+                if keep.any():
+                    out_frames.append(
+                        pd.DataFrame(
+                            {
+                                "doc_a": ids[ri[keep] + s],
+                                "doc_b": ids[ci[keep]],
+                                "hamming": ham[ri[keep], ci[keep]].astype("int64"),
+                            }
+                        )
+                    )
+        if not out_frames:
+            return pd.DataFrame(
+                {
+                    "doc_a": pd.Series([], dtype=g["doc_id"].dtype),
+                    "doc_b": pd.Series([], dtype=g["doc_id"].dtype),
+                    "hamming": pd.Series([], dtype="int64"),
+                }
+            )
+        return pd.concat(out_frames, ignore_index=True)
 
-    pairs = (
-        buckets.map_batches(bucket_pairs, batch_format="pyarrow", batch_size=None)
-        .groupby(["doc_a", "doc_b"])
-        .aggregate(Count(alias_name="_n"))
-        .drop_columns(["_n"])
+    qualifying = hash_partitioned_groups(bands, ["band_id", "band_value"], part_pairs)
+    # cross-band duplicate hits carry identical hamming; one output-sized pass
+    deduped = hash_partitioned_groups(
+        qualifying, ["doc_a", "doc_b"], lambda g: g.drop_duplicates(subset=["doc_a", "doc_b"])
     )
-    empty = pd.DataFrame(
-        {
-            "doc_a": pd.Series([], dtype="int64"),
-            "doc_b": pd.Series([], dtype="int64"),
-            "hamming": pd.Series([], dtype="int64"),
-        }
-    )
-    # verify via the DISTRIBUTED bucket join (no driver-side hash dict):
-    # pair legs join against the (doc_id, simhash) table, a hash-partitioned
-    # pass reassembles both legs per pair and computes Hamming vectorized
-    # (xor + unpackbits popcount)
-    from clawrag_ray.stages.relational import hash_join, hash_partitioned_groups
-
-    legs = _explode_pair_legs(pairs)
-    joined = hash_join(legs, hashed, on="doc_id", num_partitions=16)
-
-    def per_part(g: pd.DataFrame) -> pd.DataFrame:
-        a = g[g["side"] == 0][["doc_a", "doc_b", "simhash"]].rename(columns={"simhash": "h_a"})
-        b = g[g["side"] == 1][["doc_a", "doc_b", "simhash"]].rename(columns={"simhash": "h_b"})
-        m = a.merge(b, on=["doc_a", "doc_b"])
-        x = np.bitwise_xor(m["h_a"].to_numpy(dtype=np.int64), m["h_b"].to_numpy(dtype=np.int64))
-        ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1).astype("int64")
-        m = m.assign(hamming=ham)[["doc_a", "doc_b", "hamming"]]
-        return m[m["hamming"] <= max_hamming]
-
-    verified = hash_partitioned_groups(joined, ["doc_a", "doc_b"], per_part)
-    out = verified.to_pandas()  # bounded: qualifying pairs only
+    out = deduped.to_pandas()  # bounded: qualifying pairs only
     if out.empty:
-        return empty
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series([], dtype="int64"),
+                "doc_b": pd.Series([], dtype="int64"),
+                "hamming": pd.Series([], dtype="int64"),
+            }
+        )
     return out.astype({"hamming": "int64"}).sort_values(["doc_a", "doc_b"]).reset_index(drop=True)

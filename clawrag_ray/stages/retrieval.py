@@ -1,0 +1,42 @@
+"""Retrieval-side fusion: Reciprocal Rank Fusion (RRF) over ranked lists.
+
+The reference fuses multiple retriever outputs in its hybrid retriever
+(backend/src/core/retrievers/enhanced_hybrid_retriever.py:8 — BM25 +
+vector lists merged into one ranking); the LLM reranker next to it is
+non-deterministic and stays out of scope, but RRF itself is pure
+deterministic math over (doc_id, rank) lists and belongs in the engine:
+
+    rrf_score(doc) = sum over lists containing doc of 1 / (k + rank)
+
+with the standard k=60 damping (Cormack, Clarke & Buettcher 2009 — the
+public RRF formulation). Ranked lists are top-k outputs and therefore
+bounded-small BY CONSTRUCTION (k rows per retriever, not corpus-sized),
+so fusion is driver-side pandas on purpose; the expensive parts — the
+rankings themselves — are the distributed operators (bm25_topk,
+brute_force_topk, top_k) that feed it.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+RRF_K = 60
+
+
+def rrf_fuse(rankings: list[pd.DataFrame], k: int = RRF_K, top: int | None = None) -> pd.DataFrame:
+    """Fuse ranked lists into one RRF ranking.
+
+    Each input frame must carry ``doc_id`` and be ORDERED best-first (its
+    row order defines rank 1..n). Returns (doc_id, rrf_score rounded to 6)
+    sorted by (score desc, doc_id asc), cut to ``top`` when given. A doc
+    absent from a list simply contributes nothing for that list — the
+    standard RRF union semantics."""
+    parts = []
+    for r in rankings:
+        df = r.reset_index(drop=True)
+        parts.append(pd.DataFrame({"doc_id": df["doc_id"], "c": 1.0 / (k + df.index + 1)}))
+    allp = pd.concat(parts, ignore_index=True)
+    fused = allp.groupby("doc_id", as_index=False)["c"].sum().rename(columns={"c": "rrf_score"})
+    fused["rrf_score"] = fused["rrf_score"].round(6)
+    fused = fused.sort_values(["rrf_score", "doc_id"], ascending=[False, True]).reset_index(drop=True)
+    return fused.head(top).reset_index(drop=True) if top else fused

@@ -455,6 +455,43 @@ class TestNewRelationalOps:
         c = sorted(deterministic_sample(ds.repartition(7), "doc_id", 10, 0).to_pandas()["doc_id"])
         assert a == c
 
+    def test_distinct_count_hll_sparse_exact(self):
+        from clawrag_ray.stages.relational import distinct_count, distinct_count_hll
+
+        rows = pd.DataFrame(
+            {"g": ["a"] * 600 + ["b"] * 100, "u": [i % 200 for i in range(600)] + [i % 7 for i in range(100)]}
+        )
+        ds = ray.data.from_pandas(rows).repartition(5)
+        exact = distinct_count(ds, ["g"], "u").to_pandas().sort_values("g").reset_index(drop=True)
+        hll = distinct_count_hll(ds, ["g"], "u").to_pandas().sort_values("g").reset_index(drop=True)
+        pd.testing.assert_frame_equal(exact.astype({"n_distinct_u": "int64"}), hll)
+
+    def test_distinct_count_hll_dense_bounded_error(self):
+        from clawrag_ray.stages.relational import distinct_count_hll
+
+        n = 5000  # >> sparse_limit below -> every partial folds dense
+        ds = ray.data.from_pandas(pd.DataFrame({"g": ["x"] * n, "u": list(range(n))})).repartition(6)
+        est = distinct_count_hll(ds, ["g"], "u", sparse_limit=64).to_pandas()["n_distinct_u"].iloc[0]
+        # p=12 -> 1.04/sqrt(4096) ~ 1.6% standard error; allow 5 sigma
+        assert abs(est - n) / n < 0.08
+
+    def test_rrf_fuse_known_lists(self):
+        from clawrag_ray.stages.retrieval import rrf_fuse
+
+        l1 = pd.DataFrame({"doc_id": [1, 2, 3]})
+        l2 = pd.DataFrame({"doc_id": [3, 1]})
+        out = rrf_fuse([l1, l2])
+        expect = {
+            1: round(1 / 61 + 1 / 62, 6),
+            2: round(1 / 62, 6),
+            3: round(1 / 63 + 1 / 61, 6),
+        }
+        got = dict(zip(out["doc_id"], out["rrf_score"]))
+        assert got == expect
+        # sorted by score desc then doc_id asc
+        assert list(out["doc_id"]) == sorted(expect, key=lambda d: (-expect[d], d))
+        assert list(rrf_fuse([l1, l2], top=2)["doc_id"]) == list(out["doc_id"])[:2]
+
 
 class TestRangeJoinAndWatermark:
     def test_range_join_matches_bruteforce(self):
