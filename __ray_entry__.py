@@ -316,6 +316,36 @@ def _q_rrf_hybrid(sf_dir: str):
     return rrf_fuse([bm, size], top=10)
 
 
+def _q_sequence_packing(sf_dir: str):
+    """Concatenate-and-chunk sequence packing over the corpus in doc_id
+    order at a 2048-token budget — built on the distributed two-phase
+    prefix-sum scan (only per-bucket totals reach the driver)."""
+    from clawrag_ray.stages.curation import pack_sequences, token_count_table
+
+    toks = token_count_table(_read(sf_dir, "documents", ["doc_id", "text"]))
+    return pack_sequences(toks, "doc_id", "n_tokens", budget=2048)
+
+
+def _q_lang_quota_sample(sf_dir: str):
+    """Data mixing: content-deterministic cap of 20 docs per language
+    (md5(doc_id) order) — rebalances the skewed language mix reproducibly
+    across runs and cluster layouts."""
+    from clawrag_ray.stages.curation import quota_sample
+
+    return quota_sample(_read(sf_dir, "documents", ["doc_id", "lang"]), ["lang"], cap=20)
+
+
+def _q_pii_scrub(sf_dir: str):
+    """PII redaction (emails / IPv4 / phone numbers) with per-doc counts,
+    fully vectorized Arrow RE2. The synthetic corpus contains no PII, so a
+    deterministic id-derived PII tail is appended first (synthesize_pii —
+    mirrored in the oracle with string concatenation) so every regex
+    demonstrably fires on every row."""
+    from clawrag_ray.stages.curation import pii_scrub, synthesize_pii
+
+    return pii_scrub(synthesize_pii(_read(sf_dir, "documents", ["doc_id", "text"])))
+
+
 def _q_top_orders_per_customer(sf_dir: str):
     from clawrag_ray.stages.relational import top_n_per_group
 
@@ -747,6 +777,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles_tdigest": _q_value_quantiles_tdigest,
         "distinct_users": _q_distinct_users,
         "distinct_users_hll": _q_distinct_users_hll,
+        "sequence_packing": _q_sequence_packing,
+        "lang_quota_sample": _q_lang_quota_sample,
+        "pii_scrub": _q_pii_scrub,
         "top_orders_per_customer": _q_top_orders_per_customer,
         "events_hopping": _q_events_hopping,
         "events_after_purchase": _q_events_after_purchase,
@@ -999,6 +1032,33 @@ def oracle_sql() -> dict[str, str]:
         # is pinned by tests/test_similarity_and_relational.py instead
         "distinct_users_hll": (
             "SELECT event_type, count(DISTINCT user_id) AS n_distinct_user_id FROM events GROUP BY event_type"
+        ),
+        "sequence_packing": (
+            "WITH t AS (SELECT doc_id, length(regexp_extract_all(text, '\\S+'))::BIGINT AS n_tokens FROM documents), "
+            "c AS (SELECT doc_id, n_tokens, coalesce(sum(n_tokens) OVER "
+            "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cb FROM t) "
+            "SELECT doc_id, n_tokens, cb // 2048 AS start_bin, "
+            "(cb + greatest(n_tokens, 1) - 1) // 2048 AS end_bin FROM c"
+        ),
+        "lang_quota_sample": (
+            "SELECT doc_id, lang FROM (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang "
+            "ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT, doc_id) AS r "
+            "FROM documents) WHERE r <= 20"
+        ),
+        "pii_scrub": (
+            "WITH p AS (SELECT doc_id, text || ' contact u' || doc_id || '@ex' || (doc_id % 7) || "
+            "'.org call +1 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || "
+            "' host 10.' || (doc_id % 256) || '.' || ((doc_id // 256) % 256) || '.' || (doc_id % 100) AS text "
+            "FROM documents) "
+            "SELECT doc_id, "
+            "regexp_replace(regexp_replace(regexp_replace(text, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'), "
+            "'\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[IP]', 'g'), "
+            "'\\+\\d{1,2} \\d{3}-\\d{4}', '[PHONE]', 'g') AS clean_text, "
+            "length(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT AS n_emails, "
+            "length(regexp_extract_all(text, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))::BIGINT AS n_ips, "
+            "length(regexp_extract_all(text, '\\+\\d{1,2} \\d{3}-\\d{4}'))::BIGINT AS n_phones "
+            "FROM p"
         ),
         "top_orders_per_customer": (
             "SELECT o_custkey, o_orderkey, o_totalprice FROM orders "

@@ -54,11 +54,15 @@ TIMED_QUERIES = [
     "events_hopping",
     "sessionize",
     "value_quantiles",
+    "value_quantiles_tdigest",
     "distinct_users",
+    "distinct_users_hll",
     "ann_topk",
     "ann_ivf_topk",
     "minhash_near_dups",
+    "simhash_near_dups",
     "bm25_topk",
+    "rrf_hybrid",
     "doc_embedding_near_dups",
     "extract_spans_text",
 ]

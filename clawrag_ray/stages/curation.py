@@ -1,0 +1,241 @@
+"""Training-data curation operators: sequence packing (global ordered
+prefix sum), per-stratum quota sampling (data mixing), and PII scrubbing.
+
+These are engine additions for the 100 TB training-data pipeline (no
+counterpart in the reference, whose scope ends at extraction/retrieval —
+see SURVEY.md §2.9): the operations a pretraining data pipeline runs
+after dedup/quality filtering to turn a document table into model input.
+
+Scale notes
+-----------
+* ``global_prefix_sum`` is the distributed primitive under packing: the
+  classic two-phase scan (per-bucket partial sums -> tiny driver-side
+  exclusive prefix over bucket totals -> broadcast offsets -> per-bucket
+  ordered cumsum). Only bucket TOTALS (num_buckets rows) ever leave the
+  workers; the data shuffles once, by bucket.
+* ``quota_sample`` reuses the salted top-n machinery, so a stratum holding
+  most of the corpus (the common "en is 90% of the web" skew) splits into
+  subgroups before the per-group head.
+* ``pii_scrub`` is pure vectorized Arrow RE2 kernels
+  (count_substring_regex / replace_substring_regex) — no Python row loop.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data import Dataset
+
+# ---------------------------------------------------------------------------
+# token counting (whitespace tokens — SQL mirror: length(regexp_extract_all(text, '\S+')))
+# ---------------------------------------------------------------------------
+
+
+def token_count_table(ds: Dataset, id_col: str = "doc_id", text_col: str = "text") -> Dataset:
+    """(id, n_tokens) with whitespace tokenization — the packing-side token
+    budget proxy (swap the regex for a real BPE count upstream when model
+    tokenizers are available; the packing math is tokenizer-agnostic)."""
+
+    def count(b: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(b[text_col], pattern=r"\S+")
+        return pa.table({id_col: b[id_col], "n_tokens": pc.cast(n, pa.int64())})
+
+    return ds.map_batches(count, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# global ordered prefix sum -> sequence packing
+# ---------------------------------------------------------------------------
+
+
+def global_prefix_sum(
+    ds: Dataset,
+    order_col: str,
+    value_col: str,
+    num_buckets: int = 64,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Add ``cum_before`` = exclusive prefix sum of ``value_col`` in global
+    ``order_col`` order, distributed as a two-phase scan:
+
+    1. bucket rows by ``order_col`` range (min/max from a tiny aggregate);
+    2. per-bucket totals (num_buckets rows) come to the driver, which
+       computes the exclusive prefix over buckets in order;
+    3. offsets broadcast back; one hash-partitioned pass computes each
+       bucket's internal ordered cumsum plus its offset.
+
+    Equal-width range buckets assume ids are roughly uniform over
+    [min, max] (true for dense ids); for skewed id spaces swap step 1's
+    boundaries for sampled quantiles — steps 2-3 are unchanged. One
+    bucket's rows must fit a task (same contract as
+    hash_partitioned_groups)."""
+    from clawrag_ray.stages.relational import hash_partitioned_groups
+    from ray.data.aggregate import Max, Min, Sum
+
+    mm = ds.aggregate(Min(order_col), Max(order_col))
+    lo, hi = mm[f"min({order_col})"], mm[f"max({order_col})"]
+    if lo is None:  # empty input
+        return ds.map_batches(
+            lambda b: b.append_column("cum_before", pa.array([], pa.int64())),
+            batch_format="pyarrow",
+        )
+    width = max(1, (int(hi) - int(lo) + num_buckets) // num_buckets)
+
+    def bucket_of(b: pa.Table) -> pa.Table:
+        v = b[order_col].to_numpy()
+        return b.append_column("__bucket", pa.array((v - lo) // width, pa.int64()))
+
+    bucketed = ds.map_batches(bucket_of, batch_format="pyarrow", zero_copy_batch=True)
+    totals = (
+        bucketed.groupby("__bucket").aggregate(Sum(value_col, alias_name="__tot")).to_pandas()
+    )  # num_buckets rows — tiny by construction
+    totals = totals.sort_values("__bucket")
+    offsets = dict(
+        zip(totals["__bucket"], np.concatenate([[0], np.cumsum(totals["__tot"].to_numpy())[:-1]]))
+    )
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for bk, grp in g.groupby("__bucket", sort=False):
+            grp = grp.sort_values(order_col, kind="mergesort")
+            vals = grp[value_col].to_numpy()
+            grp = grp.assign(cum_before=int(offsets[bk]) + np.cumsum(vals) - vals)
+            out.append(grp)
+        return pd.concat(out, ignore_index=True).drop(columns="__bucket")
+
+    return hash_partitioned_groups(bucketed, ["__bucket"], per_part, num_partitions=num_partitions)
+
+
+def pack_sequences(
+    ds: Dataset,
+    order_col: str,
+    token_col: str,
+    budget: int = 2048,
+    num_buckets: int = 64,
+) -> Dataset:
+    """Concatenate-and-chunk sequence packing (the GPT-style pretraining
+    layout): documents concatenate in ``order_col`` order and split every
+    ``budget`` tokens; each doc reports the bin range it lands in —
+    start_bin = cum_before // budget, end_bin covers its last token (a doc
+    may straddle bins). Zero-token docs pin to their boundary bin.
+    Built on global_prefix_sum, so nothing corpus-sized leaves the workers."""
+    with_cum = global_prefix_sum(ds, order_col, token_col, num_buckets=num_buckets)
+
+    def bins(b: pa.Table) -> pa.Table:
+        cum = b["cum_before"].to_numpy()
+        tok = b[token_col].to_numpy()
+        return pa.table(
+            {
+                order_col: b[order_col],
+                token_col: b[token_col],
+                "start_bin": pa.array(cum // budget, pa.int64()),
+                "end_bin": pa.array((cum + np.maximum(tok, 1) - 1) // budget, pa.int64()),
+            }
+        )
+
+    return with_cum.map_batches(bins, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# quota sampling (data mixing)
+# ---------------------------------------------------------------------------
+
+
+def quota_sample(
+    ds: Dataset,
+    stratum_cols: list[str],
+    cap: int,
+    id_col: str = "doc_id",
+    salt: int | None = None,
+) -> Dataset:
+    """At most ``cap`` rows per stratum, chosen content-deterministically
+    (md5(id) ascending, id tiebreak) — the data-mixing primitive that
+    rebalances a skewed corpus (e.g. per-language caps) reproducibly
+    across runs and cluster layouts, unlike random sampling. SQL mirror:
+    row_number() OVER (PARTITION BY stratum ORDER BY md5-prefix-int, id)
+    <= cap. Pass ``salt`` for strata too hot for one group task (same
+    two-phase split as top_n_per_group — selection is split-invariant)."""
+    from clawrag_ray.stages.relational import top_n_per_group
+
+    def add_hash(b: pa.Table) -> pa.Table:
+        # md5 is for cross-engine parity (DuckDB mirrors it exactly);
+        # per-row hashing of the id column only — text never touched
+        h = [
+            -int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16)
+            for v in b[id_col].to_pylist()
+        ]
+        return b.append_column("__neg_hash", pa.array(h, pa.int64()))
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
+    return top_n_per_group(
+        hashed, stratum_cols, "__neg_hash", cap, tiebreak_col=id_col, salt=salt
+    ).drop_columns(["__neg_hash"])
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+\d{1,2} \d{3}-\d{4}"
+PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_scrub(ds: Dataset, text_col: str = "text") -> Dataset:
+    """Redact emails, phone numbers and IPv4 addresses and count each —
+    the standard pretraining-corpus scrub (C4/RefinedWeb-style), fully
+    vectorized: counts via Arrow count_substring_regex, redaction via
+    replace_substring_regex (RE2 — same engine DuckDB uses, so the SQL
+    oracle matches byte-for-byte). Redaction order is email -> ip ->
+    phone; markers carry no digits/@ so passes cannot re-trigger."""
+
+    def scrub(b: pa.Table) -> pa.Table:
+        t = b[text_col]
+        n_em = pc.cast(pc.count_substring_regex(t, pattern=PII_EMAIL_RE), pa.int64())
+        n_ip = pc.cast(pc.count_substring_regex(t, pattern=PII_IP_RE), pa.int64())
+        n_ph = pc.cast(pc.count_substring_regex(t, pattern=PII_PHONE_RE), pa.int64())
+        clean = pc.replace_substring_regex(t, pattern=PII_EMAIL_RE, replacement="[EMAIL]")
+        clean = pc.replace_substring_regex(clean, pattern=PII_IP_RE, replacement="[IP]")
+        clean = pc.replace_substring_regex(clean, pattern=PII_PHONE_RE, replacement="[PHONE]")
+        out = b.drop_columns([text_col])
+        return (
+            out.append_column("clean_text", clean)
+            .append_column("n_emails", n_em)
+            .append_column("n_ips", n_ip)
+            .append_column("n_phones", n_ph)
+        )
+
+    return ds.map_batches(scrub, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def synthesize_pii(ds: Dataset, id_col: str = "doc_id", text_col: str = "text") -> Dataset:
+    """FIXTURE: append deterministic id-derived PII (email, phone, IP) to
+    each text so pii_scrub's regexes demonstrably fire on the synthetic
+    corpus (which contains none) — the same generator-formula pattern as
+    the media fixtures (functions/mediafixtures.py), mirrored exactly in
+    the DuckDB oracle with string concatenation."""
+
+    def synth(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_numpy()
+        s = np.char.add
+        tail = s(
+            s(
+                s(
+                    s("contact u", ids.astype("U")),
+                    s("@ex", (ids % 7).astype("U")),
+                ),
+                s(".org call +1 555-", np.char.zfill((ids % 10000).astype("U"), 4)),
+            ),
+            s(
+                s(" host 10.", (ids % 256).astype("U")),
+                s(".", s((ids // 256 % 256).astype("U"), s(".", (ids % 100).astype("U")))),
+            ),
+        )
+        joined = pc.binary_join_element_wise(b[text_col], pa.array(tail, pa.string()), " ")
+        return b.set_column(b.schema.get_field_index(text_col), text_col, joined)
+
+    return ds.map_batches(synth, batch_format="pyarrow", zero_copy_batch=True)

@@ -270,6 +270,9 @@ def _join_legs(legs: Dataset, table: Dataset, value_cols: list[str], num_partiti
         else np.array([], dtype="int64")
     )
     ids_ref = ray.put(leg_ids)
+    # partition count scales with the candidate set: 64 fixed partitions on
+    # a few thousand legs is ~128 near-empty group tasks of pure overhead
+    num_partitions = int(min(num_partitions, max(4, legs.count() // 2000)))
 
     def semi_filter(b: pa.Table) -> pa.Table:
         return b.filter(pc.is_in(b["doc_id"], value_set=pa.array(ray.get(ids_ref))))
@@ -346,6 +349,8 @@ def _verify_pairs_jaccard(
     from clawrag_ray.stages.relational import hash_partitioned_groups
 
     empty = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64"), "jaccard": pd.Series([], dtype="float64")})
+    pairs = pairs.materialize()  # candidate-sized; sizes both passes below
+    num_partitions = int(min(num_partitions, max(4, pairs.count() // 1000)))
     legs = _explode_pair_legs(pairs)
     joined = _join_legs(legs, ds.select_columns(["doc_id", "text"]), ["text"], num_partitions=num_partitions)
 

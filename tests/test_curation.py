@@ -1,0 +1,93 @@
+"""Tests for training-data curation ops (stages/curation.py)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from clawrag_ray.stages.curation import (
+    global_prefix_sum,
+    pack_sequences,
+    pii_scrub,
+    quota_sample,
+    synthesize_pii,
+    token_count_table,
+)
+
+
+class TestPrefixSumAndPacking:
+    def test_prefix_sum_matches_numpy_any_layout(self):
+        ids = np.arange(200)
+        vals = (ids * 7) % 13 + 1
+        want = np.cumsum(vals) - vals  # exclusive prefix in id order
+        for parts in (1, 3, 8):
+            ds = ray.data.from_pandas(pd.DataFrame({"id": ids[::-1], "v": vals[::-1]})).repartition(parts)
+            got = global_prefix_sum(ds, "id", "v", num_buckets=5).to_pandas().sort_values("id")
+            assert got["cum_before"].to_numpy().tolist() == want.tolist()
+
+    def test_prefix_sum_sparse_nonzero_ids(self):
+        # ids far from 0 and non-dense: range bucketing must still be exact
+        ids = np.array([1000, 1007, 5000, 5001, 99999])
+        vals = np.array([3, 4, 5, 6, 7])
+        ds = ray.data.from_pandas(pd.DataFrame({"id": ids, "v": vals})).repartition(3)
+        got = global_prefix_sum(ds, "id", "v", num_buckets=4).to_pandas().sort_values("id")
+        assert got["cum_before"].tolist() == [0, 3, 7, 12, 18]
+
+    def test_pack_sequences_bins(self):
+        # budget 10: docs of 4,4,4 tokens -> third doc straddles bins 0/1
+        ds = ray.data.from_pandas(pd.DataFrame({"id": [1, 2, 3, 4], "n": [4, 4, 4, 0]}))
+        out = pack_sequences(ds, "id", "n", budget=10).to_pandas().sort_values("id")
+        assert out["start_bin"].tolist() == [0, 0, 0, 1]
+        assert out["end_bin"].tolist() == [0, 0, 1, 1]  # doc3 spans tokens 8..11
+
+    def test_token_count_table(self):
+        ds = ray.data.from_arrow(pa.table({"doc_id": [1, 2], "text": ["a b  c", ""]}))
+        out = token_count_table(ds).to_pandas().sort_values("doc_id")
+        assert out["n_tokens"].tolist() == [3, 0]
+
+
+class TestQuotaSample:
+    def test_cap_and_determinism(self):
+        df = pd.DataFrame({"doc_id": range(100), "lang": ["en"] * 90 + ["de"] * 10})
+        ds = ray.data.from_pandas(df).repartition(4)
+        out = quota_sample(ds, ["lang"], cap=5).to_pandas()
+        sizes = out.groupby("lang").size()
+        assert sizes["en"] == 5 and sizes["de"] == 5
+        # deterministic across layouts
+        out2 = quota_sample(ds.repartition(7), ["lang"], cap=5).to_pandas()
+        assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
+        # salted two-phase equals single-phase (selection is split-invariant)
+        out3 = quota_sample(ds, ["lang"], cap=5, salt=4).to_pandas()
+        assert sorted(out["doc_id"]) == sorted(out3["doc_id"])
+
+    def test_small_stratum_kept_whole(self):
+        df = pd.DataFrame({"doc_id": [1, 2, 3], "lang": ["zh"] * 3})
+        out = quota_sample(ray.data.from_pandas(df), ["lang"], cap=10).to_pandas()
+        assert sorted(out["doc_id"]) == [1, 2, 3]
+
+
+class TestPiiScrub:
+    def test_redaction_and_counts(self):
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": [1, 2],
+                    "text": [
+                        "mail a.b+c@foo.org from 192.168.0.1 call +1 555-0199 ok",
+                        "clean text no pii 1.2 here",
+                    ],
+                }
+            )
+        )
+        out = pii_scrub(ds).to_pandas().sort_values("doc_id")
+        assert out["clean_text"].tolist()[0] == "mail [EMAIL] from [IP] call [PHONE] ok"
+        assert out[["n_emails", "n_ips", "n_phones"]].values.tolist() == [[1, 1, 1], [0, 0, 0]]
+        assert out["clean_text"].tolist()[1] == "clean text no pii 1.2 here"
+
+    def test_synthesize_then_scrub_counts_everything(self):
+        ds = ray.data.from_arrow(pa.table({"doc_id": [0, 6, 300], "text": ["x", "y", "z"]}))
+        out = pii_scrub(synthesize_pii(ds)).to_pandas()
+        assert (out["n_emails"] == 1).all() and (out["n_phones"] == 1).all()
+        # the synthesized host plus any ip-like text: host is always present
+        assert (out["n_ips"] >= 1).all()
+        assert out["clean_text"].str.contains(r"\[EMAIL\]").all()
