@@ -57,6 +57,9 @@ TIMED_QUERIES = [
     "value_quantiles_tdigest",
     "distinct_users",
     "distinct_users_hll",
+    "sequence_packing",
+    "lang_quota_sample",
+    "pii_scrub",
     "ann_topk",
     "ann_ivf_topk",
     "minhash_near_dups",
