@@ -335,6 +335,15 @@ def _q_lang_quota_sample(sf_dir: str):
     return quota_sample(_read(sf_dir, "documents", ["doc_id", "lang"]), ["lang"], cap=20)
 
 
+def _q_repetition_filter(sf_dir: str):
+    """Gopher-style repetition quality rules per doc: most-frequent-token
+    fraction and duplicate-2-gram fraction, with the frozen keep
+    thresholds (both classes non-empty on this corpus)."""
+    from clawrag_ray.stages.text_analysis import repetition_metrics
+
+    return repetition_metrics(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def _q_pii_scrub(sf_dir: str):
     """PII redaction (emails / IPv4 / phone numbers) with per-doc counts,
     fully vectorized Arrow RE2. The synthetic corpus contains no PII, so a
@@ -780,6 +789,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sequence_packing": _q_sequence_packing,
         "lang_quota_sample": _q_lang_quota_sample,
         "pii_scrub": _q_pii_scrub,
+        "repetition_filter": _q_repetition_filter,
         "top_orders_per_customer": _q_top_orders_per_customer,
         "events_hopping": _q_events_hopping,
         "events_after_purchase": _q_events_after_purchase,
@@ -1044,6 +1054,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang FROM (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang "
             "ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT, doc_id) AS r "
             "FROM documents) WHERE r <= 20"
+        ),
+        "repetition_filter": (
+            "WITH w AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS word, "
+            "generate_subscripts(regexp_extract_all(lower(text), '\\S+'), 1) AS i FROM documents), "
+            "tc AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1, 2), "
+            "top AS (SELECT doc_id, round(max(c)::DOUBLE / sum(c), 6) AS top_token_frac FROM tc GROUP BY 1), "
+            "bg AS (SELECT a.doc_id, a.word || ' ' || b.word AS g FROM w a JOIN w b "
+            "ON a.doc_id = b.doc_id AND b.i = a.i + 1), "
+            "bgs AS (SELECT doc_id, round(1.0 - count(DISTINCT g)::DOUBLE / count(*), 6) AS dup_2gram_frac "
+            "FROM bg GROUP BY 1) "
+            "SELECT d.doc_id, coalesce(top.top_token_frac, 0.0) AS top_token_frac, "
+            "coalesce(bgs.dup_2gram_frac, 0.0) AS dup_2gram_frac, "
+            "coalesce(top.top_token_frac, 0.0) <= 0.15 AND coalesce(bgs.dup_2gram_frac, 0.0) <= 0.05 AS keep "
+            "FROM documents d LEFT JOIN top ON d.doc_id = top.doc_id LEFT JOIN bgs ON d.doc_id = bgs.doc_id"
         ),
         "pii_scrub": (
             "WITH p AS (SELECT doc_id, text || ' contact u' || doc_id || '@ex' || (doc_id % 7) || "

@@ -168,3 +168,48 @@ def clause_amount_counts(ds: Dataset) -> Dataset:
             Sum("p_has", alias_name="docs_with_amounts"),
         )
     )
+
+
+# Gopher/MassiveText-style repetition thresholds (frozen; chosen so both
+# classes are non-empty on the synthetic corpus: 360 keep / 140 drop at
+# sf0.01)
+REP_TOP_TOKEN_MAX = 0.15
+REP_DUP_2GRAM_MAX = 0.05
+
+
+def repetition_metrics(ds: Dataset, id_col: str = "doc_id", text_col: str = "text") -> Dataset:
+    """Per-doc repetition quality metrics (the Gopher repetition-rule
+    family, arXiv:2112.11446 §A1.1 — public formulation): top_token_frac
+    (occurrences of the most frequent token / total tokens) and
+    dup_2gram_frac (1 - distinct 2-grams / total 2-grams), plus the
+    keep flag under the frozen thresholds above. Tokenization is
+    lowercase whitespace (SQL mirror: regexp_extract_all(lower(text),
+    '\\S+')). Docs with no tokens score 0.0 on both; docs with one token
+    have no 2-grams -> dup_2gram_frac 0.0.
+
+    Per-doc token processing is an inherent Python loop (like the
+    fingerprint kernel); it runs batched at the Arrow level inside
+    map_batches, embarrassingly parallel across blocks."""
+    from collections import Counter
+
+    def metrics(batch: pa.Table) -> pa.Table:
+        top_fracs, dup_fracs = [], []
+        for text in batch[text_col].to_pylist():
+            toks = (text or "").lower().split()
+            n = len(toks)
+            top_fracs.append(round(max(Counter(toks).values()) / n, 6) if n else 0.0)
+            if n >= 2:
+                total = n - 1
+                dup_fracs.append(round(1.0 - len(set(zip(toks, toks[1:]))) / total, 6))
+            else:
+                dup_fracs.append(0.0)
+        top = pa.array(top_fracs, pa.float64())
+        dup = pa.array(dup_fracs, pa.float64())
+        keep = pc.and_(
+            pc.less_equal(top, REP_TOP_TOKEN_MAX), pc.less_equal(dup, REP_DUP_2GRAM_MAX)
+        )
+        return pa.table(
+            {id_col: batch[id_col], "top_token_frac": top, "dup_2gram_frac": dup, "keep": keep}
+        )
+
+    return ds.map_batches(metrics, batch_format="pyarrow", zero_copy_batch=True)

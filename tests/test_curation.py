@@ -91,3 +91,26 @@ class TestPiiScrub:
         # the synthesized host plus any ip-like text: host is always present
         assert (out["n_ips"] >= 1).all()
         assert out["clean_text"].str.contains(r"\[EMAIL\]").all()
+
+
+class TestRepetitionFilter:
+    def test_known_values_and_edges(self):
+        from clawrag_ray.stages.text_analysis import repetition_metrics
+
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": [1, 2, 3, 4],
+                    "text": [
+                        "a a a a b",  # top 4/5, 2-grams: aa,aa,aa,ab -> dup 2/4
+                        "w x y z",  # all distinct
+                        "solo",  # one token: no 2-grams
+                        "",  # empty
+                    ],
+                }
+            )
+        )
+        out = repetition_metrics(ds).to_pandas().sort_values("doc_id")
+        assert out["top_token_frac"].tolist() == [0.8, 0.25, 1.0, 0.0]
+        assert out["dup_2gram_frac"].tolist() == [0.5, 0.0, 0.0, 0.0]
+        assert out["keep"].tolist() == [False, False, False, True]
