@@ -355,6 +355,24 @@ def _q_pii_scrub(sf_dir: str):
     return pii_scrub(synthesize_pii(_read(sf_dir, "documents", ["doc_id", "text"])))
 
 
+def _q_hybrid_weighted(sf_dir: str):
+    """Weighted hybrid retrieval (the reference's score-combination shape):
+    min-max-normalized BM25 top-50 fused 0.7/0.3 with a length-prior
+    top-50; rankings are distributed, fusion runs on two bounded lists."""
+    from clawrag_ray.stages.bm25 import bm25_topk
+    from clawrag_ray.stages.retrieval import weighted_fuse
+
+    bm = bm25_topk(_read(sf_dir, "documents", ["doc_id", "text"]), BM25_QUERY, k=50)
+    size = (
+        _read(sf_dir, "documents", ["doc_id", "n_chars"])
+        .sort(["n_chars", "doc_id"], descending=[True, False])
+        .limit(50)
+        .to_pandas()
+        .rename(columns={"n_chars": "score"})
+    )
+    return weighted_fuse([bm, size], [0.7, 0.3], top=10)
+
+
 def _q_top_orders_per_customer(sf_dir: str):
     from clawrag_ray.stages.relational import top_n_per_group
 
@@ -807,6 +825,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_idf": _q_bm25_idf,
         "bm25_topk": _q_bm25_topk,
         "rrf_hybrid": _q_rrf_hybrid,
+        "hybrid_weighted": _q_hybrid_weighted,
         "magic_validation": _q_magic_validation,
         "media_resize": _q_media_resize,
         "media_features": _q_media_features,
@@ -1213,6 +1232,19 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": (
             _BM25_SCORE_CTE
             + " SELECT doc_id, score FROM sc QUALIFY row_number() OVER (ORDER BY score DESC, doc_id) <= 10"
+        ),
+        "hybrid_weighted": (
+            _BM25_SCORE_CTE + ", "
+            "bm50 AS (SELECT doc_id, score FROM sc QUALIFY row_number() OVER (ORDER BY score DESC, doc_id) <= 50), "
+            "bmn AS (SELECT doc_id, CASE WHEN max(score) OVER () = min(score) OVER () THEN 1.0 "
+            "ELSE (score - min(score) OVER ()) / (max(score) OVER () - min(score) OVER ()) END AS n FROM bm50), "
+            "sz50 AS (SELECT doc_id, n_chars::DOUBLE AS score FROM documents "
+            "QUALIFY row_number() OVER (ORDER BY n_chars DESC, doc_id) <= 50), "
+            "szn AS (SELECT doc_id, CASE WHEN max(score) OVER () = min(score) OVER () THEN 1.0 "
+            "ELSE (score - min(score) OVER ()) / (max(score) OVER () - min(score) OVER ()) END AS n FROM sz50), "
+            "u AS (SELECT doc_id, 0.7 * n AS c FROM bmn UNION ALL SELECT doc_id, 0.3 * n FROM szn), "
+            "f AS (SELECT doc_id, round(sum(c), 6) AS fused_score FROM u GROUP BY doc_id) "
+            "SELECT doc_id, fused_score FROM f QUALIFY row_number() OVER (ORDER BY fused_score DESC, doc_id) <= 10"
         ),
         "rrf_hybrid": (
             _BM25_SCORE_CTE + ", "

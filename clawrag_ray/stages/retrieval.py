@@ -40,3 +40,31 @@ def rrf_fuse(rankings: list[pd.DataFrame], k: int = RRF_K, top: int | None = Non
     fused["rrf_score"] = fused["rrf_score"].round(6)
     fused = fused.sort_values(["rrf_score", "doc_id"], ascending=[False, True]).reset_index(drop=True)
     return fused.head(top).reset_index(drop=True) if top else fused
+
+
+def weighted_fuse(
+    rankings: list[pd.DataFrame],
+    weights: list[float],
+    score_col: str = "score",
+    top: int | None = None,
+) -> pd.DataFrame:
+    """Weighted score fusion with per-list min-max normalization — the
+    deterministic weighted-combination core of the reference's hybrid
+    retriever (enhanced_hybrid_retriever.py:8), complementing rrf_fuse's
+    rank-based variant. Each list's scores normalize to [0, 1] over the
+    list ((s - min) / (max - min); 1.0 when the list is constant), then
+    fused = sum of weight_i * norm_i over the lists containing the doc.
+    Returns (doc_id, fused_score rounded to 6) sorted by (score desc,
+    doc_id asc), cut to ``top``. Lists are bounded top-k outputs by
+    construction, so fusion is driver-side like rrf_fuse."""
+    parts = []
+    for r, w in zip(rankings, weights):
+        s = r[score_col].astype(float)
+        lo, hi = s.min(), s.max()
+        norm = pd.Series(1.0, index=s.index) if hi == lo else (s - lo) / (hi - lo)
+        parts.append(pd.DataFrame({"doc_id": r["doc_id"], "c": w * norm}))
+    allp = pd.concat(parts, ignore_index=True)
+    fused = allp.groupby("doc_id", as_index=False)["c"].sum().rename(columns={"c": "fused_score"})
+    fused["fused_score"] = fused["fused_score"].round(6)
+    fused = fused.sort_values(["fused_score", "doc_id"], ascending=[False, True]).reset_index(drop=True)
+    return fused.head(top).reset_index(drop=True) if top else fused

@@ -114,3 +114,15 @@ class TestRepetitionFilter:
         assert out["top_token_frac"].tolist() == [0.8, 0.25, 1.0, 0.0]
         assert out["dup_2gram_frac"].tolist() == [0.5, 0.0, 0.0, 0.0]
         assert out["keep"].tolist() == [False, False, False, True]
+
+
+class TestWeightedFuse:
+    def test_known_values(self):
+        from clawrag_ray.stages.retrieval import weighted_fuse
+
+        l1 = pd.DataFrame({"doc_id": [1, 2, 3], "score": [10.0, 5.0, 0.0]})
+        l2 = pd.DataFrame({"doc_id": [3, 4], "score": [2.0, 2.0]})  # constant -> all 1.0
+        out = weighted_fuse([l1, l2], [0.7, 0.3])
+        got = dict(zip(out["doc_id"], out["fused_score"]))
+        assert got == {1: 0.7, 2: 0.35, 3: 0.3, 4: 0.3}
+        assert list(out["doc_id"]) == [1, 2, 3, 4]  # score desc, id tiebreak
