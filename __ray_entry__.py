@@ -335,6 +335,18 @@ def _q_lang_quota_sample(sf_dir: str):
     return quota_sample(_read(sf_dir, "documents", ["doc_id", "lang"]), ["lang"], cap=20)
 
 
+def _q_decontaminate(sf_dir: str):
+    """Benchmark decontamination (GPT-3 appendix-C rule): carve a
+    deterministic eval set (md5(doc_id) mod 41 == 0, ~2.4%), broadcast its
+    distinct 8-gram shingles, flag every training doc with a collision.
+    Eval docs themselves and exact duplicates show frac 1.0."""
+    from clawrag_ray.stages.curation import decontaminate
+    from clawrag_ray.stages.relational import deterministic_sample
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return decontaminate(docs, deterministic_sample(docs, "doc_id", 41, 0), shingle_k=8)
+
+
 def _q_repetition_filter(sf_dir: str):
     """Gopher-style repetition quality rules per doc: most-frequent-token
     fraction and duplicate-2-gram fraction, with the frozen keep
@@ -808,6 +820,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_quota_sample": _q_lang_quota_sample,
         "pii_scrub": _q_pii_scrub,
         "repetition_filter": _q_repetition_filter,
+        "decontaminate": _q_decontaminate,
         "top_orders_per_customer": _q_top_orders_per_customer,
         "events_hopping": _q_events_hopping,
         "events_after_purchase": _q_events_after_purchase,
@@ -1073,6 +1086,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang FROM (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang "
             "ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT, doc_id) AS r "
             "FROM documents) WHERE r <= 20"
+        ),
+        "decontaminate": (
+            "WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS ws FROM documents), "
+            "sh0 AS (SELECT doc_id, CASE WHEN len(ws) < 8 THEN [array_to_string(ws, ' ')] "
+            "ELSE [array_to_string(ws[i:i+7], ' ') FOR i IN range(1, len(ws) - 6)] END AS gs FROM w), "
+            "sh AS (SELECT DISTINCT doc_id, unnest(gs) AS g FROM sh0), "
+            "ev AS (SELECT DISTINCT g FROM sh WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 41 = 0), "
+            "agg AS (SELECT sh.doc_id, count(*)::BIGINT AS n_shingles, count(ev.g)::BIGINT AS n_contaminated "
+            "FROM sh LEFT JOIN ev ON sh.g = ev.g GROUP BY 1) "
+            "SELECT doc_id, n_shingles, n_contaminated, "
+            "round(n_contaminated::DOUBLE / greatest(n_shingles, 1), 6) AS contamination_frac, "
+            "n_contaminated > 0 AS contaminated FROM agg"
         ),
         "repetition_filter": (
             "WITH w AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS word, "

@@ -239,3 +239,70 @@ def synthesize_pii(ds: Dataset, id_col: str = "doc_id", text_col: str = "text") 
         return b.set_column(b.schema.get_field_index(text_col), text_col, joined)
 
     return ds.map_batches(synth, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def decontaminate(
+    ds: Dataset,
+    eval_ds: Dataset,
+    shingle_k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> Dataset:
+    """Flag training docs that overlap an evaluation set by word-k-gram
+    collision (the GPT-3 appendix-C decontamination rule, public
+    formulation; k=8 is the modern default). The eval side's distinct
+    shingles build once on the driver (eval sets are benchmark-sized —
+    thousands of docs — by construction, NOT corpus-sized) and broadcast
+    via ray.put; each training doc then counts its distinct shingles that
+    collide, all inside one map_batches pass. Output per doc:
+    n_shingles (distinct), n_contaminated, contamination_frac (round 6),
+    contaminated flag (any collision). Docs shorter than k words use the
+    whole-text fallback shingle (same rule as the Jaccard shingler).
+
+    At a truly corpus-sized eval side, swap the broadcast set for the
+    distributed shingle-join the oracle mirrors (both sides explode to
+    (shingle, doc) rows, hash-join on shingle); the broadcast path is the
+    production shape for real benchmark suites."""
+    import ray
+
+    def shingles(text: str) -> set:
+        words = (text or "").lower().split()
+        if len(words) < shingle_k:
+            return {" ".join(words)}
+        return {" ".join(words[i : i + shingle_k]) for i in range(len(words) - shingle_k + 1)}
+
+    eval_shingles: set = set()
+    for b in eval_ds.select_columns([text_col]).iter_batches(batch_format="pyarrow"):
+        for t in b[text_col].to_pylist():
+            eval_shingles |= shingles(t)
+    ref = ray.put(eval_shingles)
+
+    class Checker:
+        def __init__(self):
+            self.idx = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            n_sh, n_hit = [], []
+            for t in b[text_col].to_pylist():
+                sh = shingles(t)
+                n_sh.append(len(sh))
+                n_hit.append(len(sh & self.idx))
+            n_sh_a = np.array(n_sh, dtype="int64")
+            n_hit_a = np.array(n_hit, dtype="int64")
+            frac = np.round(n_hit_a / np.maximum(n_sh_a, 1), 6)
+            return pa.table(
+                {
+                    id_col: b[id_col],
+                    "n_shingles": pa.array(n_sh_a),
+                    "n_contaminated": pa.array(n_hit_a),
+                    "contamination_frac": pa.array(frac),
+                    "contaminated": pa.array(n_hit_a > 0),
+                }
+            )
+
+    return ds.map_batches(Checker, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8))

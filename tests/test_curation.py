@@ -126,3 +126,29 @@ class TestWeightedFuse:
         got = dict(zip(out["doc_id"], out["fused_score"]))
         assert got == {1: 0.7, 2: 0.35, 3: 0.3, 4: 0.3}
         assert list(out["doc_id"]) == [1, 2, 3, 4]  # score desc, id tiebreak
+
+
+class TestDecontaminate:
+    def test_planted_overlap(self):
+        from clawrag_ray.stages.curation import decontaminate
+
+        train = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": [1, 2, 3],
+                    "text": [
+                        "alpha beta gamma delta epsilon zeta eta theta iota",  # shares 8-gram w/ eval
+                        "one two three four five six seven",  # <8 words, whole-text shingle, no match
+                        "p q r s t u v w x y z",  # no overlap
+                    ],
+                }
+            )
+        )
+        ev = ray.data.from_arrow(
+            pa.table({"doc_id": [99], "text": ["alpha beta gamma delta epsilon zeta eta theta"]})
+        )
+        out = decontaminate(train, ev, shingle_k=8).to_pandas().sort_values("doc_id")
+        assert out["contaminated"].tolist() == [True, False, False]
+        assert out["n_shingles"].tolist() == [2, 1, 4]
+        assert out["n_contaminated"].tolist() == [1, 0, 0]
+        assert out["contamination_frac"].tolist() == [0.5, 0.0, 0.0]
