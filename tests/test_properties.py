@@ -63,3 +63,29 @@ def test_separator_cascade_loses_no_content(paras, size):
     # with zero overlap, concatenation contains every original character in
     # order (separators are kept with their pieces)
     assert "".join(chunks) == text
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    seed=st.integers(0, 10**6),
+    n=st.integers(1, 300),
+    buckets=st.integers(1, 9),
+    parts=st.integers(1, 6),
+)
+def test_global_prefix_sum_matches_pandas(seed, n, buckets, parts):
+    """Distributed two-phase prefix sum == pandas cumsum for any id space,
+    value distribution, bucket count, and partition layout."""
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from clawrag_ray.stages.curation import global_prefix_sum
+
+    rng = np.random.default_rng(seed)
+    ids = rng.choice(np.arange(-1000, 10**6), size=n, replace=False)
+    vals = rng.integers(0, 500, size=n)
+    ds = ray.data.from_pandas(pd.DataFrame({"id": ids, "v": vals})).repartition(parts)
+    got = global_prefix_sum(ds, "id", "v", num_buckets=buckets).to_pandas().sort_values("id")
+    order = np.argsort(ids)
+    want = np.cumsum(vals[order]) - vals[order]
+    assert got["cum_before"].to_numpy().tolist() == want.tolist()
