@@ -331,7 +331,10 @@ class VideoMetadata:
             try:
                 m = parse_mp4_metadata(payload or b"")
                 n_frames = max(1, m["duration_ms"] // self.frame_every_ms)
-            except ValueError:
+            except (ValueError, struct.error, IndexError):
+                # truncated-but-box-sized payloads surface as struct.error /
+                # IndexError from the box walker, not ValueError — all three
+                # must become error rows, never a poisoned batch task
                 m = {"brand": "", "timescale": -1, "duration_ms": -1, "width": -1, "height": -1, "n_tracks": 0}
                 n_frames = 0
             for k in ("brand", "timescale", "duration_ms", "width", "height", "n_tracks"):
