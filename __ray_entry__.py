@@ -641,6 +641,15 @@ def _q_semantic_chunks(sf_dir: str):
     ).select_columns(["doc_id", "chunk_index", "chunk_len"])
 
 
+# IVF recall knob for the near-dup wiring below. n_probe=4 because the
+# densest corpus in the suite (tests/test_similarity_and_relational.py's
+# 150-doc/306-pair synthetic) demonstrably needs 4 probes for exact-sweep
+# equality while 3 misses boundary pairs; the real documents corpus is far
+# sparser, and the same setting is pinned there too
+# (tests/test_entry_wiring_vs_exact.py, sf0.001).
+DOC_NEAR_DUP_N_PROBE = 4
+
+
 def _q_doc_embedding_near_dups(sf_dir: str):
     """documents -> hash-embedder vectors -> cosine near-dup pairs via
     IVF-CELL-BUCKETED candidate pairs (embedding_near_dup_pairs_ivf): a
@@ -649,7 +658,8 @@ def _q_doc_embedding_near_dups(sf_dir: str):
     cosine ~0.57) that defeat hyperplane LSH (measured 102 s vs 6.4 s at
     sf0.1) but bucket fine in data-dependent cells. No stage does O(n^2)
     total work at the sqrt(n) centroid sizing; output equality vs the
-    exact tile sweep is pinned in tests at sf-scale inputs."""
+    exact tile sweep is pinned in tests both on the dense synthetic corpus
+    and on THIS wiring over the real sf0.001 documents table."""
     import pyarrow.compute as pc
 
     from clawrag_ray.stages.embed import embed_texts
@@ -661,7 +671,7 @@ def _q_doc_embedding_near_dups(sf_dir: str):
         return pa.table({"vec_id": pc.cast(batch["doc_id"], pa.int64()), "embedding": batch["embedding"]})
 
     vecs = emb.map_batches(to_vec, batch_format="pyarrow", zero_copy_batch=True)
-    return embedding_near_dup_pairs_ivf(vecs, threshold=0.95, n_centroids=32, n_probe=3)
+    return embedding_near_dup_pairs_ivf(vecs, threshold=0.95, n_centroids=32, n_probe=DOC_NEAR_DUP_N_PROBE)
 
 
 def _q_simhash_near_dups(sf_dir: str):

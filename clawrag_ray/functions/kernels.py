@@ -8,6 +8,7 @@ pyarrow) and is kept tight (bytes in, hexdigest out).
 from __future__ import annotations
 
 import hashlib
+import re
 
 import numpy as np
 import pyarrow as pa
@@ -15,6 +16,18 @@ import pyarrow.compute as pc
 
 WS_RUN_RE = r"\s+"
 TOKEN_RE = r"\S+"
+# RE2-parity word tokenizer for PYTHON-side loops: RE2 (Arrow + DuckDB's
+# regex engine) defines \s as exactly [\t\n\f\r ] — no \v, no unicode
+# whitespace — while Python str.split() splits on all unicode whitespace.
+# Every Python tokenizer mirrored by a DuckDB '\S+' oracle must use this
+# so texts with \x0b / NBSP / \x1c-\x1f tokenize identically on both sides.
+_RE2_TOKEN = re.compile(r"[^\t\n\f\r ]+")
+
+
+def re2_tokens(text: str) -> list[str]:
+    """Tokenize like RE2's \\S+ (the oracle-side definition), not like
+    str.split() (unicode whitespace)."""
+    return _RE2_TOKEN.findall(text)
 # BPE-ish word/number/punct tokenizer (public GPT-2-style pattern shape).
 BPE_ISH_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 

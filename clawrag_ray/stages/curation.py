@@ -30,6 +30,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 from ray.data import Dataset
 
+from clawrag_ray.functions.kernels import re2_tokens
+
 # ---------------------------------------------------------------------------
 # token counting (whitespace tokens — SQL mirror: length(regexp_extract_all(text, '\S+')))
 # ---------------------------------------------------------------------------
@@ -271,7 +273,7 @@ def decontaminate(
     import ray
 
     def shingles(text: str) -> set:
-        words = (text or "").lower().split()
+        words = re2_tokens((text or "").lower())
         if len(words) < shingle_k:
             return {" ".join(words)}
         return {" ".join(words[i : i + shingle_k]) for i in range(len(words) - shingle_k + 1)}

@@ -30,7 +30,7 @@ import pyarrow.compute as pc
 from ray.data import Dataset
 from ray.data.aggregate import Min, Sum
 
-from clawrag_ray.functions.kernels import sha256_hex
+from clawrag_ray.functions.kernels import re2_tokens, sha256_hex
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -104,7 +104,7 @@ def _perm_params(n_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
 def word_shingles(text: str, k: int = 3) -> set[int]:
     """k-word shingles hashed to stable 64-bit ints (md5-based — never
     Python's randomized hash())."""
-    words = text.lower().split()
+    words = re2_tokens(text.lower())
     if len(words) < k:
         grams = [" ".join(words)] if words else []
     else:
@@ -269,13 +269,16 @@ def _join_legs(legs: Dataset, table: Dataset, value_cols: list[str], num_partiti
         if legs.count()
         else np.array([], dtype="int64")
     )
-    ids_ref = ray.put(leg_ids)
+    # store the id set as an ARROW array: ray.get then reconstructs it
+    # zero-copy per task instead of re-running the O(|ids|) numpy->arrow
+    # conversion in every corpus block's filter call
+    ids_ref = ray.put(pa.array(leg_ids))
     # partition count scales with the candidate set: 64 fixed partitions on
     # a few thousand legs is ~128 near-empty group tasks of pure overhead
     num_partitions = int(min(num_partitions, max(4, legs.count() // 2000)))
 
     def semi_filter(b: pa.Table) -> pa.Table:
-        return b.filter(pc.is_in(b["doc_id"], value_set=pa.array(ray.get(ids_ref))))
+        return b.filter(pc.is_in(b["doc_id"], value_set=ray.get(ids_ref)))
 
     table = table.map_batches(semi_filter, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -350,6 +353,10 @@ def _verify_pairs_jaccard(
 
     empty = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64"), "jaccard": pd.Series([], dtype="float64")})
     pairs = pairs.materialize()  # candidate-sized; sizes both passes below
+    if pairs.count() == 0:
+        # no band collisions at all: a schemaless empty Dataset cannot go
+        # through the leg join (legs.schema() is None there)
+        return empty
     num_partitions = int(min(num_partitions, max(4, pairs.count() // 1000)))
     legs = _explode_pair_legs(pairs)
     joined = _join_legs(legs, ds.select_columns(["doc_id", "text"]), ["text"], num_partitions=num_partitions)
@@ -405,7 +412,7 @@ def _shingle_strings(text: str, k: int) -> frozenset[str]:
     variant of word_shingles: matches DuckDB
     ``list_distinct([words[i]||' '||...])`` semantics exactly, including
     the <k-words fallback to one joined shingle ('' for empty text)."""
-    words = text.lower().split()
+    words = re2_tokens(text.lower())
     if len(words) < k:
         return frozenset([" ".join(words)])
     return frozenset(" ".join(words[i : i + k]) for i in range(len(words) - k + 1))
@@ -459,7 +466,7 @@ class SimHasher:
         self.bits = bits
 
     def simhash(self, text: str) -> int:
-        words = text.lower().split()
+        words = re2_tokens(text.lower())
         if not words:
             return 0
         acc = np.zeros(self.bits, dtype=np.int64)

@@ -22,6 +22,8 @@ import numpy as np
 import pyarrow as pa
 from ray.data import Dataset
 
+from clawrag_ray.functions.kernels import re2_tokens
+
 
 class HashEmbedder:
     """Deterministic feature-hash embedder (model stand-in).
@@ -34,7 +36,7 @@ class HashEmbedder:
 
     def embed_one(self, text: str) -> np.ndarray:
         v = np.zeros(self.dim, dtype=np.float64)
-        for tok in (text or "").lower().split():
+        for tok in re2_tokens((text or "").lower()):
             h = hashlib.md5(tok.encode()).digest()
             bucket = int.from_bytes(h[:4], "big") % self.dim
             sign = 1.0 if h[4] & 1 else -1.0

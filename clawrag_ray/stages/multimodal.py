@@ -207,26 +207,32 @@ def parse_mp4_metadata(payload: bytes) -> dict:
         "height": -1,
         "n_tracks": 0,
     }
-    for typ, s, e in walk(0, len(payload)):
-        if typ != b"moov":
-            continue
-        for t2, s2, e2 in walk(s, e):
-            if t2 == b"mvhd":
-                ver = payload[s2]
-                if ver == 1:
-                    ts, dur = struct.unpack(">IQ", payload[s2 + 4 + 16 : s2 + 4 + 16 + 12])
-                else:
-                    ts, dur = struct.unpack(">II", payload[s2 + 4 + 8 : s2 + 4 + 8 + 8])
-                meta["timescale"] = int(ts)
-                meta["duration_ms"] = int(dur * 1000 // ts) if ts else -1
-            elif t2 == b"trak":
-                meta["n_tracks"] += 1
-                for t3, s3, _e3 in walk(s2, e2):
-                    if t3 == b"tkhd" and meta["width"] < 0:
-                        ver = payload[s3]
-                        off = s3 + 4 + (84 if ver == 1 else 72)  # past times/ids/flags/matrix
-                        w16, h16 = struct.unpack(">II", payload[off : off + 8])
-                        meta["width"], meta["height"] = int(w16 >> 16), int(h16 >> 16)
+    try:
+        for typ, s, e in walk(0, len(payload)):
+            if typ != b"moov":
+                continue
+            for t2, s2, e2 in walk(s, e):
+                if t2 == b"mvhd":
+                    ver = payload[s2]
+                    if ver == 1:
+                        ts, dur = struct.unpack(">IQ", payload[s2 + 4 + 16 : s2 + 4 + 16 + 12])
+                    else:
+                        ts, dur = struct.unpack(">II", payload[s2 + 4 + 8 : s2 + 4 + 8 + 8])
+                    meta["timescale"] = int(ts)
+                    meta["duration_ms"] = int(dur * 1000 // ts) if ts else -1
+                elif t2 == b"trak":
+                    meta["n_tracks"] += 1
+                    for t3, s3, _e3 in walk(s2, e2):
+                        if t3 == b"tkhd" and meta["width"] < 0:
+                            ver = payload[s3]
+                            off = s3 + 4 + (84 if ver == 1 else 72)  # past times/ids/flags/matrix
+                            w16, h16 = struct.unpack(">II", payload[off : off + 8])
+                            meta["width"], meta["height"] = int(w16 >> 16), int(h16 >> 16)
+    except (struct.error, IndexError) as exc:
+        # truncated mid-box (short largesize header, undersized mvhd/tkhd
+        # bodies): honor the documented contract — corrupt container ==
+        # ValueError, whatever the stdlib surfaces internally
+        raise ValueError(f"truncated MP4 box: {exc}") from exc
     if meta["timescale"] < 0:
         raise ValueError("MP4 without moov/mvhd")
     return meta
@@ -331,10 +337,10 @@ class VideoMetadata:
             try:
                 m = parse_mp4_metadata(payload or b"")
                 n_frames = max(1, m["duration_ms"] // self.frame_every_ms)
-            except (ValueError, struct.error, IndexError):
-                # truncated-but-box-sized payloads surface as struct.error /
-                # IndexError from the box walker, not ValueError — all three
-                # must become error rows, never a poisoned batch task
+            except ValueError:
+                # parse_mp4_metadata converts truncation (struct.error /
+                # IndexError) to ValueError itself — corrupt payloads become
+                # error rows, never a poisoned batch task
                 m = {"brand": "", "timescale": -1, "duration_ms": -1, "width": -1, "height": -1, "n_tracks": 0}
                 n_frames = 0
             for k in ("brand", "timescale", "duration_ms", "width", "height", "n_tracks"):

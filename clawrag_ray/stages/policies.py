@@ -23,6 +23,8 @@ per DUPLICATE row (bounded by the duplicate count, not the corpus).
 
 from __future__ import annotations
 
+import json
+
 import numpy as np
 import pandas as pd
 from ray.data import Dataset
@@ -102,9 +104,14 @@ def apply_dedup_policy(
         if mtime_col or size_col:
             parts = []
             if mtime_col:
-                km = grp[mtime_col].transform("first")[dup_mask].astype(str).to_numpy()
-                dm = dups[mtime_col].astype(str).to_numpy()
-                parts.append(('"%s": ["' % mtime_col, km, '", "', dm, '"]'))
+                # json.dumps per VALUE (not per row-dict): keeps the loop
+                # bounded by dup count while escaping quotes/backslashes in
+                # string mtimes — raw '"'-concat emits invalid JSON for them
+                km = np.array(
+                    [json.dumps(v) for v in grp[mtime_col].transform("first")[dup_mask].astype(str)]
+                )
+                dm = np.array([json.dumps(v) for v in dups[mtime_col].astype(str)])
+                parts.append(('"%s": [' % mtime_col, km, ", ", dm, "]"))
             if size_col:
                 ks = grp[size_col].transform("first")[dup_mask].astype("int64").to_numpy()
                 dsz = dups[size_col].astype("int64").to_numpy()

@@ -23,6 +23,16 @@ import pandas as pd
 RRF_K = 60
 
 
+def _fuse(parts: list[pd.DataFrame], score_name: str, top: int | None) -> pd.DataFrame:
+    """Shared fusion tail: sum per-list contributions (column ``c``) per
+    doc_id, round to 6, order by (score desc, doc_id asc), cut to ``top``."""
+    allp = pd.concat(parts, ignore_index=True)
+    fused = allp.groupby("doc_id", as_index=False)["c"].sum().rename(columns={"c": score_name})
+    fused[score_name] = fused[score_name].round(6)
+    fused = fused.sort_values([score_name, "doc_id"], ascending=[False, True]).reset_index(drop=True)
+    return fused.head(top).reset_index(drop=True) if top is not None else fused
+
+
 def rrf_fuse(rankings: list[pd.DataFrame], k: int = RRF_K, top: int | None = None) -> pd.DataFrame:
     """Fuse ranked lists into one RRF ranking.
 
@@ -35,11 +45,7 @@ def rrf_fuse(rankings: list[pd.DataFrame], k: int = RRF_K, top: int | None = Non
     for r in rankings:
         df = r.reset_index(drop=True)
         parts.append(pd.DataFrame({"doc_id": df["doc_id"], "c": 1.0 / (k + df.index + 1)}))
-    allp = pd.concat(parts, ignore_index=True)
-    fused = allp.groupby("doc_id", as_index=False)["c"].sum().rename(columns={"c": "rrf_score"})
-    fused["rrf_score"] = fused["rrf_score"].round(6)
-    fused = fused.sort_values(["rrf_score", "doc_id"], ascending=[False, True]).reset_index(drop=True)
-    return fused.head(top).reset_index(drop=True) if top else fused
+    return _fuse(parts, "rrf_score", top)
 
 
 def weighted_fuse(
@@ -63,8 +69,4 @@ def weighted_fuse(
         lo, hi = s.min(), s.max()
         norm = pd.Series(1.0, index=s.index) if hi == lo else (s - lo) / (hi - lo)
         parts.append(pd.DataFrame({"doc_id": r["doc_id"], "c": w * norm}))
-    allp = pd.concat(parts, ignore_index=True)
-    fused = allp.groupby("doc_id", as_index=False)["c"].sum().rename(columns={"c": "fused_score"})
-    fused["fused_score"] = fused["fused_score"].round(6)
-    fused = fused.sort_values(["fused_score", "doc_id"], ascending=[False, True]).reset_index(drop=True)
-    return fused.head(top).reset_index(drop=True) if top else fused
+    return _fuse(parts, "fused_score", top)

@@ -16,7 +16,7 @@ import pyarrow.compute as pc
 from ray.data import Dataset
 from ray.data.aggregate import Count, Mean, Sum
 
-from clawrag_ray.functions.kernels import rolling_fingerprint, token_count, bpe_ish_token_count
+from clawrag_ray.functions.kernels import bpe_ish_token_count, re2_tokens, rolling_fingerprint, token_count
 
 # Frozen language-ID n-gram (stopword) patterns — deterministic analog of
 # the reference's seeded langdetect (metadata_extractor.py:17-27,91-115).
@@ -195,7 +195,7 @@ def repetition_metrics(ds: Dataset, id_col: str = "doc_id", text_col: str = "tex
     def metrics(batch: pa.Table) -> pa.Table:
         top_fracs, dup_fracs = [], []
         for text in batch[text_col].to_pylist():
-            toks = (text or "").lower().split()
+            toks = re2_tokens((text or "").lower())
             n = len(toks)
             top_fracs.append(round(max(Counter(toks).values()) / n, 6) if n else 0.0)
             if n >= 2:

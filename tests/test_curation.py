@@ -152,3 +152,17 @@ class TestDecontaminate:
         assert out["n_shingles"].tolist() == [2, 1, 4]
         assert out["n_contaminated"].tolist() == [1, 0, 0]
         assert out["contamination_frac"].tolist() == [0.5, 0.0, 0.0]
+
+
+class TestFusionTopBoundary:
+    def test_top_zero_returns_zero_rows(self):
+        import pandas as pd
+
+        from clawrag_ray.stages.retrieval import rrf_fuse, weighted_fuse
+
+        a = pd.DataFrame({"doc_id": [1, 2], "score": [2.0, 1.0]})
+        b = pd.DataFrame({"doc_id": [2, 3], "score": [5.0, 4.0]})
+        assert len(rrf_fuse([a, b], top=0)) == 0
+        assert len(weighted_fuse([a, b], weights=[0.5, 0.5], top=0)) == 0
+        # and None still means "no cut"
+        assert len(rrf_fuse([a, b], top=None)) == 3

@@ -173,3 +173,21 @@ class TestSimHashPairs:
 
         with pytest.raises(ValueError):
             simhash_near_dup_pairs(_docs_ds(), max_hamming=8, n_bands=8)
+
+
+class TestEmptyCandidateSet:
+    def test_minhash_near_dups_no_collisions_returns_typed_empty(self, ray_session):
+        import ray
+
+        from clawrag_ray.stages.dedup import minhash_near_dups
+
+        docs = ray.data.from_items(
+            [
+                {"doc_id": 1, "text": "alpha beta gamma delta epsilon zeta"},
+                {"doc_id": 2, "text": "one two three four five six seven"},
+                {"doc_id": 3, "text": "red orange yellow green blue indigo"},
+            ]
+        )
+        out = minhash_near_dups(docs, threshold=0.5)
+        assert list(out.columns) == ["doc_a", "doc_b", "jaccard"]
+        assert len(out) == 0

@@ -171,3 +171,64 @@ class TestStepRegistry:
         df = pipe(ds).to_pandas()
         assert len(df) == 3  # 1 + ceil(150/80)
         assert df["chunk_index"].tolist() == [0, 1, 2]
+
+
+class TestAuditJsonEscaping:
+    def test_string_mtime_with_quote_emits_valid_json(self, ray_session):
+        import json
+
+        import ray
+
+        from clawrag_ray.stages.policies import apply_dedup_policy
+
+        rows = [
+            {"doc_id": 1, "text": "same", "modified": 'v"1\\x'},
+            {"doc_id": 2, "text": "same", "modified": "v2"},
+        ]
+        unified = apply_dedup_policy(
+            ray.data.from_items(rows), policy="REPLACE_IF_NEWER", mtime_col="modified"
+        ).to_pandas()
+        audit = unified[unified["record"] == "audit"]
+        assert len(audit) == 1
+        diff = json.loads(audit["metadata_diff"].iloc[0])  # must parse
+        assert diff["modified"] == ["v2", 'v"1\\x']
+
+
+class TestRe2TokenParity:
+    def test_re2_tokens_matches_re2_not_str_split(self):
+        from clawrag_ray.functions.kernels import re2_tokens
+
+        # \x0b and NBSP are python-whitespace but NOT RE2 \s
+        assert re2_tokens("a\x0bb  c\xa0d e") == ["a\x0bb", "c\xa0d", "e"]
+        assert re2_tokens("") == []
+        assert re2_tokens("  \t\n ") == []
+
+    def test_repetition_metrics_matches_duckdb_on_exotic_whitespace(self, ray_session):
+        import duckdb
+        import pandas as pd
+        import ray
+
+        from clawrag_ray.stages.text_analysis import repetition_metrics
+
+        docs = pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": ["tok tok\x0btok tok tok", "x\xa0y x\xa0y z w q r s t u v"],
+            }
+        )
+        ours = (
+            repetition_metrics(ray.data.from_pandas(docs))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("documents", docs)
+        oracle = con.execute(
+            "WITH w AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS word, "
+            "generate_subscripts(regexp_extract_all(lower(text), '\\S+'), 1) AS i FROM documents), "
+            "tc AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1, 2), "
+            "top AS (SELECT doc_id, round(max(c)::DOUBLE / sum(c), 6) AS top_token_frac FROM tc GROUP BY 1) "
+            "SELECT doc_id, top_token_frac FROM top ORDER BY doc_id"
+        ).df()
+        assert list(ours["top_token_frac"]) == list(oracle["top_token_frac"])

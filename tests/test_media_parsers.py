@@ -279,3 +279,29 @@ class TestMp4Parser:
         assert got.loc["a", "duration_ms"] == 3500
         assert got.loc["a", "n_frames"] == 3
         assert got.loc["bad", "timescale"] == -1 and got.loc["bad", "n_frames"] == 0
+
+
+class TestMp4TruncationContract:
+    def test_truncated_largesize_header_raises_valueerror(self):
+        import pytest as _pytest
+
+        from clawrag_ray.stages.multimodal import parse_mp4_metadata
+
+        # valid ftyp, then a box claiming a 64-bit largesize with fewer
+        # than 16 bytes remaining -> struct.error internally, ValueError out
+        payload = b"\x00\x00\x00\x0cftypisom" + b"\x00\x00\x00\x01moov" + b"\x00\x00"
+        with _pytest.raises(ValueError):
+            parse_mp4_metadata(payload)
+
+    def test_undersized_mvhd_body_raises_valueerror(self):
+        import pytest as _pytest
+
+        from clawrag_ray.stages.multimodal import parse_mp4_metadata
+
+        # moov containing an mvhd whose box size admits no timescale bytes
+        mvhd = b"\x00\x00\x00\x0cmvhd" + b"\x00\x00\x00\x00"  # 4 body bytes only
+        moov = len(mvhd).to_bytes(4, "big")
+        moov = (8 + len(mvhd)).to_bytes(4, "big") + b"moov" + mvhd
+        payload = b"\x00\x00\x00\x0cftypisom" + moov
+        with _pytest.raises(ValueError):
+            parse_mp4_metadata(payload)
