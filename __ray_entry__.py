@@ -1174,6 +1174,29 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45"
         ),
+        # HashEmbedder replayed in SQL (md5 bucket + sign counts -> l2
+        # normalize -> float32 round-trip like the engine's list<float32>
+        # column), then the exact all-pairs sweep — verifying that the
+        # engine's IVF-cell-bucketed path loses no pairs on the real corpus.
+        # Quadratic oracle (like ngram_jaccard_near_dups): skip at sf0.1.
+        "doc_embedding_near_dups": (
+            "WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS t FROM documents), "
+            "vec AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::UBIGINT % 64 AS bucket, "
+            "sum(CASE WHEN ('0x' || substr(md5(t), 9, 2))::UBIGINT & 1 = 1 THEN 1.0 ELSE -1.0 END) AS sval "
+            "FROM tok GROUP BY 1, 2), "
+            "grid AS (SELECT d.doc_id, g.j FROM (SELECT DISTINCT doc_id FROM documents) d, "
+            "unnest(generate_series(0, 63)) AS g(j)), "
+            "dense AS (SELECT grid.doc_id, list(coalesce(v.sval, 0.0) ORDER BY grid.j) AS raw "
+            "FROM grid LEFT JOIN vec v ON v.doc_id = grid.doc_id AND v.bucket = grid.j "
+            "GROUP BY grid.doc_id), "
+            "emb AS (SELECT doc_id, nrm, CASE WHEN nrm = 0 THEN raw "
+            "ELSE list_transform(raw, x -> CAST(CAST(x / nrm AS FLOAT) AS DOUBLE)) END AS e "
+            "FROM (SELECT doc_id, raw, sqrt(list_sum(list_transform(raw, x -> x * x))) AS nrm FROM dense)) "
+            "SELECT a.doc_id AS vec_a, b.doc_id AS vec_b, "
+            "round(list_cosine_similarity(a.e, b.e), 6) AS cosine "
+            "FROM emb a JOIN emb b ON a.doc_id < b.doc_id "
+            "WHERE a.nrm > 0 AND b.nrm > 0 AND list_cosine_similarity(a.e, b.e) >= 0.95"
+        ),
         "frame_sample": (
             "SELECT CAST(doc_id AS VARCHAR) AS media_id, CAST(i - 1 AS INTEGER) AS frame_idx, "
             "CAST((i - 1) * 1000 AS INTEGER) AS ts_ms "
@@ -1187,6 +1210,52 @@ def oracle_sql() -> dict[str, str]:
             "round(len(list_intersect(a.sh, b.sh))::DOUBLE / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard "
             "FROM s a JOIN s b ON a.doc_id < b.doc_id "
             "WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5"
+        ),
+        # Full HashEmbedder + percentile-breakpoint splitter replayed in SQL.
+        # This is exact, not approximate: the engine computes cosine as
+        # dot/(|a|*|b|) over INTEGER-valued raw hash-bucket counts (every dot
+        # and squared norm exact in float64, see reference/chunkers.py
+        # semantic_split), so both engines produce bit-identical distances;
+        # numpy percentile(95) and quantile_cont(0.95) share the linear-
+        # interpolation definition. Sentence rule mirrors split_sentences:
+        # '(?<=[.!?])\s+|\n{2,}' — RE2 has no lookbehind, so punctuation
+        # splits are marked by a \x1e sentinel replace first.
+        "semantic_chunks": (
+            "WITH marked AS (SELECT doc_id, string_split("
+            "regexp_replace(regexp_replace(text, '([.!?])\\s+', '\\1' || chr(30), 'g'), "
+            "'\\n{2,}', chr(30), 'g'), chr(30)) AS pieces FROM documents), "
+            "sent0 AS (SELECT doc_id, "
+            "trim(unnest(pieces), ' ' || chr(9) || chr(10) || chr(11) || chr(12) || chr(13)) AS s, "
+            "generate_subscripts(pieces, 1) AS ord FROM marked), "
+            "sent AS (SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1 AS i "
+            "FROM sent0 WHERE s <> ''), "
+            "win AS (SELECT doc_id, i, concat_ws(' ', "
+            "lag(s) OVER (PARTITION BY doc_id ORDER BY i), s, "
+            "lead(s) OVER (PARTITION BY doc_id ORDER BY i)) AS w, "
+            "count(*) OVER (PARTITION BY doc_id) AS n FROM sent), "
+            "tok AS (SELECT doc_id, i, unnest(regexp_extract_all(lower(w), '\\S+')) AS t "
+            "FROM win WHERE n >= 2), "
+            "vec AS (SELECT doc_id, i, ('0x' || substr(md5(t), 1, 8))::UBIGINT % 64 AS bucket, "
+            "sum(CASE WHEN ('0x' || substr(md5(t), 9, 2))::UBIGINT & 1 = 1 THEN 1.0 ELSE -1.0 END) AS sval "
+            "FROM tok GROUP BY 1, 2, 3), "
+            "nrm AS (SELECT doc_id, i, sqrt(sum(sval * sval)) AS nn FROM vec GROUP BY 1, 2), "
+            "dots AS (SELECT a.doc_id, a.i, sum(a.sval * b.sval) AS dot "
+            "FROM vec a JOIN vec b ON a.doc_id = b.doc_id AND b.i = a.i + 1 AND a.bucket = b.bucket "
+            "GROUP BY 1, 2), "
+            "dist AS (SELECT n1.doc_id, n1.i, 1.0 - (coalesce(d.dot, 0.0) / "
+            "((CASE WHEN n1.nn = 0 THEN 1.0 ELSE n1.nn END) * "
+            "(CASE WHEN n2.nn = 0 THEN 1.0 ELSE n2.nn END))) AS dist "
+            "FROM nrm n1 JOIN nrm n2 ON n2.doc_id = n1.doc_id AND n2.i = n1.i + 1 "
+            "LEFT JOIN dots d ON d.doc_id = n1.doc_id AND d.i = n1.i), "
+            "cut AS (SELECT doc_id, quantile_cont(dist, 0.95) AS cutoff FROM dist GROUP BY 1), "
+            "brk AS (SELECT d.doc_id, d.i, CASE WHEN d.dist > c.cutoff THEN 1 ELSE 0 END AS b "
+            "FROM dist d JOIN cut c USING (doc_id)), "
+            "asgn AS (SELECT s.doc_id, s.i, s.s, "
+            "coalesce(sum(br.b) OVER (PARTITION BY s.doc_id ORDER BY s.i), 0) AS cid "
+            "FROM sent s LEFT JOIN brk br ON br.doc_id = s.doc_id AND br.i + 1 = s.i) "
+            "SELECT doc_id, cid::INTEGER AS chunk_index, "
+            "length(string_agg(s, ' ' ORDER BY i))::INTEGER AS chunk_len "
+            "FROM asgn GROUP BY doc_id, cid"
         ),
         "extract_spans_text": (
             "SELECT CAST(doc_id AS VARCHAR) AS doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS span_text "
@@ -1291,8 +1360,10 @@ def oracle_sql() -> dict[str, str]:
             "f AS (SELECT doc_id, round(sum(c), 6) AS rrf_score FROM u GROUP BY doc_id) "
             "SELECT doc_id, rrf_score FROM f QUALIFY row_number() OVER (ORDER BY rrf_score DESC, doc_id) <= 10"
         ),
-        # ann_lsh_topk / ann_ivf_topk: approximate by design (recall-vs-
-        # exact asserted in pytest + surfaced in BENCH); semantic_chunks /
-        # doc_embedding_near_dups: hash-embedder math is not
-        # SQL-expressible -> rows-only
+        # ann_lsh_topk / ann_ivf_topk are the ONLY remaining rows-only
+        # queries: approximate by design (recall-vs-exact asserted in
+        # pytest + surfaced in BENCH). semantic_chunks and
+        # doc_embedding_near_dups gained full oracles in round 3 by
+        # replaying the HashEmbedder (md5 bucket + sign) and the canonical
+        # cosine in SQL.
     }

@@ -261,7 +261,16 @@ def semantic_split(
     +-buffer_size context window), compute cosine DISTANCE between adjacent
     windows, split where distance exceeds the given percentile of all
     distances. ``embed_fn(list[str]) -> (n, d) array`` is injected so the
-    frozen reference stays model-free (tests use HashEmbedder.encode).
+    frozen reference stays model-free (tests use HashEmbedder encoders).
+
+    Cosine is computed CANONICALLY — dot(a, b) / (|a| * |b|) on the raw
+    vectors, one division at the end — rather than normalize-then-dot.
+    Cosine is scale-invariant so any embedder works, and for
+    integer-valued embeddings (HashEmbedder.encode_raw signed counts)
+    every dot product and squared norm is exact in float64, which makes
+    the breakpoint computation bit-reproducible across engines — that is
+    what lets the driver verify semantic_chunks against a DuckDB oracle
+    replaying the same arithmetic in SQL.
     """
     import numpy as np
 
@@ -274,8 +283,8 @@ def semantic_split(
     emb = np.asarray(embed_fn(windows), dtype=np.float64)
     norms = np.linalg.norm(emb, axis=1)
     norms[norms == 0] = 1.0
-    emb = emb / norms[:, None]
-    sims = (emb[:-1] * emb[1:]).sum(axis=1)
+    dots = (emb[:-1] * emb[1:]).sum(axis=1)
+    sims = dots / (norms[:-1] * norms[1:])
     dists = 1.0 - sims
     cutoff = float(np.percentile(dists, breakpoint_percentile))
     chunks: list[str] = []

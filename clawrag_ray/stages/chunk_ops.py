@@ -168,7 +168,7 @@ def semantic_chunk_explode(
             ids, idxs, texts = [], [], []
             for doc_id, text in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
                 for i, chunk in enumerate(
-                    semantic_split(text or "", self.embedder.encode, breakpoint_percentile, buffer_size)
+                    semantic_split(text or "", self.embedder.encode_raw, breakpoint_percentile, buffer_size)
                 ):
                     ids.append(doc_id)
                     idxs.append(i)

@@ -34,18 +34,29 @@ class HashEmbedder:
     def __init__(self, dim: int = 64):
         self.dim = dim
 
-    def embed_one(self, text: str) -> np.ndarray:
+    def embed_raw(self, text: str) -> np.ndarray:
+        """Signed bucket counts, UN-normalized: every component is an
+        integer (exactly representable in float64), so downstream dot
+        products and squared norms are exact — the property the DuckDB
+        oracles for the semantic splitter rely on."""
         v = np.zeros(self.dim, dtype=np.float64)
         for tok in re2_tokens((text or "").lower()):
             h = hashlib.md5(tok.encode()).digest()
             bucket = int.from_bytes(h[:4], "big") % self.dim
             sign = 1.0 if h[4] & 1 else -1.0
             v[bucket] += sign
+        return v
+
+    def embed_one(self, text: str) -> np.ndarray:
+        v = self.embed_raw(text)
         n = np.linalg.norm(v)
         return v / n if n else v
 
     def encode(self, texts: list[str]) -> np.ndarray:
         return np.stack([self.embed_one(t) for t in texts]) if texts else np.zeros((0, self.dim))
+
+    def encode_raw(self, texts: list[str]) -> np.ndarray:
+        return np.stack([self.embed_raw(t) for t in texts]) if texts else np.zeros((0, self.dim))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         mat = self.encode([t or "" for t in batch["text"].to_pylist()])

@@ -232,3 +232,46 @@ class TestHashEmbedder:
         ds = ray.data.from_arrow(pa.table({"doc_id": [1, 2], "text": ["a b", "c d"]}))
         df = embed_texts(ds, dim=8, concurrency=1).to_pandas()
         assert all(len(v) == 8 for v in df["embedding"])
+
+
+class TestSemanticOracleParity:
+    def test_semantic_chunks_sql_matches_engine_on_edge_texts(self, ray_session):
+        """The DuckDB oracle replays split_sentences + HashEmbedder + the
+        canonical cosine; pin parity on texts the sf corpus may not cover:
+        blank-line splits, punctuation runs, single sentences, repeated
+        sentences (duplicate distances -> percentile ties)."""
+        import duckdb
+        import pandas as pd
+        import ray
+
+        import __ray_entry__ as entry
+        from clawrag_ray.stages.chunk_ops import semantic_chunk_explode
+
+        texts = [
+            "One sentence only.",
+            "Alpha beta gamma. Alpha beta gamma. Alpha beta gamma. Alpha beta gamma.",
+            "First topic here. More of the first!   Then a question?\n\nNew paragraph topic. "
+            "Totally different words now. zebra quark lattice.",
+            "No terminal punctuation at all just words",
+            "A. B. C. D. E. F. G. H.",
+            "Ends abruptly.\n\n\n\nAfter many blank lines. Yes!",
+        ]
+        docs = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+        ours = (
+            semantic_chunk_explode(ray.data.from_pandas(docs), concurrency=1)
+            .select_columns(["doc_id", "chunk_index", "chunk_len"])
+            .to_pandas()
+            .sort_values(["doc_id", "chunk_index"])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        con.register("documents", docs)
+        oracle = (
+            con.execute(entry.oracle_sql()["semantic_chunks"])
+            .df()
+            .sort_values(["doc_id", "chunk_index"])
+            .reset_index(drop=True)
+        )
+        assert len(ours) == len(oracle)
+        assert list(ours["chunk_len"].astype(int)) == list(oracle["chunk_len"].astype(int))
+        assert list(ours["chunk_index"].astype(int)) == list(oracle["chunk_index"].astype(int))
