@@ -335,6 +335,27 @@ def _q_lang_quota_sample(sf_dir: str):
     return quota_sample(_read(sf_dir, "documents", ["doc_id", "lang"]), ["lang"], cap=20)
 
 
+def _q_lang_temperature_sample(sf_dir: str):
+    """Temperature-based data mixing (mBERT/XLM-R up/down-sampling rule):
+    per-language target = min(n, floor(6 * sqrt(n))) — T=2 flattens the
+    language skew while keeping selection content-deterministic (md5(id)
+    order). sqrt keeps the targets bit-reproducible for the oracle."""
+    from clawrag_ray.stages.curation import temperature_sample
+
+    return temperature_sample(
+        _read(sf_dir, "documents", ["doc_id", "lang"]), ["lang"], temperature=2.0, scale=6.0
+    )
+
+
+def _q_doc_split(sf_dir: str):
+    """Deterministic train/val/test split: md5(doc_id) mod 100 against the
+    80/90 bounds — stable under repartitioning and corpus growth (a doc's
+    split never changes when other docs are added)."""
+    from clawrag_ray.stages.curation import stratified_split
+
+    return stratified_split(_read(sf_dir, "documents", ["doc_id", "lang"]))
+
+
 def _q_decontaminate(sf_dir: str):
     """Benchmark decontamination (GPT-3 appendix-C rule): carve a
     deterministic eval set (md5(doc_id) mod 41 == 0, ~2.4%), broadcast its
@@ -828,6 +849,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_hll": _q_distinct_users_hll,
         "sequence_packing": _q_sequence_packing,
         "lang_quota_sample": _q_lang_quota_sample,
+        "lang_temperature_sample": _q_lang_temperature_sample,
+        "doc_split": _q_doc_split,
         "pii_scrub": _q_pii_scrub,
         "repetition_filter": _q_repetition_filter,
         "decontaminate": _q_decontaminate,
@@ -1096,6 +1119,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang FROM (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang "
             "ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT, doc_id) AS r "
             "FROM documents) WHERE r <= 20"
+        ),
+        # target = min(n, floor(6 * sqrt(n))): sqrt and one product are
+        # bit-identical in numpy and DuckDB (no cross-stratum normalizing
+        # sum whose accumulation order could differ — see temperature_sample)
+        "lang_temperature_sample": (
+            "WITH cnt AS (SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang), "
+            "tgt AS (SELECT lang, least(n, floor(6.0 * sqrt(n))::BIGINT) AS t FROM cnt), "
+            "r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang "
+            "ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT, doc_id) AS rn "
+            "FROM documents) "
+            "SELECT r.doc_id, r.lang FROM r JOIN tgt USING (lang) WHERE rn <= t"
+        ),
+        "doc_split": (
+            "SELECT doc_id, lang, CASE "
+            "WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100 < 80 THEN 'train' "
+            "WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100 < 90 THEN 'val' "
+            "ELSE 'test' END AS split FROM documents"
         ),
         "decontaminate": (
             "WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS ws FROM documents), "

@@ -1,5 +1,7 @@
 """Training-data curation operators: sequence packing (global ordered
-prefix sum), per-stratum quota sampling (data mixing), and PII scrubbing.
+prefix sum), per-stratum quota sampling and temperature-based data mixing,
+deterministic train/val/test splitting, PII scrubbing, and benchmark
+decontamination.
 
 These are engine additions for the 100 TB training-data pipeline (no
 counterpart in the reference, whose scope ends at extraction/retrieval —
@@ -176,6 +178,98 @@ def quota_sample(
     return top_n_per_group(
         hashed, stratum_cols, "__neg_hash", cap, tiebreak_col=id_col, salt=salt
     ).drop_columns(["__neg_hash"])
+
+
+def temperature_sample(
+    ds: Dataset,
+    stratum_cols: list[str],
+    temperature: float = 2.0,
+    scale: float = 1.0,
+    id_col: str = "doc_id",
+    num_partitions: int = 64,
+) -> Dataset:
+    """Temperature-based data mixing (the multilingual-pretraining
+    up/down-sampling rule, public mBERT/XLM-R formulation): stratum i with
+    n_i rows keeps ``min(n_i, floor(scale * n_i^(1/temperature)))`` rows —
+    T=1 preserves proportions, T->inf flattens strata toward parity.
+    Selection within a stratum is content-deterministic (md5(id) asc, id
+    tiebreak), so the sample is reproducible across runs and layouts.
+
+    The per-stratum target deliberately avoids cross-stratum NORMALIZED
+    weights (n_i^(1/T) / sum_j n_j^(1/T)): the sum's floating-point value
+    depends on accumulation order, which differs between engines and would
+    make floor() targets unverifiable. ``scale`` plays the normalizer's
+    role explicitly; with T=2 the root is sqrt (IEEE-exact in numpy and
+    DuckDB alike), making targets bit-reproducible for the oracle.
+
+    Counts are a tiny per-stratum aggregate; selection is one
+    hash-partitioned group pass (strata hotter than one group task: give
+    ``quota_sample`` semantics with salt, selection is split-invariant)."""
+    from ray.data.aggregate import Count
+
+    from clawrag_ray.stages.relational import hash_partitioned_groups
+
+    counts = ds.groupby(stratum_cols).aggregate(Count()).to_pandas()  # strata-sized: tiny
+    n = counts["count()"].to_numpy().astype("float64")
+    root = np.sqrt(n) if temperature == 2.0 else np.power(n, 1.0 / temperature)
+    tgt = np.minimum(n.astype("int64"), np.floor(scale * root).astype("int64"))
+    targets = {
+        tuple(row): int(t)
+        for row, t in zip(counts[stratum_cols].itertuples(index=False), tgt)
+    }
+
+    def add_hash(b: pa.Table) -> pa.Table:
+        h = [
+            int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16)
+            for v in b[id_col].to_pylist()
+        ]
+        return b.append_column("__h", pa.array(h, pa.int64()))
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for key, grp in g.groupby(stratum_cols, sort=False):
+            k = key if isinstance(key, tuple) else (key,)
+            t = targets.get(k, 0)
+            grp = grp.sort_values(["__h", id_col], kind="mergesort")
+            out.append(grp.iloc[:t])
+        return pd.concat(out, ignore_index=True) if out else g.iloc[:0]
+
+    return hash_partitioned_groups(
+        hashed, stratum_cols, per_part, num_partitions=num_partitions
+    ).drop_columns(["__h"])
+
+
+SPLIT_BOUNDS = (80, 90)  # train < 80, val < 90, test < 100
+
+
+def stratified_split(
+    ds: Dataset,
+    id_col: str = "doc_id",
+    bounds: tuple[int, int] = SPLIT_BOUNDS,
+) -> Dataset:
+    """Deterministic train/val/test assignment: split = md5(id) mod 100
+    against ``bounds`` — the standard content-hash split that is stable
+    under re-partitioning, re-runs, and corpus growth (a doc's split never
+    changes when other docs are added, unlike row_number() % k schemes).
+    Hash uniformity gives each stratum the same expected proportions, so
+    no per-stratum state is needed — one embarrassingly parallel pass.
+    SQL mirror: ('0x' || substr(md5(id::VARCHAR), 1, 8))::UBIGINT % 100."""
+    lo, hi = bounds
+
+    def assign(b: pa.Table) -> pa.Table:
+        m = np.array(
+            [
+                int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16) % 100
+                for v in b[id_col].to_pylist()
+            ],
+            dtype="int64",
+        )
+        split = np.where(m < lo, "train", np.where(m < hi, "val", "test"))
+        return b.append_column("split", pa.array(split.tolist(), pa.string()))
+
+    return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
 
 
 # ---------------------------------------------------------------------------

@@ -166,3 +166,59 @@ class TestFusionTopBoundary:
         assert len(weighted_fuse([a, b], weights=[0.5, 0.5], top=0)) == 0
         # and None still means "no cut"
         assert len(rrf_fuse([a, b], top=None)) == 3
+
+
+class TestTemperatureSample:
+    def test_flattens_skew_and_is_deterministic(self, ray_session):
+        import pandas as pd
+        import ray
+
+        from clawrag_ray.stages.curation import temperature_sample
+
+        rows = [{"doc_id": i, "lang": "en"} for i in range(400)] + [
+            {"doc_id": 1000 + i, "lang": "de"} for i in range(16)
+        ]
+        ds = ray.data.from_pandas(pd.DataFrame(rows)).repartition(4)
+        out = temperature_sample(ds, ["lang"], temperature=2.0, scale=2.0).to_pandas()
+        got = out.groupby("lang").size().to_dict()
+        # en: floor(2*sqrt(400)) = 40; de: floor(2*sqrt(16)) = 8 — the
+        # 25:1 skew compresses to 5:1 under T=2
+        assert got == {"en": 40, "de": 8}
+        # selection is content-deterministic: same ids on a different layout
+        out2 = temperature_sample(
+            ray.data.from_pandas(pd.DataFrame(rows)).repartition(9),
+            ["lang"],
+            temperature=2.0,
+            scale=2.0,
+        ).to_pandas()
+        assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
+
+    def test_target_caps_at_stratum_size(self, ray_session):
+        import pandas as pd
+        import ray
+
+        from clawrag_ray.stages.curation import temperature_sample
+
+        ds = ray.data.from_pandas(pd.DataFrame({"doc_id": range(5), "lang": ["fr"] * 5}))
+        out = temperature_sample(ds, ["lang"], temperature=2.0, scale=100.0).to_pandas()
+        assert len(out) == 5  # min(n, floor(scale*sqrt(n)))
+
+
+class TestStratifiedSplit:
+    def test_split_is_stable_and_roughly_proportional(self, ray_session):
+        import pandas as pd
+        import ray
+
+        from clawrag_ray.stages.curation import stratified_split
+
+        df = pd.DataFrame({"doc_id": range(2000)})
+        out = stratified_split(ray.data.from_pandas(df).repartition(4)).to_pandas()
+        frac = out["split"].value_counts(normalize=True)
+        assert 0.74 < frac["train"] < 0.86
+        assert 0.06 < frac["val"] < 0.14
+        assert 0.06 < frac["test"] < 0.14
+        # a doc's split never changes when the corpus grows
+        bigger = pd.DataFrame({"doc_id": range(4000)})
+        out2 = stratified_split(ray.data.from_pandas(bigger).repartition(7)).to_pandas()
+        merged = out.merge(out2, on="doc_id", suffixes=("_a", "_b"))
+        assert (merged["split_a"] == merged["split_b"]).all()
