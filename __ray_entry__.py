@@ -695,6 +695,16 @@ def _q_doc_embedding_near_dups(sf_dir: str):
     return embedding_near_dup_pairs_ivf(vecs, threshold=0.95, n_centroids=32, n_probe=DOC_NEAR_DUP_N_PROBE)
 
 
+def _q_substring_near_dups(sf_dir: str):
+    """Exact substring-level near-dup (Lee et al. 2021 formulation on
+    rolling hashes): pairs of docs sharing >= 1 exact 64-byte substring,
+    scored by distinct shared window hashes. The oracle replays the
+    Rabin-Karp prefix-hash algebra in a recursive HUGEINT CTE."""
+    from clawrag_ray.stages.dedup import shared_window_pairs
+
+    return shared_window_pairs(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def _q_simhash_near_dups(sf_dir: str):
     """SimHash near-dup pairs: banded bit-slices -> bucket groupby ->
     Hamming verify. Exact (pigeonhole: hamming<=6 < 8 bands) so it carries
@@ -867,6 +877,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": _q_simhash,
         "simhash_near_dups": _q_simhash_near_dups,
         "minhash_near_dups": _q_minhash_near_dups,
+        "substring_near_dups": _q_substring_near_dups,
         "fingerprints": _q_fingerprints,
         "bm25_idf": _q_bm25_idf,
         "bm25_topk": _q_bm25_topk,
@@ -1325,6 +1336,24 @@ def oracle_sql() -> dict[str, str]:
             "WHERE bit_count(xor(a.simhash, b.simhash)) <= 6"
         ),
         "fingerprints": _FINGERPRINT_SQL,
+        # same prefix-hash algebra as _FINGERPRINT_SQL, but instead of the
+        # per-doc min it joins DISTINCT (doc, window-hash) rows across docs:
+        # a pair's n_shared_windows counts distinct shared 64-byte
+        # substrings. Docs shorter than 64 bytes have no window (the join
+        # b.i = a.i + 64 never matches) — by definition, not omission.
+        "substring_near_dups": (
+            f"WITH RECURSIVE pre AS ("
+            f"SELECT doc_id, 0 AS i, 0::HUGEINT AS h FROM documents "
+            f"UNION ALL "
+            f"SELECT pre.doc_id, pre.i + 1, (pre.h * 257 + unicode(d.text[pre.i + 1])) % {_FP_MOD} "
+            f"FROM pre JOIN documents d ON pre.doc_id = d.doc_id WHERE pre.i < length(d.text)), "
+            f"win AS (SELECT a.doc_id, ((b.h - (a.h * {_FP_B64}::HUGEINT) % {_FP_MOD}) % {_FP_MOD} + {_FP_MOD}) % {_FP_MOD} AS wh "
+            f"FROM pre a JOIN pre b ON a.doc_id = b.doc_id AND b.i = a.i + 64), "
+            f"dw AS (SELECT DISTINCT doc_id, wh FROM win) "
+            f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_shared_windows "
+            f"FROM dw a JOIN dw b ON a.wh = b.wh AND a.doc_id < b.doc_id "
+            f"GROUP BY 1, 2"
+        ),
         # media/audio: the oracle predicts what the REAL container parsers
         # must read back out of the deterministically-generated bytes
         "media_features": (

@@ -618,3 +618,96 @@ def simhash_near_dup_pairs(
             }
         )
     return out.astype({"hamming": "int64"}).sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# exact substring-level near-dup (shared window fingerprints)
+# ---------------------------------------------------------------------------
+
+
+def shared_window_pairs(
+    ds: Dataset,
+    window: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 64,
+) -> pd.DataFrame:
+    """Substring-level near-dup: two docs pair iff they share at least one
+    exact ``window``-byte substring, scored by the count of DISTINCT shared
+    Rabin-Karp window hashes — the hash-window formulation of Lee et al.
+    2021 ("Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499, public; suffix arrays there, rolling hashes here).
+    Catches cross-document boilerplate and quotation overlap that
+    word-shingle Jaccard dilutes away on long docs.
+
+    Shape: each doc emits its distinct window hashes in one O(n) rolling
+    pass (same polynomial as kernels.rolling_fingerprint — prefix-hash
+    algebra mirrored by the DuckDB oracle); only (wh, doc_id) rows shuffle.
+    One hash-partitioned pass self-merges each hash partition on ``wh``
+    (vectorized — no per-group calls) into per-partition pair counts, and a
+    small global groupby sums them. Docs shorter than ``window`` have no
+    ``window``-byte substring and emit nothing, BY DEFINITION.
+
+    Hash collisions (2^-61) and a window shared by k docs producing
+    k(k-1)/2 pair rows are the two scale caveats: at boilerplate-heavy
+    10^12-doc corpora, cap the per-window doc list (dropping ubiquitous
+    windows — they are boilerplate, not duplication signal) before the
+    self-merge; kept exact here to carry the oracle."""
+    from clawrag_ray.stages.relational import hash_partitioned_groups
+
+    mod, base = _MERSENNE, 257
+    pw = pow(base, window - 1, mod)
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids_out: list = []
+        whs: list[int] = []
+        for doc_id, text in zip(b[id_col].to_pylist(), b[text_col].to_pylist()):
+            data = (text or "").encode("utf-8", "surrogatepass")
+            n = len(data)
+            if n < window:
+                continue
+            h = 0
+            for c in data[:window]:
+                h = (h * base + c) % mod
+            seen = {h}
+            for i in range(window, n):
+                h = ((h - data[i - window] * pw) * base + data[i]) % mod
+                seen.add(h)
+            ids_out.extend([doc_id] * len(seen))
+            whs.extend(seen)
+        # explicit types: an all-short batch otherwise emits null-typed
+        # empty arrays and poisons the union schema
+        return pa.table({id_col: pa.array(ids_out, b[id_col].type), "wh": pa.array(whs, pa.int64())})
+
+    rows = ds.select_columns([id_col, text_col]).map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on="wh")
+        m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
+        out = (
+            m.groupby([f"{id_col}_x", f"{id_col}_y"], sort=False)
+            .size()
+            .reset_index(name="n_shared")
+        )
+        return out.rename(columns={f"{id_col}_x": "doc_a", f"{id_col}_y": "doc_b"})
+
+    partial = hash_partitioned_groups(rows, ["wh"], per_part, num_partitions=num_partitions)
+    agg = partial.groupby(["doc_a", "doc_b"]).aggregate(
+        Sum("n_shared", alias_name="n_shared_windows")
+    )
+    out = agg.to_pandas()  # qualifying-pair-sized by construction
+    if out.empty:
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series([], dtype="int64"),
+                "doc_b": pd.Series([], dtype="int64"),
+                "n_shared_windows": pd.Series([], dtype="int64"),
+            }
+        )
+    return (
+        out.astype({"n_shared_windows": "int64"})
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )

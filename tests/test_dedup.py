@@ -191,3 +191,78 @@ class TestEmptyCandidateSet:
         out = minhash_near_dups(docs, threshold=0.5)
         assert list(out.columns) == ["doc_a", "doc_b", "jaccard"]
         assert len(out) == 0
+
+
+class TestSharedWindowPairs:
+    def test_planted_substring_found_at_different_offsets(self, ray_session):
+        import ray
+
+        from clawrag_ray.stages.dedup import shared_window_pairs
+
+        shared = "S" * 64  # one exact 64-byte substring
+        docs = ray.data.from_items(
+            [
+                # the chars flanking the planted run differ between docs
+                # (space vs hyphen / tail vs end) so ONLY the run itself is
+                # a shared 64-byte substring
+                {"doc_id": 1, "text": "prefix-one " + shared + " tail alpha"},
+                {"doc_id": 2, "text": "a-different-and-much-longer-prefix-" + shared},
+                {"doc_id": 3, "text": "no overlap with anyone here, totally distinct words " * 3},
+            ]
+        ).repartition(3)
+        out = shared_window_pairs(docs)
+        assert list(out["doc_a"]) == [1] and list(out["doc_b"]) == [2]
+        assert out["n_shared_windows"].iloc[0] == 1
+
+    def test_short_docs_have_no_windows(self, ray_session):
+        import ray
+
+        from clawrag_ray.stages.dedup import shared_window_pairs
+
+        docs = ray.data.from_items(
+            [{"doc_id": 1, "text": "tiny"}, {"doc_id": 2, "text": "tiny"}]
+        )
+        assert len(shared_window_pairs(docs)) == 0
+
+    def test_identical_docs_share_all_windows(self, ray_session):
+        import ray
+
+        from clawrag_ray.stages.dedup import shared_window_pairs
+
+        text = "abcdefgh" * 20  # 160 bytes, 97 windows, 89 DISTINCT (period 8)
+        docs = ray.data.from_items(
+            [{"doc_id": 1, "text": text}, {"doc_id": 2, "text": text}]
+        )
+        out = shared_window_pairs(docs)
+        # distinct windows of a period-8 string of length 160: windows at
+        # offsets 0..96 repeat with period 8 -> 8 distinct
+        assert out["n_shared_windows"].iloc[0] == 8
+
+    def test_matches_brute_force_sets(self, ray_session):
+        import random
+
+        import ray
+
+        from clawrag_ray.stages.dedup import shared_window_pairs
+
+        rng = random.Random(5)
+        words = ["red", "blue", "green", "delta", "omega", "kappa"]
+        texts = [" ".join(rng.choice(words) for _ in range(60)) for _ in range(12)]
+        texts[7] = texts[2]  # exact dup
+        docs = ray.data.from_items(
+            [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+        ).repartition(4)
+        out = shared_window_pairs(docs)
+
+        def wset(t: str) -> set:
+            d = t.encode()
+            return {d[i : i + 64] for i in range(len(d) - 63)} if len(d) >= 64 else set()
+
+        expect = {}
+        for a in range(12):
+            for b in range(a + 1, 12):
+                n = len(wset(texts[a]) & wset(texts[b]))
+                if n:
+                    expect[(a, b)] = n
+        got = {(r.doc_a, r.doc_b): r.n_shared_windows for r in out.itertuples(index=False)}
+        assert got == expect
