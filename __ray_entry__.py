@@ -549,6 +549,18 @@ def _q_minhash_near_dups(sf_dir: str):
     return minhash_near_dups(_read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.5)
 
 
+def _q_near_dup_clusters(sf_dir: str):
+    """Cluster consolidation: minhash-LSH pairs -> distributed connected
+    components (min-label propagation with pointer doubling) -> every doc
+    labeled (cluster_id = min doc_id of its duplicate component,
+    cluster_size). The LSH candidate set equals the exact all-pairs result
+    at threshold 0.5 (miss prob < 1e-8, stages/dedup.py), so the recursive
+    transitive-closure oracle applies exactly."""
+    from clawrag_ray.stages.dedup import near_dup_clusters
+
+    return near_dup_clusters(_read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.5)
+
+
 def _q_fingerprints(sf_dir: str):
     from clawrag_ray.stages.text_analysis import add_fingerprint
 
@@ -877,6 +889,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": _q_simhash,
         "simhash_near_dups": _q_simhash_near_dups,
         "minhash_near_dups": _q_minhash_near_dups,
+        "near_dup_clusters": _q_near_dup_clusters,
         "substring_near_dups": _q_substring_near_dups,
         "fingerprints": _q_fingerprints,
         "bm25_idf": _q_bm25_idf,
@@ -1327,6 +1340,24 @@ def oracle_sql() -> dict[str, str]:
             "round(len(list_intersect(a.sh, b.sh))::DOUBLE / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard "
             "FROM s a JOIN s b ON a.doc_id < b.doc_id "
             "WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5"
+        ),
+        # transitive closure of the SAME threshold-0.5 pair set (see
+        # minhash_near_dups comment for why the LSH output is exact there):
+        # cluster_id = min doc_id reachable over undirected pair edges;
+        # singletons label themselves with size 1.
+        "near_dup_clusters": (
+            "WITH RECURSIVE w AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS words FROM documents), "
+            "s AS (SELECT doc_id, list_distinct(CASE WHEN len(words) < 3 THEN [array_to_string(words, ' ')] "
+            "ELSE [words[i] || ' ' || words[i+1] || ' ' || words[i+2] FOR i IN generate_series(1, len(words)-2)] END) AS sh FROM w), "
+            "p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b "
+            "FROM s a JOIN s b ON a.doc_id < b.doc_id "
+            "WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5), "
+            "e AS (SELECT doc_a AS src, doc_b AS dst FROM p UNION SELECT doc_b, doc_a FROM p), "
+            "reach AS (SELECT doc_id AS node, doc_id AS r FROM documents "
+            "UNION SELECT reach.node, e.dst FROM reach JOIN e ON e.src = reach.r), "
+            "lab AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1), "
+            "sz AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size FROM lab GROUP BY 1) "
+            "SELECT lab.doc_id, lab.cluster_id, sz.cluster_size FROM lab JOIN sz USING (cluster_id)"
         ),
         "simhash": _SIMHASH_CTE + " SELECT doc_id, simhash FROM sh",
         "simhash_near_dups": (

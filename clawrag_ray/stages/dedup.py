@@ -336,9 +336,9 @@ def _join_legs(legs: Dataset, table: Dataset, value_cols: list[str], num_partiti
     return hash_partitioned_groups(unioned, ["doc_id"], per_part, num_partitions=num_partitions)
 
 
-def _verify_pairs_jaccard(
+def _verify_pairs_jaccard_ds(
     ds: Dataset, pairs: Dataset, threshold: float, shingle_k: int, num_partitions: int = 64
-) -> pd.DataFrame:
+) -> Dataset | None:
     """Exact per-pair word-k-gram Jaccard over CANDIDATE pairs via a
     DISTRIBUTED bucket join — no driver-side text dict (whose size scales
     with the candidate set): each pair explodes into two legs keyed by
@@ -347,16 +347,16 @@ def _verify_pairs_jaccard(
     shuffles once (the standard verify-join shape at 10^12 docs); shingle
     sets are memoized per doc within each partition. Jaccard uses the
     string-shingle definition (_shingle_strings) so the values match the
-    DuckDB oracle digit-for-digit. Returns (doc_a, doc_b, jaccard rounded
-    to 6) sorted by (doc_a, doc_b)."""
+    DuckDB oracle digit-for-digit. Returns the qualifying (doc_a, doc_b,
+    jaccard rounded to 6) rows as a DATASET (None when there are no
+    candidates at all — a schemaless empty Dataset cannot go through the
+    leg join), so downstream consumers (cluster consolidation) keep the
+    pairs distributed."""
     from clawrag_ray.stages.relational import hash_partitioned_groups
 
-    empty = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64"), "jaccard": pd.Series([], dtype="float64")})
     pairs = pairs.materialize()  # candidate-sized; sizes both passes below
     if pairs.count() == 0:
-        # no band collisions at all: a schemaless empty Dataset cannot go
-        # through the leg join (legs.schema() is None there)
-        return empty
+        return None
     num_partitions = int(min(num_partitions, max(4, pairs.count() // 1000)))
     legs = _explode_pair_legs(pairs)
     joined = _join_legs(legs, ds.select_columns(["doc_id", "text"]), ["text"], num_partitions=num_partitions)
@@ -380,7 +380,18 @@ def _verify_pairs_jaccard(
         m = m.assign(jaccard=out_j)[["doc_a", "doc_b", "jaccard"]]
         return m[m["jaccard"] >= threshold]
 
-    verified = hash_partitioned_groups(joined, ["doc_a", "doc_b"], per_part, num_partitions=num_partitions)
+    return hash_partitioned_groups(joined, ["doc_a", "doc_b"], per_part, num_partitions=num_partitions)
+
+
+def _verify_pairs_jaccard(
+    ds: Dataset, pairs: Dataset, threshold: float, shingle_k: int, num_partitions: int = 64
+) -> pd.DataFrame:
+    """Driver-side wrapper of _verify_pairs_jaccard_ds: materializes the
+    (bounded, output-sized) qualifying pairs, sorted by (doc_a, doc_b)."""
+    empty = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"), "doc_b": pd.Series([], dtype="int64"), "jaccard": pd.Series([], dtype="float64")})
+    verified = _verify_pairs_jaccard_ds(ds, pairs, threshold, shingle_k, num_partitions)
+    if verified is None:
+        return empty
     out = verified.to_pandas()  # bounded: qualifying pairs only (output-sized)
     if out.empty:
         return empty
@@ -711,3 +722,298 @@ def shared_window_pairs(
         .sort_values(["doc_a", "doc_b"])
         .reset_index(drop=True)
     )
+
+
+# ---------------------------------------------------------------------------
+# connected-components cluster consolidation (pairs -> dedup clusters)
+# ---------------------------------------------------------------------------
+
+
+def _zero_pad(n: int, typ: pa.DataType) -> pa.Array:
+    """Typed ZERO sentinels for union-schema padding (see _join_legs): a
+    null in an int64 column turns the whole pandas column float64 inside a
+    group pass and >53-bit values lose low bits in the float mantissa. Pad
+    values are dropped before the merge, so the sentinel never leaks."""
+    if pa.types.is_integer(typ):
+        return pa.array(np.zeros(n, dtype="int64"), typ)
+    if pa.types.is_floating(typ):
+        return pa.array(np.zeros(n), typ)
+    if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+        return pa.array([""] * n, typ)
+    return pa.nulls(n, typ)
+
+
+def _keyed_join(
+    left: Dataset,
+    key: str,
+    right: Dataset,
+    right_key: str,
+    right_vals: list[str],
+    fill_with_key: str | None = None,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Distributed hash join of ``left`` (any columns) against ``right``
+    (``right_key`` unique + ``right_vals``) via union + ONE
+    hash-partitioned group pass — the verify-join shape (_join_legs) made
+    generic so iterative algorithms (connected components) can join per
+    round without Dataset.join's fixed shuffle setup cost. Nothing lands
+    on the driver.
+
+    ``fill_with_key=<col>``: LEFT join semantics — unmatched left rows get
+    their own key value as ``<col>`` (the singleton-component fill);
+    otherwise INNER."""
+    from clawrag_ray.stages.relational import _as_arrow_schema, hash_partitioned_groups
+
+    lschema = _as_arrow_schema(left.schema())
+    left_cols = [c for c in lschema.names]
+    left_types = {c: lschema.field(c).type for c in left_cols}
+    rschema = _as_arrow_schema(right.schema())
+    val_types = {c: rschema.field(c).type for c in right_vals}
+
+    def tag_left(b: pa.Table) -> pa.Table:
+        cols = {"__k": b[key], "__role": pa.array(np.zeros(b.num_rows, dtype="int8"), pa.int8())}
+        for c in left_cols:
+            cols[c] = b[c]
+        for c in right_vals:
+            cols[c] = _zero_pad(b.num_rows, val_types[c])
+        return pa.table(cols)
+
+    def tag_right(b: pa.Table) -> pa.Table:
+        cols = {"__k": b[right_key], "__role": pa.array(np.ones(b.num_rows, dtype="int8"), pa.int8())}
+        for c in left_cols:
+            cols[c] = _zero_pad(b.num_rows, left_types[c])
+        for c in right_vals:
+            cols[c] = b[c]
+        return pa.table(cols)
+
+    unioned = left.map_batches(tag_left, batch_format="pyarrow", zero_copy_batch=True).union(
+        right.map_batches(tag_right, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    int_left = {c for c in left_cols if pa.types.is_integer(left_types[c])}
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        vals = g[g["__role"] == 1][["__k"] + right_vals]
+        lf = g[g["__role"] == 0].drop(columns=right_vals + ["__role"])
+        how = "left" if fill_with_key is not None else "inner"
+        out = lf.merge(vals, on="__k", how=how)
+        if fill_with_key is not None:
+            miss = out[fill_with_key].isna()
+            if miss.any():
+                out.loc[miss, fill_with_key] = out.loc[miss, "__k"]
+        # a left/union NaN pad floats int columns; restore exact int64
+        for c in list(int_left) + [c for c in right_vals if pa.types.is_integer(val_types[c])]:
+            if c in out and out[c].dtype.kind == "f":
+                out[c] = out[c].astype("int64")
+        return out.drop(columns=["__k"])
+
+    return hash_partitioned_groups(unioned, ["__k"], per_part, num_partitions=num_partitions)
+
+
+def _minlabel_local(src: np.ndarray, dst: np.ndarray) -> pd.DataFrame:
+    """Exact connected components over an in-memory edge list: vectorized
+    numpy min-label propagation with pointer doubling (no scipy in this
+    environment). Labels are NODE INDICES into the sorted-unique node
+    array so ``lab[lab]`` path compression is an O(1) gather; sorted-unique
+    order makes min-index equal min-node-id. O((E+V) log V) total work.
+    Returns (node, label) with label = min node id of the component."""
+    nodes, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    si, di = inv[: len(src)], inv[len(src) :]
+    lab = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        prev = lab
+        lab = lab.copy()
+        np.minimum.at(lab, si, prev[di])
+        np.minimum.at(lab, di, prev[si])
+        while True:  # pointer doubling to a compressed fixpoint
+            nxt = lab[lab]
+            if np.array_equal(nxt, lab):
+                break
+            lab = nxt
+        if np.array_equal(lab, prev):
+            break
+    return pd.DataFrame({"node": nodes, "label": nodes[lab]})
+
+
+def connected_components(
+    pairs: Dataset,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    num_partitions: int = 64,
+    task_threshold: int = 4_000_000,
+    max_rounds: int = 16,
+) -> Dataset:
+    """Undirected (doc_a, doc_b) edges -> (node, label) with label = the
+    MINIMUM node id in each connected component — the cluster-consolidation
+    step after near-dup pair generation (pairs say "a duplicates b"; the
+    component gives each duplicate set ONE canonical keeper).
+
+    Two-level contraction (the MapReduce-CC family — Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14, public):
+    while the edge list exceeds ``task_threshold``, run ONE
+    hash-partitioned contraction pass — every edge is sent to BOTH
+    endpoints' partitions, each partition solves its local subgraph
+    exactly (vectorized numpy union-find) and re-emits only (node ->
+    local_min_label) star edges. Because a node's partition sees its
+    entire incident edge set, each pass both propagates min labels one
+    hop AND collapses all partition-local chains, so the edge list
+    shrinks toward one star per component in O(log diameter) passes
+    (fixpoint detected by an order-independent content hash — a scalar
+    aggregate per round, never rows on the driver). Once the list fits
+    ``task_threshold`` it is finished exactly in one bounded step — the
+    same output-bounded materialization contract as the candidate-pair
+    verify join (a few hundred MB at the 4M default, NOT corpus-sized:
+    the edge list is proportional to the near-dup population even at
+    10^12 docs). At fixpoint above the threshold the star edges ARE the
+    label table and are returned directly."""
+    edges = pairs.select_columns([a_col, b_col]).map_batches(
+        lambda b: pa.table({"src": b[a_col], "dst": b[b_col]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        raise ValueError("connected_components needs at least one edge (schemaless empty input)")
+
+    def content_sig(ds: Dataset) -> tuple[int, int]:
+        """Order-independent (count, hash-sum) signature of an edge set."""
+        def h(b: pa.Table) -> pa.Table:
+            s = b["src"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            d = b["dst"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            return pa.table({"h": (s * np.uint64(0x9E3779B97F4A7C15) + d).astype(np.int64)})
+        return ds.count(), ds.map_batches(h, batch_format="pyarrow").sum("h")
+
+    def both_dirs(b: pa.Table) -> pa.Table:
+        return pa.concat_tables(
+            [
+                pa.table({"node": b["src"], "nbr": b["dst"]}),
+                pa.table({"node": b["dst"], "nbr": b["src"]}),
+            ]
+        )
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        lab = _minlabel_local(g["node"].to_numpy(), g["nbr"].to_numpy())
+        out = lab[lab["node"] != lab["label"]]
+        return pd.DataFrame({"src": out["node"].to_numpy(), "dst": out["label"].to_numpy()}).drop_duplicates()
+
+    prev_sig = None
+    for _ in range(max_rounds):
+        if n_edges <= task_threshold:
+            df = edges.to_pandas()  # bounded by task_threshold — see docstring
+            out = _minlabel_local(df["src"].to_numpy(), df["dst"].to_numpy())
+            import ray.data as _rd
+
+            return _rd.from_arrow(pa.Table.from_pandas(out, preserve_index=False))
+        parts = int(min(num_partitions, max(2, n_edges // 100_000)))
+        legs = edges.map_batches(both_dirs, batch_format="pyarrow", zero_copy_batch=True)
+        from clawrag_ray.stages.relational import hash_partitioned_groups
+
+        contracted = hash_partitioned_groups(legs, ["node"], per_part, num_partitions=parts).materialize()
+        sig = content_sig(contracted)
+        if sig == prev_sig:
+            # star fixpoint: (node -> component min) edges ARE the labels.
+            # The same star edge can be emitted by both endpoints'
+            # partitions, so collapse to one row per node (labels are
+            # unique per node at fixpoint — Min is just the dedup), and
+            # add the self-label row for each root (roots never appear
+            # as src), matching the one-task path's full label table.
+            from ray.data.aggregate import Min as AggMin
+
+            stars = (
+                contracted.groupby("src")
+                .aggregate(AggMin("dst", alias_name="label"))
+                .map_batches(
+                    lambda b: pa.table({"node": b["src"], "label": b["label"]}),
+                    batch_format="pyarrow",
+                    zero_copy_batch=True,
+                )
+            )
+            roots = (
+                contracted.groupby("dst")
+                .aggregate(AggMin("dst", alias_name="r"))
+                .map_batches(
+                    lambda b: pa.table({"node": b["r"], "label": b["r"]}),
+                    batch_format="pyarrow",
+                    zero_copy_batch=True,
+                )
+            )
+            return stars.union(roots)
+        prev_sig = sig
+        edges, n_edges = contracted, sig[0]
+    raise RuntimeError(f"connected_components did not converge in {max_rounds} rounds")
+
+
+def near_dup_clusters(
+    ds: Dataset,
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 64,
+    concurrency=None,
+) -> Dataset:
+    """Full cluster-consolidation pipeline over the corpus: MinHash-LSH
+    candidates -> exact Jaccard verify (both distributed, see
+    jaccard_near_dup_pairs for the exactness argument) -> connected
+    components over the qualifying pairs -> every document labeled with
+    (doc_id, cluster_id, cluster_size), cluster_id = min doc_id of its
+    duplicate component (singletons label themselves, size 1). This is the
+    step that turns pairwise near-dup output into actionable dedup: keep
+    rows WHERE doc_id = cluster_id, or weight by 1/cluster_size.
+
+    Everything stays distributed: pairs are output-sized, the component
+    label table is pair-endpoint-sized, cluster assignment and sizes are
+    keyed joins + grouped counts over the corpus — no driver-side
+    materialization at any stage."""
+    from ray.data.aggregate import Sum as AggSum
+
+    pairs = minhash_candidate_pairs(
+        ds, concurrency=concurrency, shingle_k=shingle_k, n_perm=128,
+        n_bands=64 if threshold >= 0.5 else 128,
+    )
+    verified = _verify_pairs_jaccard_ds(ds, pairs, threshold, shingle_k, num_partitions)
+    ids = ds.select_columns([id_col])
+
+    def singleton(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "cluster_id": b[id_col],
+                "cluster_size": pa.array(np.ones(b.num_rows, dtype="int64")),
+            }
+        )
+
+    comp = None
+    if verified is not None:
+        verified = verified.materialize()  # qualifying-pair-sized
+        if verified.count() > 0:
+            comp = connected_components(verified, num_partitions=num_partitions)
+    if comp is None:
+        return ids.map_batches(singleton, batch_format="pyarrow", zero_copy_batch=True)
+
+    relabeled = comp.map_batches(
+        lambda b: pa.table({"node": b["node"], "cluster_id": b["label"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    assigned = _keyed_join(
+        ids, id_col, relabeled, "node", ["cluster_id"],
+        fill_with_key="cluster_id", num_partitions=num_partitions,
+    )
+
+    # cluster sizes: per-batch arrow partial counts, then a small global sum
+    def partial_count(b: pa.Table) -> pa.Table:
+        g = b.group_by("cluster_id").aggregate([("cluster_id", "count")])
+        return g.rename_columns(["cluster_id", "pc"])
+
+    sizes = (
+        assigned.map_batches(partial_count, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cluster_id")
+        .aggregate(AggSum("pc", alias_name="cluster_size"))
+        .map_batches(
+            lambda b: pa.table({"cl": b["cluster_id"], "cluster_size": pc.cast(b["cluster_size"], pa.int64())}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+    return _keyed_join(assigned, "cluster_id", sizes, "cl", ["cluster_size"], num_partitions=num_partitions)

@@ -266,3 +266,80 @@ class TestSharedWindowPairs:
                     expect[(a, b)] = n
         got = {(r.doc_a, r.doc_b): r.n_shared_windows for r in out.itertuples(index=False)}
         assert got == expect
+
+
+class TestConnectedComponents:
+    """Cluster consolidation: near-dup pairs -> component labels ->
+    (doc_id, cluster_id, cluster_size) over the corpus."""
+
+    def _brute_labels(self, edges):
+        # driver-truth union-find
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {n: find(n) for n in parent}
+
+    def test_fast_path_matches_bruteforce(self, ray_session):
+        from clawrag_ray.stages.dedup import connected_components
+
+        edges = [(1, 2), (2, 3), (5, 6), (7, 1), (10, 11), (11, 10)]
+        pairs = ray.data.from_pandas(pd.DataFrame(edges, columns=["doc_a", "doc_b"]))
+        got = connected_components(pairs).to_pandas()
+        expect = self._brute_labels(edges)
+        assert dict(zip(got["node"], got["label"])) == expect
+
+    def test_distributed_path_equals_fast_path(self, ray_session):
+        """Force task_threshold=0 so every contraction round runs the
+        hash-partitioned pass; include a 120-node chain (worst-case
+        diameter) and random cross-links."""
+        import numpy as np
+
+        from clawrag_ray.stages.dedup import connected_components
+
+        rng = np.random.default_rng(11)
+        chain = pd.DataFrame({"doc_a": np.arange(0, 119), "doc_b": np.arange(1, 120)})
+        ra = rng.integers(500, 900, 150)
+        rb = rng.integers(500, 900, 150)
+        g = pd.concat([chain, pd.DataFrame({"doc_a": ra, "doc_b": rb})])
+        g = g[g["doc_a"] != g["doc_b"]].reset_index(drop=True)
+        pairs = ray.data.from_pandas(g).repartition(5)
+        fast = connected_components(pairs).to_pandas().sort_values("node").reset_index(drop=True)
+        dist = (
+            connected_components(pairs, task_threshold=0, num_partitions=6)
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+        assert fast.equals(dist)
+        expect = self._brute_labels(list(zip(g["doc_a"], g["doc_b"])))
+        assert dict(zip(fast["node"], fast["label"])) == expect
+
+    def test_near_dup_clusters_labels_and_sizes(self, ray_session):
+        from clawrag_ray.stages.dedup import near_dup_clusters
+
+        out = near_dup_clusters(_docs_ds(), threshold=0.5).to_pandas()
+        m = dict(zip(out["doc_id"], out["cluster_id"]))
+        s = dict(zip(out["doc_id"], out["cluster_size"]))
+        # docs 1,2,3,5 are one near-dup component (min id 1); 4 is a singleton
+        assert m == {1: 1, 2: 1, 3: 1, 5: 1, 4: 4}
+        assert s == {1: 4, 2: 4, 3: 4, 5: 4, 4: 1}
+
+    def test_no_pairs_all_singletons(self, ray_session):
+        from clawrag_ray.stages.dedup import near_dup_clusters
+
+        docs = ray.data.from_items(
+            [{"doc_id": i, "text": f"unique text number {i} " + "zz" * i} for i in range(4)]
+        )
+        out = near_dup_clusters(docs, threshold=0.9).to_pandas()
+        assert (out["cluster_id"] == out["doc_id"]).all()
+        assert (out["cluster_size"] == 1).all()
