@@ -368,6 +368,41 @@ def _q_decontaminate(sf_dir: str):
     return decontaminate(docs, deterministic_sample(docs, "doc_id", 41, 0), shingle_k=8)
 
 
+def _q_boilerplate_removal(sf_dir: str):
+    """CCNet/RefinedWeb line-level boilerplate removal over a
+    deterministic multi-line fixture (the flat synthetic docs carry no
+    newlines, so — like the media fixtures — the query wraps each doc
+    with generated nav/promo/footer lines and the oracle replays the
+    same generator in SQL): 'nav ...' (df = all docs) and
+    'footer copyright {id%4}' (df ~ n/4) are removed everywhere,
+    'promo banner {id%50}' sits exactly AT the min_docs=10 boundary at
+    sf0.01, and the unique content line survives."""
+    from clawrag_ray.stages.curation import remove_boilerplate_lines
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def wrap(df):
+        import pandas as pd
+
+        ids = df["doc_id"].to_numpy()
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "text": (
+                    "nav home about contact\npromo banner "
+                    + pd.Series(ids % 50).astype(str)
+                    + "\n"
+                    + df["text"].to_numpy()
+                    + "\nfooter copyright "
+                    + pd.Series(ids % 4).astype(str)
+                ),
+            }
+        )
+
+    fixture = docs.map_batches(wrap, batch_format="pandas")
+    return remove_boilerplate_lines(fixture, min_docs=10)
+
+
 def _q_repetition_filter(sf_dir: str):
     """Gopher-style repetition quality rules per doc: most-frequent-token
     fraction and duplicate-2-gram fraction, with the frozen keep
@@ -875,6 +910,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_split": _q_doc_split,
         "pii_scrub": _q_pii_scrub,
         "repetition_filter": _q_repetition_filter,
+        "boilerplate_removal": _q_boilerplate_removal,
         "decontaminate": _q_decontaminate,
         "top_orders_per_customer": _q_top_orders_per_customer,
         "events_hopping": _q_events_hopping,
@@ -1172,6 +1208,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, n_shingles, n_contaminated, "
             "round(n_contaminated::DOUBLE / greatest(n_shingles, 1), 6) AS contamination_frac, "
             "n_contaminated > 0 AS contaminated FROM agg"
+        ),
+        # same nav/promo/footer fixture generator as the query; a line is
+        # removed iff it appears verbatim in >= 10 distinct docs
+        "boilerplate_removal": (
+            "WITH fx AS (SELECT doc_id, 'nav home about contact' || chr(10) || "
+            "'promo banner ' || (doc_id % 50) || chr(10) || text || chr(10) || "
+            "'footer copyright ' || (doc_id % 4) AS text FROM documents), "
+            "p AS (SELECT doc_id, string_split(text, chr(10)) AS parts FROM fx), "
+            "l AS (SELECT doc_id, i::BIGINT AS idx, parts[i] AS ln FROM p, "
+            "unnest(generate_series(1, len(parts))) AS t(i)), "
+            "f AS (SELECT ln, count(DISTINCT doc_id) AS df FROM l GROUP BY 1), "
+            "m AS (SELECT l.doc_id, l.idx, l.ln, f.df FROM l JOIN f USING (ln)), "
+            "k AS (SELECT doc_id, coalesce(string_agg(ln, chr(10) ORDER BY idx), '') AS clean_text, "
+            "count(*)::BIGINT AS n_kept FROM m WHERE df < 10 GROUP BY 1), "
+            "n AS (SELECT doc_id, count(*)::BIGINT AS n_lines FROM l GROUP BY 1) "
+            "SELECT n.doc_id, coalesce(k.clean_text, '') AS clean_text, n.n_lines, "
+            "(n.n_lines - coalesce(k.n_kept, 0))::BIGINT AS n_removed FROM n LEFT JOIN k USING (doc_id)"
         ),
         "repetition_filter": (
             "WITH w AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS word, "

@@ -63,6 +63,7 @@ TIMED_QUERIES = [
     "ann_topk",
     "ann_ivf_topk",
     "minhash_near_dups",
+    "near_dup_clusters",
     "simhash_near_dups",
     "bm25_topk",
     "rrf_hybrid",

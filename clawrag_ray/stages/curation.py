@@ -402,3 +402,113 @@ def decontaminate(
             )
 
     return ds.map_batches(Checker, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8))
+
+
+# ---------------------------------------------------------------------------
+# line-level boilerplate removal (CCNet-style)
+# ---------------------------------------------------------------------------
+
+
+def remove_boilerplate_lines(
+    ds: Dataset,
+    min_docs: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 64,
+) -> Dataset:
+    """Drop every line that appears verbatim in >= ``min_docs`` distinct
+    documents (nav bars, cookie notices, footers — the CCNet / RefinedWeb
+    line-dedup rule, Wenzek et al. 2020 / Penedo et al. 2023, public) and
+    reassemble each document from its surviving lines in order. Returns
+    (id, clean_text, n_lines, n_removed).
+
+    The rule is uniform over exact line content (blank lines shared by
+    many docs are boilerplate too) so the semantics are a pure function
+    of the corpus — mirrored digit-for-digit by the SQL oracle.
+
+    Scale shape (three shuffles, all corpus-line-proportional):
+      1. explode to (id, idx, line) with Arrow kernels (split_pattern /
+         list_parent_indices — no Python row loop), pre-distinct
+         (line, id) per batch, then a two-level grouped count gives each
+         line's distinct-doc frequency;
+      2. join every line row against its frequency via the distributed
+         keyed join (union + one hash-partitioned pass — nothing
+         driver-side; the frequency table is line-vocabulary-sized);
+      3. regroup by document and rebuild text with a vectorized pandas
+         pass (sort by idx, grouped join) — one call per hash partition,
+         not per document. Line strings are the shuffle key; at 10^12
+         docs swap the key for a 128-bit line hash and keep text only on
+         the document leg (same swap documented for the verify joins)."""
+    from ray.data.aggregate import Sum as AggSum
+
+    from clawrag_ray.stages.dedup import _keyed_join
+    from clawrag_ray.stages.relational import hash_partitioned_groups
+
+    def explode(b: pa.Table) -> pa.Table:
+        col = b[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        parts = pc.split_pattern(col, "\n")
+        parent = pc.list_parent_indices(parts)
+        n = pc.list_value_length(parts).to_numpy(zero_copy_only=False).astype(np.int64)
+        total = int(n.sum())
+        starts = np.repeat(np.cumsum(n) - n, n)
+        idx = np.arange(total, dtype=np.int64) - starts
+        ids = b[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table(
+            {
+                id_col: ids.take(parent),
+                "idx": pa.array(idx),
+                "line": pc.list_flatten(parts),
+            }
+        )
+
+    lines = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    # distinct-doc frequency per line: per-batch (line, id) distinct, global
+    # (line, id) collapse, then per-batch partial counts + grouped sum
+    def batch_distinct(b: pa.Table) -> pa.Table:
+        return b.select(["line", id_col]).group_by(["line", id_col]).aggregate([])
+
+    collapsed = (
+        lines.map_batches(batch_distinct, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["line", id_col])
+        .count()
+    )
+
+    def partial_count(b: pa.Table) -> pa.Table:
+        g = b.select(["line"]).group_by("line").aggregate([("line", "count")])
+        return g.rename_columns(["line", "pcnt"])
+
+    freq = (
+        collapsed.map_batches(partial_count, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("line")
+        .aggregate(AggSum("pcnt", alias_name="df"))
+        .map_batches(
+            lambda b: pa.table({"line_f": b["line"], "df": pc.cast(b["df"], pa.int64())}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+
+    # every line has a frequency row, so the inner keyed join keeps all rows
+    joined = _keyed_join(lines, "line", freq, "line_f", ["df"], num_partitions=num_partitions)
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([id_col, "idx"], kind="stable")
+        kept = g[g["df"] < min_docs]
+        text_agg = kept.groupby(id_col, sort=False)["line"].agg("\n".join)
+        n_lines = g.groupby(id_col, sort=False).size()
+        n_kept = kept.groupby(id_col, sort=False).size().reindex(n_lines.index, fill_value=0)
+        return pd.DataFrame(
+            {
+                id_col: n_lines.index,
+                "clean_text": text_agg.reindex(n_lines.index, fill_value="").to_numpy(),
+                "n_lines": n_lines.to_numpy().astype("int64"),
+                "n_removed": (n_lines - n_kept).to_numpy().astype("int64"),
+            }
+        )
+
+    return hash_partitioned_groups(joined, [id_col], per_part, num_partitions=num_partitions)

@@ -222,3 +222,72 @@ class TestStratifiedSplit:
         out2 = stratified_split(ray.data.from_pandas(bigger).repartition(7)).to_pandas()
         merged = out.merge(out2, on="doc_id", suffixes=("_a", "_b"))
         assert (merged["split_a"] == merged["split_b"]).all()
+
+
+class TestBoilerplateRemoval:
+    def _brute(self, docs: dict[int, str], min_docs: int) -> pd.DataFrame:
+        from collections import Counter
+
+        df = Counter()
+        for text in docs.values():
+            df.update(set(text.split("\n")))
+        rows = []
+        for doc_id, text in docs.items():
+            lines = text.split("\n")
+            kept = [ln for ln in lines if df[ln] < min_docs]
+            rows.append(
+                {
+                    "doc_id": doc_id,
+                    "clean_text": "\n".join(kept),
+                    "n_lines": len(lines),
+                    "n_removed": len(lines) - len(kept),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    def test_matches_brute_force(self, ray_session):
+        import ray
+
+        from clawrag_ray.stages.curation import remove_boilerplate_lines
+
+        docs = {
+            i: f"shared header\nunique body {i}\n" + ("promo" if i % 2 == 0 else f"tail {i}")
+            for i in range(20)
+        }
+        ds = ray.data.from_pandas(
+            pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())})
+        ).repartition(4)
+        got = (
+            remove_boilerplate_lines(ds, min_docs=5)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        want = self._brute(docs, 5).sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_threshold_boundary_and_blank_lines(self, ray_session):
+        import ray
+
+        from clawrag_ray.stages.curation import remove_boilerplate_lines
+
+        # "at" appears in exactly min_docs docs (removed); "below" in
+        # min_docs-1 (kept); shared blank lines are boilerplate too
+        # blank line appears in docs 0/1/3 -> df=3 -> removed everywhere
+        docs = {0: "at\n\nx0", 1: "at\n\nx1", 2: "at\nbelow\nx2", 3: "below\n\nx3"}
+        ds = ray.data.from_pandas(pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())}))
+        got = remove_boilerplate_lines(ds, min_docs=3).to_pandas().sort_values("doc_id")
+        assert got["clean_text"].tolist() == ["x0", "x1", "below\nx2", "below\nx3"]
+        assert got["n_removed"].tolist() == [2, 2, 1, 1]
+
+    def test_all_lines_removed_yields_empty_text(self, ray_session):
+        import ray
+
+        from clawrag_ray.stages.curation import remove_boilerplate_lines
+
+        docs = {i: "same" for i in range(4)}
+        ds = ray.data.from_pandas(pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())}))
+        got = remove_boilerplate_lines(ds, min_docs=2).to_pandas()
+        assert (got["clean_text"] == "").all()
+        assert (got["n_removed"] == 1).all()
+        assert len(got) == 4
