@@ -403,6 +403,17 @@ def _q_boilerplate_removal(sf_dir: str):
     return remove_boilerplate_lines(fixture, min_docs=10)
 
 
+def _q_perplexity_filter(sf_dir: str):
+    """CCNet-style perplexity bucketing: score each doc's cross-entropy
+    under an add-one-smoothed unigram LM trained on the corpus itself
+    (the in-sandbox stand-in for KenLM — a pure function of the input the
+    oracle replays exactly), then split head/middle/tail at the corpus
+    1/3 and 2/3 entropy quantiles."""
+    from clawrag_ray.stages.curation import perplexity_filter
+
+    return perplexity_filter(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def _q_repetition_filter(sf_dir: str):
     """Gopher-style repetition quality rules per doc: most-frequent-token
     fraction and duplicate-2-gram fraction, with the frozen keep
@@ -911,6 +922,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": _q_pii_scrub,
         "repetition_filter": _q_repetition_filter,
         "boilerplate_removal": _q_boilerplate_removal,
+        "perplexity_filter": _q_perplexity_filter,
         "decontaminate": _q_decontaminate,
         "top_orders_per_customer": _q_top_orders_per_customer,
         "events_hopping": _q_events_hopping,
@@ -1225,6 +1237,23 @@ def oracle_sql() -> dict[str, str]:
             "n AS (SELECT doc_id, count(*)::BIGINT AS n_lines FROM l GROUP BY 1) "
             "SELECT n.doc_id, coalesce(k.clean_text, '') AS clean_text, n.n_lines, "
             "(n.n_lines - coalesce(k.n_kept, 0))::BIGINT AS n_removed FROM n LEFT JOIN k USING (doc_id)"
+        ),
+        # unigram-LM replay: lp(t) = ln((count+1)/(total+vocab)); entropy =
+        # -mean lp; cutoffs = unrounded quantile_cont (== the t-digest sketch
+        # while every centroid is a singleton, i.e. n_docs <= compression)
+        "perplexity_filter": (
+            "WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS t "
+            "FROM documents), "
+            "cnt AS (SELECT t, count(*)::BIGINT AS c FROM tok GROUP BY 1), "
+            "tot AS (SELECT sum(c)::BIGINT AS total, count(*)::BIGINT AS v FROM cnt), "
+            "lp AS (SELECT t, ln((c + 1)::DOUBLE / (total + v)) AS lp FROM cnt, tot), "
+            "doc AS (SELECT doc_id, count(*)::BIGINT AS n_tokens, "
+            "-sum(lp) / count(*) AS h FROM tok JOIN lp USING (t) GROUP BY 1), "
+            "cut AS (SELECT quantile_cont(h, 1.0/3.0) AS c1, "
+            "quantile_cont(h, 2.0/3.0) AS c2 FROM doc) "
+            "SELECT doc_id, n_tokens, round(h, 6) AS entropy, "
+            "CASE WHEN h <= c1 THEN 'head' WHEN h <= c2 THEN 'middle' ELSE 'tail' END "
+            "AS ppl_bucket FROM doc, cut"
         ),
         "repetition_filter": (
             "WITH w AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS word, "

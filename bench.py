@@ -64,6 +64,7 @@ TIMED_QUERIES = [
     "ann_ivf_topk",
     "minhash_near_dups",
     "near_dup_clusters",
+    "perplexity_filter",
     "simhash_near_dups",
     "bm25_topk",
     "rrf_hybrid",

@@ -512,3 +512,149 @@ def remove_boilerplate_lines(
         )
 
     return hash_partitioned_groups(joined, [id_col], per_part, num_partitions=num_partitions)
+
+
+# ---------------------------------------------------------------------------
+# perplexity filtering (CCNet-style, corpus-trained unigram LM)
+# ---------------------------------------------------------------------------
+
+
+def _explode_tokens(ds: Dataset, id_col: str, text_col: str) -> Dataset:
+    """(id, token) rows: lowercase + RE2 ``\\S+`` tokens (the repo-wide
+    oracle tokenization), fully vectorized — utf8_lower + regex split +
+    list_flatten, empty pieces filtered (split vs findall edge)."""
+
+    def explode(b: pa.Table) -> pa.Table:
+        col = b[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        parts = pc.split_pattern_regex(pc.utf8_lower(col), r"\s+")
+        parent = pc.list_parent_indices(parts)
+        ids = b[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        flat = pa.table({id_col: ids.take(parent), "token": pc.list_flatten(parts)})
+        return flat.filter(pc.not_equal(flat["token"], ""))
+
+    return ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def perplexity_filter(
+    ds: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket_quantiles: tuple[float, float] = (1.0 / 3.0, 2.0 / 3.0),
+    num_partitions: int = 64,
+) -> Dataset:
+    """CCNet-style perplexity filtering (Wenzek et al. 2020, public): score
+    every document by its cross-entropy under a language model and split
+    the corpus into head/middle/tail buckets at corpus-level entropy
+    quantiles (head = most natural text, the slice CCNet keeps).
+
+    CCNet uses a pretrained KenLM; no model weights exist in this sandbox,
+    so the LM is an add-one-smoothed UNIGRAM model trained on the corpus
+    itself — a pure function of the input that DuckDB replays digit-for-
+    digit (the same determinism trade the HashEmbedder paths make):
+    ``lp(t) = ln((count(t)+1) / (total_tokens+vocab))``,
+    ``entropy(d) = -mean(lp(t) for t in d)``. Swap ``lp`` for a broadcast
+    KenLM scorer when weights are available; every distributed shape below
+    is model-agnostic.
+
+    Scale shape (token-row-proportional, nothing corpus-sized driver-side):
+      1. explode to (id, token) with Arrow kernels; two-level grouped count
+         gives the token frequency table (vocab-sized);
+      2. total/vocab are one tiny aggregate; lp is a map over the frequency
+         table; every token row joins its lp via the distributed keyed join
+         (at 10^12 docs swap the token-string key for a 64-bit token hash,
+         the same swap documented for the verify joins);
+      3. per-doc sum/count via two-level partial aggregation;
+      4. bucket cutoffs via the t-digest quantile sketch (exact — every
+         centroid a singleton — while n_docs <= compression, the pinned
+         contract; bounded rank error beyond), then one broadcast-scalar
+         assignment pass.
+
+    Zero-token docs carry no LM evidence and are excluded (mirrored by the
+    oracle's inner join). Output: (id, n_tokens, entropy round-6, bucket)."""
+    from clawrag_ray.stages.dedup import _keyed_join
+    from clawrag_ray.stages.relational import grouped_quantiles_tdigest, pre_aggregate
+
+    toks = _explode_tokens(ds, id_col, text_col).materialize()
+
+    # vocab-sized frequency table: arrow partial counts, global sum
+    def partial_count(b: pa.Table) -> pa.Table:
+        g = b.select(["token"]).group_by("token").aggregate([("token", "count")])
+        return g.rename_columns(["token", "pcnt"])
+
+    from ray.data.aggregate import Count as AggCount
+    from ray.data.aggregate import Sum as AggSum
+
+    freq = (
+        toks.map_batches(partial_count, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .aggregate(AggSum("pcnt", alias_name="cnt"))
+        .materialize()
+    )
+
+    tot = freq.aggregate(AggSum("cnt"), AggCount())
+    total, vocab = int(tot["sum(cnt)"]), int(tot["count()"])
+
+    def to_logprob(b: pa.Table) -> pa.Table:
+        c = pc.cast(b["cnt"], pa.float64()).to_numpy(zero_copy_only=False)
+        lp = np.log((c + 1.0) / float(total + vocab))
+        return pa.table({"token_f": b["token"], "lp": pa.array(lp)})
+
+    logp = freq.map_batches(to_logprob, batch_format="pyarrow", zero_copy_batch=True)
+
+    scored_tok = _keyed_join(toks, "token", logp, "token_f", ["lp"], num_partitions=num_partitions)
+    per_doc = pre_aggregate(scored_tok, [id_col], ["lp"], count_alias="n_tokens")
+
+    def entropy(b: pa.Table) -> pa.Table:
+        s = pc.cast(b["sum_lp"], pa.float64()).to_numpy(zero_copy_only=False)
+        n = pc.cast(b["n_tokens"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "n_tokens": pa.array(n),
+                "entropy": pa.array(-s / n),
+            }
+        )
+
+    scored = per_doc.map_batches(entropy, batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    # ndigits=17 is the identity round for doubles in this range: a ROUNDED
+    # cutoff falls below an exact tie at the quantile and misclassifies the
+    # tied docs, while the unrounded interpolated cutoff equals the tied
+    # value exactly in both engines (quantile_cont and np.interp agree on
+    # ties bit-for-bit)
+    q1, q2 = bucket_quantiles
+    cuts = (
+        grouped_quantiles_tdigest(
+            scored.map_batches(
+                lambda b: b.append_column("__all", pa.array(np.zeros(b.num_rows, dtype="int64"))),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ),
+            ["__all"],
+            "entropy",
+            [q1, q2],
+            ndigits=17,
+        )
+        .to_pandas()
+        .iloc[0]
+    )
+    c1 = float(cuts[f"p{int(round(q1 * 100))}"])
+    c2 = float(cuts[f"p{int(round(q2 * 100))}"])
+
+    def assign(b: pa.Table) -> pa.Table:
+        h = b["entropy"].to_numpy(zero_copy_only=False)
+        bucket = np.where(h <= c1, "head", np.where(h <= c2, "middle", "tail"))
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "n_tokens": b["n_tokens"],
+                "entropy": pa.array(np.round(h, 6)),
+                "ppl_bucket": pa.array(bucket.tolist(), pa.string()),
+            }
+        )
+
+    return scored.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)

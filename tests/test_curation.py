@@ -291,3 +291,80 @@ class TestBoilerplateRemoval:
         assert (got["clean_text"] == "").all()
         assert (got["n_removed"] == 1).all()
         assert len(got) == 4
+
+
+class TestPerplexityFilter:
+    def _brute(self, docs: dict[int, str]) -> pd.DataFrame:
+        import re
+        from collections import Counter
+
+        tok = re.compile(r"\S+")
+        per_doc = {i: tok.findall(t.lower()) for i, t in docs.items()}
+        cnt = Counter()
+        for ts in per_doc.values():
+            cnt.update(ts)
+        total, vocab = sum(cnt.values()), len(cnt)
+        lp = {t: np.log((c + 1) / (total + vocab)) for t, c in cnt.items()}
+        rows = []
+        for i, ts in per_doc.items():
+            if not ts:
+                continue
+            h = -sum(lp[t] for t in ts) / len(ts)
+            rows.append({"doc_id": i, "n_tokens": len(ts), "h": h})
+        df = pd.DataFrame(rows)
+        c1 = float(np.percentile(df["h"], 100 / 3))
+        c2 = float(np.percentile(df["h"], 200 / 3))
+        df["ppl_bucket"] = np.where(df["h"] <= c1, "head", np.where(df["h"] <= c2, "middle", "tail"))
+        df["entropy"] = df["h"].round(6)
+        return df[["doc_id", "n_tokens", "entropy", "ppl_bucket"]]
+
+    def test_matches_brute_force(self, ray_session):
+        import ray
+
+        from clawrag_ray.stages.curation import perplexity_filter
+
+        rng = np.random.RandomState(7)
+        vocab = [f"w{j}" for j in range(30)]
+        docs = {
+            i: " ".join(rng.choice(vocab, size=rng.randint(3, 25)))
+            for i in range(60)
+        }
+        ds = ray.data.from_pandas(
+            pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())})
+        ).repartition(5)
+        got = (
+            perplexity_filter(ds)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        want = self._brute(docs).sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False, atol=1e-9)
+        # thirds split: each bucket non-empty and roughly a third
+        sizes = got["ppl_bucket"].value_counts()
+        assert set(sizes.index) == {"head", "middle", "tail"}
+        assert sizes.min() >= len(got) // 5
+
+    def test_zero_token_docs_excluded(self, ray_session):
+        import ray
+
+        from clawrag_ray.stages.curation import perplexity_filter
+
+        docs = {0: "alpha beta", 1: "   ", 2: "", 3: "alpha gamma delta"}
+        ds = ray.data.from_pandas(pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())}))
+        got = perplexity_filter(ds).to_pandas()
+        assert sorted(got["doc_id"]) == [0, 3]
+
+    def test_repeated_common_doc_scores_head(self, ray_session):
+        import ray
+
+        from clawrag_ray.stages.curation import perplexity_filter
+
+        # docs made of the dominant token score lowest entropy -> head;
+        # docs of singleton tokens land in tail
+        docs = {i: "the the the the" for i in range(10)}
+        docs.update({10 + i: f"zzz{i} qqq{i} xxx{i}" for i in range(5)})
+        ds = ray.data.from_pandas(pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())}))
+        got = perplexity_filter(ds).to_pandas().set_index("doc_id")
+        assert (got.loc[range(10), "ppl_bucket"] == "head").all()
+        assert (got.loc[range(10, 15), "ppl_bucket"] == "tail").all()
