@@ -753,6 +753,39 @@ def _q_doc_embedding_near_dups(sf_dir: str):
     return embedding_near_dup_pairs_ivf(vecs, threshold=0.95, n_centroids=32, n_probe=DOC_NEAR_DUP_N_PROBE)
 
 
+def _q_semantic_dedup(sf_dir: str):
+    """SemDeDup-style semantic dedup: hash-embedder vectors -> IVF-cell
+    bucketed cosine pairs (threshold 0.95, same lossless pruning argument
+    as doc_embedding_near_dups) -> distributed connected components ->
+    keep ONE representative (min doc_id) per semantic-duplicate component.
+    The oracle replays the embedding + exact all-pairs cosine graph and a
+    recursive transitive closure (quadratic oracle; skip at sf0.1)."""
+    import pyarrow.compute as pc
+
+    from clawrag_ray.stages.embed import embed_texts
+    from clawrag_ray.stages.similarity import semantic_dedup
+
+    emb = embed_texts(_read(sf_dir, "documents", ["doc_id", "text"]), concurrency=(1, 4))
+
+    def to_vec(batch: pa.Table) -> pa.Table:
+        return pa.table({"vec_id": pc.cast(batch["doc_id"], pa.int64()), "embedding": batch["embedding"]})
+
+    vecs = emb.map_batches(to_vec, batch_format="pyarrow", zero_copy_batch=True)
+    out = semantic_dedup(vecs, threshold=0.95, n_centroids=32, n_probe=DOC_NEAR_DUP_N_PROBE)
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b["vec_id"],
+                "cluster_id": b["cluster_id"],
+                "cluster_size": b["cluster_size"],
+                "keep": b["keep"],
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def _q_substring_near_dups(sf_dir: str):
     """Exact substring-level near-dup (Lee et al. 2021 formulation on
     rolling hashes): pairs of docs sharing >= 1 exact 64-byte substring,
@@ -938,6 +971,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_near_dups": _q_simhash_near_dups,
         "minhash_near_dups": _q_minhash_near_dups,
         "near_dup_clusters": _q_near_dup_clusters,
+        "semantic_dedup": _q_semantic_dedup,
         "substring_near_dups": _q_substring_near_dups,
         "fingerprints": _q_fingerprints,
         "bm25_idf": _q_bm25_idf,
@@ -967,6 +1001,24 @@ _DE_RE = r"\b(?:der|die|das|und|ist|nicht|mit|für|ein|eine)\b"
 # python reads), signed vote per bit weighted by term count, bit set when
 # the vote is positive; bit 63 is folded out (matches SimHasher's int64
 # storage), so only bits 0..62 participate.
+# HashEmbedder replayed in SQL (md5 bucket + sign counts -> l2 normalize ->
+# float32 round-trip like the engine's list<float32> column). CTE body only
+# (no WITH) so both the pair sweep and the recursive-closure oracle reuse it.
+_HASH_EMB_CTE = (
+    "tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS t FROM documents), "
+    "vec AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::UBIGINT % 64 AS bucket, "
+    "sum(CASE WHEN ('0x' || substr(md5(t), 9, 2))::UBIGINT & 1 = 1 THEN 1.0 ELSE -1.0 END) AS sval "
+    "FROM tok GROUP BY 1, 2), "
+    "grid AS (SELECT d.doc_id, g.j FROM (SELECT DISTINCT doc_id FROM documents) d, "
+    "unnest(generate_series(0, 63)) AS g(j)), "
+    "dense AS (SELECT grid.doc_id, list(coalesce(v.sval, 0.0) ORDER BY grid.j) AS raw "
+    "FROM grid LEFT JOIN vec v ON v.doc_id = grid.doc_id AND v.bucket = grid.j "
+    "GROUP BY grid.doc_id), "
+    "emb AS (SELECT doc_id, nrm, CASE WHEN nrm = 0 THEN raw "
+    "ELSE list_transform(raw, x -> CAST(CAST(x / nrm AS FLOAT) AS DOUBLE)) END AS e "
+    "FROM (SELECT doc_id, raw, sqrt(list_sum(list_transform(raw, x -> x * x))) AS nrm FROM dense))"
+)
+
 _SIMHASH_CTE = (
     "WITH w AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS word FROM documents), "
     "wc AS (SELECT doc_id, word, count(*)::BIGINT AS c FROM w GROUP BY 1, 2), "
@@ -1320,28 +1372,32 @@ def oracle_sql() -> dict[str, str]:
             "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.45"
         ),
-        # HashEmbedder replayed in SQL (md5 bucket + sign counts -> l2
-        # normalize -> float32 round-trip like the engine's list<float32>
-        # column), then the exact all-pairs sweep — verifying that the
-        # engine's IVF-cell-bucketed path loses no pairs on the real corpus.
-        # Quadratic oracle (like ngram_jaccard_near_dups): skip at sf0.1.
+        # HashEmbedder replay (see _HASH_EMB_CTE), then the exact all-pairs
+        # sweep — verifying that the engine's IVF-cell-bucketed path loses
+        # no pairs on the real corpus. Quadratic oracle (like
+        # ngram_jaccard_near_dups): skip at sf0.1.
         "doc_embedding_near_dups": (
-            "WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS t FROM documents), "
-            "vec AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::UBIGINT % 64 AS bucket, "
-            "sum(CASE WHEN ('0x' || substr(md5(t), 9, 2))::UBIGINT & 1 = 1 THEN 1.0 ELSE -1.0 END) AS sval "
-            "FROM tok GROUP BY 1, 2), "
-            "grid AS (SELECT d.doc_id, g.j FROM (SELECT DISTINCT doc_id FROM documents) d, "
-            "unnest(generate_series(0, 63)) AS g(j)), "
-            "dense AS (SELECT grid.doc_id, list(coalesce(v.sval, 0.0) ORDER BY grid.j) AS raw "
-            "FROM grid LEFT JOIN vec v ON v.doc_id = grid.doc_id AND v.bucket = grid.j "
-            "GROUP BY grid.doc_id), "
-            "emb AS (SELECT doc_id, nrm, CASE WHEN nrm = 0 THEN raw "
-            "ELSE list_transform(raw, x -> CAST(CAST(x / nrm AS FLOAT) AS DOUBLE)) END AS e "
-            "FROM (SELECT doc_id, raw, sqrt(list_sum(list_transform(raw, x -> x * x))) AS nrm FROM dense)) "
+            "WITH " + _HASH_EMB_CTE + " "
             "SELECT a.doc_id AS vec_a, b.doc_id AS vec_b, "
             "round(list_cosine_similarity(a.e, b.e), 6) AS cosine "
             "FROM emb a JOIN emb b ON a.doc_id < b.doc_id "
             "WHERE a.nrm > 0 AND b.nrm > 0 AND list_cosine_similarity(a.e, b.e) >= 0.95"
+        ),
+        # the SAME cosine-0.95 pair graph, closed transitively: cluster_id
+        # = min doc_id reachable; keep = doc_id == cluster_id (the
+        # SemDeDup keep-one rule). Quadratic oracle: skip at sf0.1.
+        "semantic_dedup": (
+            "WITH RECURSIVE " + _HASH_EMB_CTE + ", "
+            "p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b "
+            "FROM emb a JOIN emb b ON a.doc_id < b.doc_id "
+            "WHERE a.nrm > 0 AND b.nrm > 0 AND list_cosine_similarity(a.e, b.e) >= 0.95), "
+            "e AS (SELECT doc_a AS src, doc_b AS dst FROM p UNION SELECT doc_b, doc_a FROM p), "
+            "reach AS (SELECT doc_id AS node, doc_id AS r FROM documents "
+            "UNION SELECT reach.node, e.dst FROM reach JOIN e ON e.src = reach.r), "
+            "lab AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1), "
+            "sz AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size FROM lab GROUP BY 1) "
+            "SELECT lab.doc_id, lab.cluster_id, sz.cluster_size, "
+            "lab.doc_id = lab.cluster_id AS keep FROM lab JOIN sz USING (cluster_id)"
         ),
         "frame_sample": (
             "SELECT CAST(doc_id AS VARCHAR) AS media_id, CAST(i - 1 AS INTEGER) AS frame_idx, "

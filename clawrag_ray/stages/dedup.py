@@ -965,14 +965,29 @@ def near_dup_clusters(
     label table is pair-endpoint-sized, cluster assignment and sizes are
     keyed joins + grouped counts over the corpus — no driver-side
     materialization at any stage."""
-    from ray.data.aggregate import Sum as AggSum
-
     pairs = minhash_candidate_pairs(
         ds, concurrency=concurrency, shingle_k=shingle_k, n_perm=128,
         n_bands=64 if threshold >= 0.5 else 128,
     )
     verified = _verify_pairs_jaccard_ds(ds, pairs, threshold, shingle_k, num_partitions)
     ids = ds.select_columns([id_col])
+    return label_clusters(ids, verified, id_col=id_col, num_partitions=num_partitions)
+
+
+def label_clusters(
+    ids: Dataset,
+    verified: Dataset | None,
+    id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    num_partitions: int = 64,
+) -> Dataset:
+    """Pairs -> per-item cluster labels: connected components over the
+    verified (a, b) edges, then every id in ``ids`` gets (cluster_id =
+    component min id, cluster_size); unpaired ids label themselves with
+    size 1. Shared tail of near_dup_clusters / semantic_dedup — same
+    distributed shapes (keyed joins + grouped counts; nothing driver-sized)."""
+    from ray.data.aggregate import Sum as AggSum
 
     def singleton(b: pa.Table) -> pa.Table:
         return pa.table(
@@ -987,7 +1002,7 @@ def near_dup_clusters(
     if verified is not None:
         verified = verified.materialize()  # qualifying-pair-sized
         if verified.count() > 0:
-            comp = connected_components(verified, num_partitions=num_partitions)
+            comp = connected_components(verified, a_col=a_col, b_col=b_col, num_partitions=num_partitions)
     if comp is None:
         return ids.map_batches(singleton, batch_format="pyarrow", zero_copy_batch=True)
 

@@ -514,3 +514,51 @@ def embedding_near_dup_pairs_lsh(
     pairs = pairs.assign(cosine=np.round(cos, 6))
     out = pairs[pairs["cosine"] >= threshold]
     return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+
+def semantic_dedup(
+    ds: Dataset,
+    threshold: float = 0.95,
+    n_centroids: int = 32,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    num_partitions: int = 64,
+) -> Dataset:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
+    group items whose embeddings are near-identical (cosine >= threshold)
+    and keep ONE representative per semantic-duplicate component. Pairs
+    come from the IVF-cell-bucketed generator (data-dependent cells — the
+    scale path for correlated corpora, no O(n^2) stage), components from
+    the distributed min-label contraction, labels via keyed joins — the
+    same composition contract as near_dup_clusters, over embeddings
+    instead of shingles.
+
+    Keeper rule: deterministic min-id per component (SemDeDup proper keeps
+    the item with lowest centroid similarity; min-id is the reproducible
+    variant this engine standardizes on — swap the rule in the final map).
+    Output: (id, cluster_id, cluster_size, keep)."""
+    import ray.data as rd
+
+    from clawrag_ray.stages.dedup import label_clusters
+
+    pairs = embedding_near_dup_pairs_ivf(
+        ds,
+        threshold=threshold,
+        n_centroids=n_centroids,
+        n_probe=n_probe,
+        num_partitions=num_partitions,
+    )
+    verified = rd.from_pandas(pairs[["vec_a", "vec_b"]]) if len(pairs) else None
+    labeled = label_clusters(
+        ds.select_columns([id_col]),
+        verified,
+        id_col=id_col,
+        a_col="vec_a",
+        b_col="vec_b",
+        num_partitions=num_partitions,
+    )
+
+    def add_keep(b: pa.Table) -> pa.Table:
+        return b.append_column("keep", pa.compute.equal(b[id_col], b["cluster_id"]))
+
+    return labeled.map_batches(add_keep, batch_format="pyarrow", zero_copy_batch=True)

@@ -580,3 +580,67 @@ class TestTileSweepIdOrder:
         got = embedding_near_dup_pairs(ds, threshold=0.999, num_blocks=8)
         pairs = set(zip(got["vec_a"].astype(int), got["vec_b"].astype(int)))
         assert (0, 36) in pairs  # row 3 has id 36, row 39 has id 0
+
+
+class TestSemanticDedup:
+    def _brute_labels(self, pairs, n):
+        # union-find transitive closure, label = component min
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {i: find(i) for i in range(n)}
+
+    def test_matches_exact_pair_graph_closure(self):
+        from clawrag_ray.stages.similarity import semantic_dedup
+
+        # three planted duplicate groups + noise vectors
+        rng = np.random.RandomState(11)
+        n, d = 120, 16
+        vecs = rng.standard_normal((n, d))
+        vecs[100] = vecs[0] + 0.001 * rng.standard_normal(d)
+        vecs[101] = vecs[0] - 0.001 * rng.standard_normal(d)  # chain 0-100-101
+        vecs[110] = vecs[50] + 0.001 * rng.standard_normal(d)
+        rows = [{"vec_id": i, "embedding": vecs[i].astype(np.float32).tolist()} for i in range(n)]
+        ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(4)
+
+        exact = embedding_near_dup_pairs(ds, threshold=0.99)
+        labels = self._brute_labels(list(zip(exact["vec_a"], exact["vec_b"])), n)
+        from collections import Counter
+
+        sizes = Counter(labels.values())
+
+        got = (
+            semantic_dedup(ds, threshold=0.99, n_centroids=8, n_probe=3)
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        assert got["cluster_id"].tolist() == [labels[i] for i in range(n)]
+        assert got["cluster_size"].tolist() == [sizes[labels[i]] for i in range(n)]
+        assert got["keep"].tolist() == [i == labels[i] for i in range(n)]
+        # exactly one keeper per component; dup components shrank
+        assert got["keep"].sum() == len(sizes)
+        assert got.loc[got["vec_id"] == 101, "cluster_id"].item() == 0
+
+    def test_no_pairs_all_singletons(self):
+        from clawrag_ray.stages.similarity import semantic_dedup
+
+        rng = np.random.RandomState(2)
+        rows = [
+            {"vec_id": i, "embedding": rng.standard_normal(8).astype(np.float32).tolist()}
+            for i in range(30)
+        ]
+        ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+        got = semantic_dedup(ds, threshold=0.9999, n_centroids=4).to_pandas()
+        assert (got["cluster_id"] == got["vec_id"]).all()
+        assert (got["cluster_size"] == 1).all()
+        assert got["keep"].all()
