@@ -403,6 +403,40 @@ def _q_boilerplate_removal(sf_dir: str):
     return remove_boilerplate_lines(fixture, min_docs=10)
 
 
+def _q_paragraph_dedup(sf_dir: str):
+    """RefinedWeb/MassiveText first-occurrence exact line dedup over the
+    same nav/promo/footer multi-line fixture as boilerplate_removal:
+    'nav ...' survives only in doc 0, 'promo banner k' in the first doc
+    with id%50==k, 'footer copyright k' in the first 4 docs, and the
+    corpus's natural exact-duplicate texts (the exact_dedup clusters)
+    keep only their min-id copy. The oracle replays the rule with a
+    row_number() window over (line -> doc_id, idx)."""
+    from clawrag_ray.stages.curation import paragraph_dedup
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def wrap(df):
+        import pandas as pd
+
+        ids = df["doc_id"].to_numpy()
+        return pd.DataFrame(
+            {
+                "doc_id": ids,
+                "text": (
+                    "nav home about contact\npromo banner "
+                    + pd.Series(ids % 50).astype(str)
+                    + "\n"
+                    + df["text"].to_numpy()
+                    + "\nfooter copyright "
+                    + pd.Series(ids % 4).astype(str)
+                ),
+            }
+        )
+
+    fixture = docs.map_batches(wrap, batch_format="pandas")
+    return paragraph_dedup(fixture)
+
+
 def _q_perplexity_filter(sf_dir: str):
     """CCNet-style perplexity bucketing: score each doc's cross-entropy
     under an add-one-smoothed unigram LM trained on the corpus itself
@@ -955,6 +989,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": _q_pii_scrub,
         "repetition_filter": _q_repetition_filter,
         "boilerplate_removal": _q_boilerplate_removal,
+        "paragraph_dedup": _q_paragraph_dedup,
         "perplexity_filter": _q_perplexity_filter,
         "decontaminate": _q_decontaminate,
         "top_orders_per_customer": _q_top_orders_per_customer,
@@ -1286,6 +1321,23 @@ def oracle_sql() -> dict[str, str]:
             "m AS (SELECT l.doc_id, l.idx, l.ln, f.df FROM l JOIN f USING (ln)), "
             "k AS (SELECT doc_id, coalesce(string_agg(ln, chr(10) ORDER BY idx), '') AS clean_text, "
             "count(*)::BIGINT AS n_kept FROM m WHERE df < 10 GROUP BY 1), "
+            "n AS (SELECT doc_id, count(*)::BIGINT AS n_lines FROM l GROUP BY 1) "
+            "SELECT n.doc_id, coalesce(k.clean_text, '') AS clean_text, n.n_lines, "
+            "(n.n_lines - coalesce(k.n_kept, 0))::BIGINT AS n_removed FROM n LEFT JOIN k USING (doc_id)"
+        ),
+        # same wrap fixture + explode as boilerplate_removal; keep rule is
+        # first occurrence in (doc_id, idx) order via a row_number window
+        "paragraph_dedup": (
+            "WITH fx AS (SELECT doc_id, 'nav home about contact' || chr(10) || "
+            "'promo banner ' || (doc_id % 50) || chr(10) || text || chr(10) || "
+            "'footer copyright ' || (doc_id % 4) AS text FROM documents), "
+            "p AS (SELECT doc_id, string_split(text, chr(10)) AS parts FROM fx), "
+            "l AS (SELECT doc_id, i::BIGINT AS idx, parts[i] AS ln FROM p, "
+            "unnest(generate_series(1, len(parts))) AS t(i)), "
+            "m AS (SELECT doc_id, idx, ln, "
+            "row_number() OVER (PARTITION BY ln ORDER BY doc_id, idx) AS rn FROM l), "
+            "k AS (SELECT doc_id, coalesce(string_agg(ln, chr(10) ORDER BY idx), '') AS clean_text, "
+            "count(*)::BIGINT AS n_kept FROM m WHERE rn = 1 GROUP BY 1), "
             "n AS (SELECT doc_id, count(*)::BIGINT AS n_lines FROM l GROUP BY 1) "
             "SELECT n.doc_id, coalesce(k.clean_text, '') AS clean_text, n.n_lines, "
             "(n.n_lines - coalesce(k.n_kept, 0))::BIGINT AS n_removed FROM n LEFT JOIN k USING (doc_id)"

@@ -409,6 +409,37 @@ def decontaminate(
 # ---------------------------------------------------------------------------
 
 
+def _explode_lines(ds: Dataset, id_col: str, text_col: str) -> Dataset:
+    """(id, text) -> (id, idx, line): split each document on ``\\n`` with
+    pure Arrow kernels (split_pattern / list_parent_indices /
+    list_flatten — no Python row loop); ``idx`` is the line's position
+    within its document. Shared explode head of the line-level corpus
+    ops (boilerplate removal, first-occurrence paragraph dedup)."""
+
+    def explode(b: pa.Table) -> pa.Table:
+        col = b[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        parts = pc.split_pattern(col, "\n")
+        parent = pc.list_parent_indices(parts)
+        n = pc.list_value_length(parts).to_numpy(zero_copy_only=False).astype(np.int64)
+        total = int(n.sum())
+        starts = np.repeat(np.cumsum(n) - n, n)
+        idx = np.arange(total, dtype=np.int64) - starts
+        ids = b[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table(
+            {
+                id_col: ids.take(parent),
+                "idx": pa.array(idx),
+                "line": pc.list_flatten(parts),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def remove_boilerplate_lines(
     ds: Dataset,
     min_docs: int = 10,
@@ -444,28 +475,7 @@ def remove_boilerplate_lines(
     from clawrag_ray.stages.dedup import _keyed_join
     from clawrag_ray.stages.relational import hash_partitioned_groups
 
-    def explode(b: pa.Table) -> pa.Table:
-        col = b[text_col]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        parts = pc.split_pattern(col, "\n")
-        parent = pc.list_parent_indices(parts)
-        n = pc.list_value_length(parts).to_numpy(zero_copy_only=False).astype(np.int64)
-        total = int(n.sum())
-        starts = np.repeat(np.cumsum(n) - n, n)
-        idx = np.arange(total, dtype=np.int64) - starts
-        ids = b[id_col]
-        if isinstance(ids, pa.ChunkedArray):
-            ids = ids.combine_chunks()
-        return pa.table(
-            {
-                id_col: ids.take(parent),
-                "idx": pa.array(idx),
-                "line": pc.list_flatten(parts),
-            }
-        )
-
-    lines = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    lines = _explode_lines(ds, id_col, text_col).materialize()
 
     # distinct-doc frequency per line: per-batch (line, id) distinct, global
     # (line, id) collapse, then per-batch partial counts + grouped sum
@@ -499,6 +509,89 @@ def remove_boilerplate_lines(
     def per_part(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([id_col, "idx"], kind="stable")
         kept = g[g["df"] < min_docs]
+        text_agg = kept.groupby(id_col, sort=False)["line"].agg("\n".join)
+        n_lines = g.groupby(id_col, sort=False).size()
+        n_kept = kept.groupby(id_col, sort=False).size().reindex(n_lines.index, fill_value=0)
+        return pd.DataFrame(
+            {
+                id_col: n_lines.index,
+                "clean_text": text_agg.reindex(n_lines.index, fill_value="").to_numpy(),
+                "n_lines": n_lines.to_numpy().astype("int64"),
+                "n_removed": (n_lines - n_kept).to_numpy().astype("int64"),
+            }
+        )
+
+    return hash_partitioned_groups(joined, [id_col], per_part, num_partitions=num_partitions)
+
+
+# idx fits in 24 bits (16M lines/doc) so (doc_id, idx) packs into one
+# int64 occurrence rank for a single grouped-min pass; doc ids must fit
+# 39 bits. At wider id spaces swap the packed key for a two-level min
+# (min doc per line, then min idx within the keeper doc) — one extra
+# grouped pass, same shapes.
+_IDX_SPAN = 1 << 24
+
+
+def paragraph_dedup(
+    ds: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 64,
+) -> Dataset:
+    """First-occurrence exact paragraph dedup (the RefinedWeb / MassiveText
+    exact line-dedup rule, Penedo et al. 2023 / Rae et al. 2021, public):
+    every line keeps only its FIRST occurrence in global (doc_id, idx)
+    order; later verbatim repeats — across documents or within one — are
+    dropped, and each document is rebuilt from its surviving lines in
+    order. Complements ``remove_boilerplate_lines`` (frequency-threshold
+    rule): this rule always keeps exactly one copy corpus-wide. Returns
+    (id, clean_text, n_lines, n_removed).
+
+    Scale shape (all shuffles corpus-line-proportional):
+      1. Arrow-kernel explode to (id, idx, line) + packed occurrence rank;
+      2. per-batch partial min + grouped min gives each line's first
+         occurrence (line-vocabulary-sized table);
+      3. distributed keyed join back, keep rows whose rank == min, then
+         one hash-partitioned pass per document partition rebuilds text
+         (vectorized grouped join — one call per partition, not per doc).
+    Line strings are the shuffle key; at 10^12 docs swap the key for a
+    128-bit line hash, as documented for the verify joins."""
+    from ray.data.aggregate import Min as AggMin
+
+    from clawrag_ray.stages.dedup import _keyed_join
+    from clawrag_ray.stages.relational import hash_partitioned_groups
+
+    def with_rank(b: pa.Table) -> pa.Table:
+        occ = b[id_col].to_numpy() * _IDX_SPAN + b["idx"].to_numpy()
+        return b.append_column("occ", pa.array(occ, pa.int64()))
+
+    lines = (
+        _explode_lines(ds, id_col, text_col)
+        .map_batches(with_rank, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
+    )
+
+    def partial_min(b: pa.Table) -> pa.Table:
+        g = b.select(["line", "occ"]).group_by("line").aggregate([("occ", "min")])
+        return g.rename_columns(["line", "pmin"])
+
+    first = (
+        lines.map_batches(partial_min, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("line")
+        .aggregate(AggMin("pmin", alias_name="first_occ"))
+        .map_batches(
+            lambda b: pa.table({"line_f": b["line"], "first_occ": pc.cast(b["first_occ"], pa.int64())}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+
+    # every line has a first-occurrence row, so the inner join keeps all rows
+    joined = _keyed_join(lines, "line", first, "line_f", ["first_occ"], num_partitions=num_partitions)
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([id_col, "idx"], kind="stable")
+        kept = g[g["occ"] == g["first_occ"]]
         text_agg = kept.groupby(id_col, sort=False)["line"].agg("\n".join)
         n_lines = g.groupby(id_col, sort=False).size()
         n_kept = kept.groupby(id_col, sort=False).size().reindex(n_lines.index, fill_value=0)

@@ -368,3 +368,70 @@ class TestPerplexityFilter:
         got = perplexity_filter(ds).to_pandas().set_index("doc_id")
         assert (got.loc[range(10), "ppl_bucket"] == "head").all()
         assert (got.loc[range(10, 15), "ppl_bucket"] == "tail").all()
+
+
+class TestParagraphDedup:
+    def _brute(self, docs: dict[int, str]) -> pd.DataFrame:
+        seen: set[str] = set()
+        rows = []
+        for doc_id in sorted(docs):
+            lines = docs[doc_id].split("\n")
+            kept = []
+            for ln in lines:
+                if ln not in seen:
+                    seen.add(ln)
+                    kept.append(ln)
+            rows.append(
+                {
+                    "doc_id": doc_id,
+                    "clean_text": "\n".join(kept),
+                    "n_lines": len(lines),
+                    "n_removed": len(lines) - len(kept),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    def test_matches_brute_force(self, ray_session):
+        import ray
+
+        from clawrag_ray.stages.curation import paragraph_dedup
+
+        # cross-doc repeats, in-doc repeats, and a doc that is all repeats
+        docs = {
+            i: f"shared header\nbody {i % 7}\nbody {i % 7}\ntail {i % 3}" for i in range(20)
+        }
+        docs[20] = "shared header\nbody 0\ntail 0"
+        ds = ray.data.from_pandas(
+            pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())})
+        ).repartition(4)
+        got = (
+            paragraph_dedup(ds)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        want = self._brute(docs).sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        assert got.loc[got["doc_id"] == 20, "n_removed"].item() == 3
+
+    def test_in_doc_repeat_keeps_first_index(self, ray_session):
+        import ray
+
+        from clawrag_ray.stages.curation import paragraph_dedup
+
+        docs = {5: "a\nb\na\na", 9: "b\nc"}
+        ds = ray.data.from_pandas(pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())}))
+        got = paragraph_dedup(ds).to_pandas().sort_values("doc_id")
+        assert got["clean_text"].tolist() == ["a\nb", "c"]
+        assert got["n_removed"].tolist() == [2, 1]
+
+    def test_no_repeats_is_identity(self, ray_session):
+        import ray
+
+        from clawrag_ray.stages.curation import paragraph_dedup
+
+        docs = {i: f"x{i}\ny{i}" for i in range(6)}
+        ds = ray.data.from_pandas(pd.DataFrame({"doc_id": list(docs), "text": list(docs.values())}))
+        got = paragraph_dedup(ds).to_pandas().sort_values("doc_id")
+        assert got["clean_text"].tolist() == list(docs.values())
+        assert (got["n_removed"] == 0).all()
