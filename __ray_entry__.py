@@ -165,6 +165,33 @@ def _q_revenue_by_nation(sf_dir: str):
     return revenue_by_nation(_read(sf_dir, "orders", ["o_custkey", "o_totalprice"]), customer, nation)
 
 
+def _q_revenue_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(region, nation) revenue: dims broadcast into the
+    orders scan (custkey -> (r_name, n_name) via driver-merged small
+    dims, the revenue_by_nation shape), finest level aggregated
+    distributed, coarser levels re-aggregated from the
+    group-cardinality-sized finest result."""
+    import pyarrow.compute as pc
+
+    from clawrag_ray.stages.relational import broadcast_join, rollup_aggregate
+
+    customer = pq.read_table(os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name", "n_regionkey"]).to_pandas()
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet"), columns=["r_regionkey", "r_name"]).to_pandas()
+    dims = customer.merge(nation, left_on="c_nationkey", right_on="n_nationkey").merge(
+        region, left_on="n_regionkey", right_on="r_regionkey"
+    )[["c_custkey", "r_name", "n_name"]].rename(columns={"c_custkey": "o_custkey"})
+
+    joined = broadcast_join(_read(sf_dir, "orders", ["o_custkey", "o_totalprice"]), dims, on="o_custkey")
+    out = rollup_aggregate(joined, ["r_name", "n_name"], "o_totalprice", total_alias="total_revenue", count_alias="n_orders")
+
+    def round_out(b: pa.Table) -> pa.Table:
+        i = b.schema.get_field_index("total_revenue")
+        return b.set_column(i, "total_revenue", pc.round(b["total_revenue"], ndigits=2))
+
+    return out.map_batches(round_out, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_events_hourly(sf_dir: str):
     import pyarrow.compute as pc
 
@@ -562,6 +589,34 @@ def _q_late_events(sf_dir: str):
 
     flagged = watermark_late_split(_read(sf_dir, "events", ["ts", "event_type"]), delay_minutes=120.0)
     return pre_aggregate(flagged, ["event_type", "is_late"], [], count_alias="n")
+
+
+def _q_user_running_spend(sf_dir: str):
+    """Per-user ordered cumulative spend — SUM() OVER (PARTITION BY user
+    ORDER BY ts, event_id) as one hash-partition shuffle + vectorized
+    grouped cumsum. Sums integer cents (floor(value*100): identical
+    doubles floor identically in numpy and DuckDB) so the running total
+    is exact-arithmetic on both sides — no float-association drift."""
+    import pyarrow.compute as pc
+
+    from clawrag_ray.stages.relational import grouped_running_sum
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        c = pc.cast(pc.floor(pc.multiply(b["value"], 100.0)), pa.int64())
+        return pa.table(
+            {"event_id": b["event_id"], "user_id": b["user_id"], "ts": b["ts"], "cents": c}
+        )
+
+    run = grouped_running_sum(
+        ev.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["user_id"],
+        order_cols=["ts", "event_id"],
+        value_col="cents",
+        out_col="running_cents",
+    )
+    return run.select_columns(["event_id", "user_id", "running_cents"])
 
 
 def _q_doc_sample(sf_dir: str):
@@ -973,6 +1028,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parent_child_counts": _q_parent_child,
         "lineitem_pricing": _q_lineitem_pricing,
         "revenue_by_nation": _q_revenue_by_nation,
+        "revenue_rollup": _q_revenue_rollup,
         "events_hourly": _q_events_hourly,
         "sessionize": _q_sessionize,
         "top_customers": _q_top_customers,
@@ -996,6 +1052,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping": _q_events_hopping,
         "events_after_purchase": _q_events_after_purchase,
         "late_events": _q_late_events,
+        "user_running_spend": _q_user_running_spend,
         "doc_sample": _q_doc_sample,
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh,
@@ -1216,6 +1273,14 @@ def oracle_sql() -> dict[str, str]:
             "FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey "
             "GROUP BY n_name"
         ),
+        "revenue_rollup": (
+            "SELECT r_name, n_name, round(sum(o_totalprice), 2) AS total_revenue, "
+            "count(*) AS n_orders FROM orders "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "GROUP BY ROLLUP(r_name, n_name)"
+        ),
         "events_hourly": (
             "SELECT date_trunc('hour', ts) AS window_start, event_type, count(*) AS n_events, "
             "round(sum(value), 2) AS sum_value FROM events GROUP BY 1, 2"
@@ -1407,6 +1472,11 @@ def oracle_sql() -> dict[str, str]:
         "late_events": (
             "WITH w AS (SELECT max(ts) - INTERVAL 120 MINUTE AS wm FROM events) "
             "SELECT event_type, ts < wm AS is_late, count(*) AS n FROM events, w GROUP BY 1, 2"
+        ),
+        "user_running_spend": (
+            "SELECT event_id, user_id, "
+            "(sum(floor(value * 100)::BIGINT) OVER (PARTITION BY user_id ORDER BY ts, event_id))::BIGINT "
+            "AS running_cents FROM events"
         ),
         "doc_sample": (
             "SELECT doc_id, n_chars FROM documents "

@@ -1039,3 +1039,67 @@ def deterministic_sample(ds: Dataset, id_col: str, mod: int = 10, keep: int = 0)
         return b.filter(mask)
 
     return ds.map_batches(flt, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+
+
+def grouped_running_sum(
+    ds: Dataset,
+    keys: list[str],
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "running",
+    num_partitions: int = 64,
+) -> Dataset:
+    """Per-key ordered cumulative sum — the SUM() OVER (PARTITION BY keys
+    ORDER BY order_cols) window, the workhorse of per-user spend/counter
+    features. ONE hash-partition shuffle by key; each partition sorts its
+    rows and computes a grouped cumsum vectorized (one pandas pass per
+    partition, not per key — the hash_partitioned_groups contract).
+
+    Contract: one key's rows must fit a task (true for per-user event
+    streams); a single key wider than that wants global_prefix_sum run
+    per key-bucket instead (same two-phase scan, documented in
+    curation.global_prefix_sum)."""
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(list(keys) + list(order_cols), kind="mergesort")
+        g[out_col] = g.groupby(list(keys), sort=False)[value_col].cumsum()
+        return g
+
+    return hash_partitioned_groups(ds, list(keys), per_part, num_partitions=num_partitions)
+
+
+def rollup_aggregate(
+    ds: Dataset,
+    keys: list[str],
+    sum_col: str,
+    total_alias: str = "total",
+    count_alias: str = "n",
+) -> Dataset:
+    """GROUP BY ROLLUP(keys): sum + count at every key prefix level
+    (finest, each coarser prefix, grand total), rolled-up key columns
+    NULL. The FINEST level is the only corpus-proportional work and runs
+    distributed (pre_aggregate: per-batch Arrow partials + one grouped
+    sum). Coarser levels re-aggregate the finest RESULT, which is
+    group-cardinality-sized — the same bounded-driver contract as
+    global_prefix_sum's bucket totals. At vocabulary-sized key spaces,
+    re-aggregate each prefix level with pre_aggregate over the finest
+    Dataset instead (one extra tiny shuffle per level)."""
+    import ray.data as rd
+
+    finest = pre_aggregate(ds, keys, [sum_col], count_alias=count_alias)
+    fin = finest.to_pandas().rename(columns={f"sum_{sum_col}": total_alias})
+    cols = list(keys) + [total_alias, count_alias]
+    frames = [fin[cols]]
+    for lvl in range(len(keys) - 1, -1, -1):
+        if lvl:
+            g = fin.groupby(list(keys[:lvl]), sort=False)[[total_alias, count_alias]].sum().reset_index()
+        else:
+            g = fin[[total_alias, count_alias]].sum().to_frame().T
+            g[count_alias] = g[count_alias].astype("int64")
+        for k in keys[lvl:]:
+            g[k] = None
+        frames.append(g[cols])
+    out = pd.concat(frames, ignore_index=True)
+    for k in keys:
+        out[k] = out[k].astype(object).where(out[k].notna(), None)
+    return rd.from_pandas(out)

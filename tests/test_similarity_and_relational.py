@@ -644,3 +644,64 @@ class TestSemanticDedup:
         assert (got["cluster_id"] == got["vec_id"]).all()
         assert (got["cluster_size"] == 1).all()
         assert got["keep"].all()
+
+
+class TestGroupedRunningSum:
+    def test_matches_pandas_window(self):
+        from clawrag_ray.stages.relational import grouped_running_sum
+
+        rng = np.random.RandomState(7)
+        n = 500
+        df = pd.DataFrame(
+            {
+                "k": rng.randint(0, 17, n),
+                "o": rng.permutation(n),
+                "v": rng.randint(-50, 50, n).astype("int64"),
+            }
+        )
+        ds = ray.data.from_pandas(df).repartition(6)
+        got = (
+            grouped_running_sum(ds, ["k"], ["o"], "v", out_col="run")
+            .to_pandas()
+            .sort_values(["k", "o"])
+            .reset_index(drop=True)
+        )
+        want = df.sort_values(["k", "o"]).reset_index(drop=True)
+        want["run"] = want.groupby("k")["v"].cumsum()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_tiebreak_by_secondary_order_col(self):
+        from clawrag_ray.stages.relational import grouped_running_sum
+
+        df = pd.DataFrame(
+            {"k": [1, 1, 1], "t": [5, 5, 5], "i": [2, 0, 1], "v": [10, 1, 100]}
+        )
+        got = (
+            grouped_running_sum(ray.data.from_pandas(df), ["k"], ["t", "i"], "v", out_col="run")
+            .to_pandas()
+            .sort_values("i")
+        )
+        assert got["run"].tolist() == [1, 101, 111]
+
+
+class TestRollupAggregate:
+    def test_matches_manual_rollup(self):
+        from clawrag_ray.stages.relational import rollup_aggregate
+
+        df = pd.DataFrame(
+            {
+                "a": ["x", "x", "y", "y", "y"],
+                "b": ["p", "q", "p", "p", "q"],
+                "v": [1.0, 2.0, 4.0, 8.0, 16.0],
+            }
+        )
+        got = rollup_aggregate(ray.data.from_pandas(df).repartition(3), ["a", "b"], "v").to_pandas()
+        fin = got[got["b"].notna()].sort_values(["a", "b"]).reset_index(drop=True)
+        assert fin["total"].tolist() == [1.0, 2.0, 12.0, 16.0]
+        assert fin["n"].tolist() == [1, 1, 2, 1]
+        lvl1 = got[got["b"].isna() & got["a"].notna()].sort_values("a")
+        assert lvl1["total"].tolist() == [3.0, 28.0]
+        assert lvl1["n"].tolist() == [2, 3]
+        grand = got[got["a"].isna()]
+        assert len(grand) == 1
+        assert grand["total"].item() == 31.0 and grand["n"].item() == 5
