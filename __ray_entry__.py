@@ -383,6 +383,17 @@ def _q_doc_split(sf_dir: str):
     return stratified_split(_read(sf_dir, "documents", ["doc_id", "lang"]))
 
 
+def _q_curated_corpus(sf_dir: str):
+    """Flagship composed curation chain: exact dedup -> Gopher repetition
+    filter -> CCNet perplexity filter (LM trained on the survivors, tail
+    dropped) -> deterministic split. Each stage is an already-oracled
+    operator; this query puts the COMPOSITION under the exact-match gate
+    (one DuckDB statement replays the whole chain)."""
+    from clawrag_ray.pipelines.curation import curate_corpus
+
+    return curate_corpus(_read(sf_dir, "documents", ["doc_id", "text", "lang"]))
+
+
 def _q_decontaminate(sf_dir: str):
     """Benchmark decontamination (GPT-3 appendix-C rule): carve a
     deterministic eval set (md5(doc_id) mod 41 == 0, ~2.4%), broadcast its
@@ -1047,6 +1058,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boilerplate_removal": _q_boilerplate_removal,
         "paragraph_dedup": _q_paragraph_dedup,
         "perplexity_filter": _q_perplexity_filter,
+        "curated_corpus": _q_curated_corpus,
         "decontaminate": _q_decontaminate,
         "top_orders_per_customer": _q_top_orders_per_customer,
         "events_hopping": _q_events_hopping,
@@ -1360,6 +1372,39 @@ def oracle_sql() -> dict[str, str]:
             "WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100 < 80 THEN 'train' "
             "WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100 < 90 THEN 'val' "
             "ELSE 'test' END AS split FROM documents"
+        ),
+        # the full chain in one statement: dedup QUALIFY -> repetition CTEs
+        # over survivors -> unigram-LM entropy + quantile cutoffs over the
+        # twice-filtered corpus -> md5 split. Stage CTEs are verbatim from
+        # the standalone oracles, re-rooted at the previous stage's output.
+        "curated_corpus": (
+            "WITH d1 AS (SELECT doc_id, text, lang FROM documents "
+            "QUALIFY doc_id = min(doc_id) OVER (PARTITION BY text)), "
+            "w AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS word, "
+            "generate_subscripts(regexp_extract_all(lower(text), '\\S+'), 1) AS i FROM d1), "
+            "tc AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1, 2), "
+            "top AS (SELECT doc_id, round(max(c)::DOUBLE / sum(c), 6) AS tf FROM tc GROUP BY 1), "
+            "bg AS (SELECT a.doc_id, a.word || ' ' || b.word AS g FROM w a JOIN w b "
+            "ON a.doc_id = b.doc_id AND b.i = a.i + 1), "
+            "bgs AS (SELECT doc_id, round(1.0 - count(DISTINCT g)::DOUBLE / count(*), 6) AS df "
+            "FROM bg GROUP BY 1), "
+            "d2 AS (SELECT d1.doc_id, d1.text, d1.lang FROM d1 "
+            "LEFT JOIN top USING (doc_id) LEFT JOIN bgs USING (doc_id) "
+            "WHERE coalesce(tf, 0.0) <= 0.15 AND coalesce(df, 0.0) <= 0.05), "
+            "tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS t FROM d2), "
+            "cnt AS (SELECT t, count(*)::BIGINT AS c FROM tok GROUP BY 1), "
+            "tot AS (SELECT sum(c)::BIGINT AS total, count(*)::BIGINT AS v FROM cnt), "
+            "lp AS (SELECT t, ln((c + 1)::DOUBLE / (total + v)) AS lp FROM cnt, tot), "
+            "doc AS (SELECT doc_id, count(*)::BIGINT AS n_tokens, "
+            "-sum(lp) / count(*) AS h FROM tok JOIN lp USING (t) GROUP BY 1), "
+            "cut AS (SELECT quantile_cont(h, 1.0/3.0) AS c1, "
+            "quantile_cont(h, 2.0/3.0) AS c2 FROM doc) "
+            "SELECT doc.doc_id, d2.lang, doc.n_tokens, round(h, 6) AS entropy, "
+            "CASE WHEN h <= c1 THEN 'head' ELSE 'middle' END AS ppl_bucket, "
+            "CASE WHEN ('0x' || substr(md5(CAST(doc.doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100 < 80 THEN 'train' "
+            "WHEN ('0x' || substr(md5(CAST(doc.doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100 < 90 THEN 'val' "
+            "ELSE 'test' END AS split "
+            "FROM doc JOIN d2 USING (doc_id), cut WHERE h <= c2"
         ),
         "decontaminate": (
             "WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS ws FROM documents), "

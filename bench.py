@@ -65,6 +65,10 @@ TIMED_QUERIES = [
     "minhash_near_dups",
     "near_dup_clusters",
     "perplexity_filter",
+    "curated_corpus",
+    "paragraph_dedup",
+    "semantic_dedup",
+    "user_running_spend",
     "simhash_near_dups",
     "bm25_topk",
     "rrf_hybrid",

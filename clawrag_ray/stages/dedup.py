@@ -751,6 +751,7 @@ def _keyed_join(
     right_vals: list[str],
     fill_with_key: str | None = None,
     num_partitions: int = 64,
+    fill_values: dict | None = None,
 ) -> Dataset:
     """Distributed hash join of ``left`` (any columns) against ``right``
     (``right_key`` unique + ``right_vals``) via union + ONE
@@ -761,7 +762,8 @@ def _keyed_join(
 
     ``fill_with_key=<col>``: LEFT join semantics — unmatched left rows get
     their own key value as ``<col>`` (the singleton-component fill);
-    otherwise INNER."""
+    ``fill_values={col: const}`` fills other val columns of unmatched rows
+    with constants (e.g. cluster_size=1 for singletons); otherwise INNER."""
     from clawrag_ray.stages.relational import _as_arrow_schema, hash_partitioned_groups
 
     lschema = _as_arrow_schema(left.schema())
@@ -795,12 +797,17 @@ def _keyed_join(
     def per_part(g: pd.DataFrame) -> pd.DataFrame:
         vals = g[g["__role"] == 1][["__k"] + right_vals]
         lf = g[g["__role"] == 0].drop(columns=right_vals + ["__role"])
-        how = "left" if fill_with_key is not None else "inner"
+        how = "left" if (fill_with_key is not None or fill_values) else "inner"
         out = lf.merge(vals, on="__k", how=how)
         if fill_with_key is not None:
             miss = out[fill_with_key].isna()
             if miss.any():
                 out.loc[miss, fill_with_key] = out.loc[miss, "__k"]
+        if fill_values:
+            for c, v in fill_values.items():
+                miss = out[c].isna()
+                if miss.any():
+                    out.loc[miss, c] = v
         # a left/union NaN pad floats int columns; restore exact int64
         for c in list(int_left) + [c for c in right_vals if pa.types.is_integer(val_types[c])]:
             if c in out and out[c].dtype.kind == "f":
@@ -1010,19 +1017,18 @@ def label_clusters(
         lambda b: pa.table({"node": b["node"], "cluster_id": b["label"]}),
         batch_format="pyarrow",
         zero_copy_batch=True,
-    )
-    assigned = _keyed_join(
-        ids, id_col, relabeled, "node", ["cluster_id"],
-        fill_with_key="cluster_id", num_partitions=num_partitions,
-    )
+    ).materialize()  # pair-endpoint-sized (component members only)
 
-    # cluster sizes: per-batch arrow partial counts, then a small global sum
+    # cluster sizes over the COMPONENT TABLE, not the corpus: every node
+    # with size > 1 appears in comp, so counting comp rows per label gives
+    # exact sizes; singletons get size 1 via the join fill below. Both the
+    # partial counts and the grouped sum here are pair-endpoint-sized.
     def partial_count(b: pa.Table) -> pa.Table:
         g = b.group_by("cluster_id").aggregate([("cluster_id", "count")])
         return g.rename_columns(["cluster_id", "pc"])
 
     sizes = (
-        assigned.map_batches(partial_count, batch_format="pyarrow", zero_copy_batch=True)
+        relabeled.map_batches(partial_count, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("cluster_id")
         .aggregate(AggSum("pc", alias_name="cluster_size"))
         .map_batches(
@@ -1031,4 +1037,20 @@ def label_clusters(
             zero_copy_batch=True,
         )
     )
-    return _keyed_join(assigned, "cluster_id", sizes, "cl", ["cluster_size"], num_partitions=num_partitions)
+    labeled = _keyed_join(relabeled, "cluster_id", sizes, "cl", ["cluster_size"], num_partitions=num_partitions)
+
+    # the ONLY corpus-sized shuffle: ids join their (cluster_id, size) row;
+    # unmatched ids are singleton clusters of themselves
+    return _keyed_join(
+        ids, id_col,
+        labeled.map_batches(
+            lambda b: pa.table(
+                {"node": b["node"], "cluster_id": b["cluster_id"], "cluster_size": b["cluster_size"]}
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        "node", ["cluster_id", "cluster_size"],
+        fill_with_key="cluster_id", fill_values={"cluster_size": 1},
+        num_partitions=num_partitions,
+    )

@@ -177,7 +177,12 @@ REP_TOP_TOKEN_MAX = 0.15
 REP_DUP_2GRAM_MAX = 0.05
 
 
-def repetition_metrics(ds: Dataset, id_col: str = "doc_id", text_col: str = "text") -> Dataset:
+def repetition_metrics(
+    ds: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: list[str] | None = None,
+) -> Dataset:
     """Per-doc repetition quality metrics (the Gopher repetition-rule
     family, arXiv:2112.11446 §A1.1 — public formulation): top_token_frac
     (occurrences of the most frequent token / total tokens) and
@@ -189,7 +194,10 @@ def repetition_metrics(ds: Dataset, id_col: str = "doc_id", text_col: str = "tex
 
     Per-doc token processing is an inherent Python loop (like the
     fingerprint kernel); it runs batched at the Arrow level inside
-    map_batches, embarrassingly parallel across blocks."""
+    map_batches, embarrassingly parallel across blocks. The verdict is a
+    pure per-row function, so pipelines that filter on it should thread
+    the columns they need through ``keep_cols`` and filter in place —
+    no verdict join."""
     from collections import Counter
 
     def metrics(batch: pa.Table) -> pa.Table:
@@ -208,8 +216,10 @@ def repetition_metrics(ds: Dataset, id_col: str = "doc_id", text_col: str = "tex
         keep = pc.and_(
             pc.less_equal(top, REP_TOP_TOKEN_MAX), pc.less_equal(dup, REP_DUP_2GRAM_MAX)
         )
-        return pa.table(
-            {id_col: batch[id_col], "top_token_frac": top, "dup_2gram_frac": dup, "keep": keep}
-        )
+        cols = {id_col: batch[id_col]}
+        for c in keep_cols or []:
+            cols[c] = batch[c]
+        cols.update({"top_token_frac": top, "dup_2gram_frac": dup, "keep": keep})
+        return pa.table(cols)
 
     return ds.map_batches(metrics, batch_format="pyarrow", zero_copy_batch=True)
