@@ -630,6 +630,26 @@ def _q_user_running_spend(sf_dir: str):
     return run.select_columns(["event_id", "user_id", "running_cents"])
 
 
+def _q_event_gaps(sf_dir: str):
+    """Per-user inter-event gap — LAG(ts) OVER (PARTITION BY user_id
+    ORDER BY ts, event_id), gap in integer microseconds (exact arithmetic
+    both sides; NULL for each user's first event). One hash-partition
+    shuffle + vectorized grouped shift (grouped_lag); the gap itself is a
+    null-propagating int64 subtract in Arrow."""
+    import pyarrow.compute as pc
+
+    from clawrag_ray.stages.relational import grouped_lag
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    lagged = grouped_lag(ev, keys=["user_id"], order_cols=["ts", "event_id"], value_col="ts", out_col="prev_ts")
+
+    def finish(b: pa.Table) -> pa.Table:
+        gap = pc.subtract(pc.cast(b["ts"], pa.int64()), pc.cast(b["prev_ts"], pa.int64()))
+        return pa.table({"event_id": b["event_id"], "user_id": b["user_id"], "gap_us": gap})
+
+    return lagged.map_batches(finish, batch_format="pyarrow")
+
+
 def _q_doc_sample(sf_dir: str):
     from clawrag_ray.stages.relational import deterministic_sample
 
@@ -1065,6 +1085,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_after_purchase": _q_events_after_purchase,
         "late_events": _q_late_events,
         "user_running_spend": _q_user_running_spend,
+        "event_gaps": _q_event_gaps,
         "doc_sample": _q_doc_sample,
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh,
@@ -1522,6 +1543,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, user_id, "
             "(sum(floor(value * 100)::BIGINT) OVER (PARTITION BY user_id ORDER BY ts, event_id))::BIGINT "
             "AS running_cents FROM events"
+        ),
+        "event_gaps": (
+            "SELECT event_id, user_id, date_diff('microsecond', "
+            "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts)::BIGINT AS gap_us FROM events"
         ),
         "doc_sample": (
             "SELECT doc_id, n_chars FROM documents "

@@ -69,6 +69,7 @@ TIMED_QUERIES = [
     "paragraph_dedup",
     "semantic_dedup",
     "user_running_spend",
+    "event_gaps",
     "simhash_near_dups",
     "bm25_topk",
     "rrf_hybrid",

@@ -1068,6 +1068,33 @@ def grouped_running_sum(
     return hash_partitioned_groups(ds, list(keys), per_part, num_partitions=num_partitions)
 
 
+def grouped_lag(
+    ds: Dataset,
+    keys: list[str],
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "lag",
+    shift: int = 1,
+    num_partitions: int = 64,
+) -> Dataset:
+    """LAG/LEAD(value, |shift|) OVER (PARTITION BY keys ORDER BY
+    order_cols) — positive ``shift`` is LAG, negative is LEAD; the first
+    (resp. last) |shift| rows of each key get NULL. Per-user inter-event
+    deltas, previous-purchase features and churn gaps are all this window.
+    Same shape and contract as grouped_running_sum: ONE hash-partition
+    shuffle by key, then a vectorized grouped ``shift`` per partition (one
+    pandas pass per partition, not per key). One key's rows must fit a
+    task; a wider key wants the key-bucket + boundary-row carry variant
+    (sessionize_bucketed's two-phase merge is the template)."""
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(list(keys) + list(order_cols), kind="mergesort")
+        g[out_col] = g.groupby(list(keys), sort=False)[value_col].shift(shift)
+        return g
+
+    return hash_partitioned_groups(ds, list(keys), per_part, num_partitions=num_partitions)
+
+
 def rollup_aggregate(
     ds: Dataset,
     keys: list[str],

@@ -684,6 +684,43 @@ class TestGroupedRunningSum:
         assert got["run"].tolist() == [1, 101, 111]
 
 
+class TestGroupedLag:
+    def test_matches_pandas_window(self):
+        from clawrag_ray.stages.relational import grouped_lag
+
+        rng = np.random.RandomState(11)
+        n = 400
+        df = pd.DataFrame(
+            {
+                "k": rng.randint(0, 13, n),
+                "o": rng.permutation(n),
+                "v": rng.randint(0, 1000, n).astype("int64"),
+            }
+        )
+        ds = ray.data.from_pandas(df).repartition(5)
+        got = (
+            grouped_lag(ds, ["k"], ["o"], "v", out_col="prev")
+            .to_pandas()
+            .sort_values(["k", "o"])
+            .reset_index(drop=True)
+        )
+        want = df.sort_values(["k", "o"]).reset_index(drop=True)
+        want["prev"] = want.groupby("k")["v"].shift(1)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_lead_negative_shift(self):
+        from clawrag_ray.stages.relational import grouped_lag
+
+        df = pd.DataFrame({"k": [1, 1, 1, 2], "o": [0, 1, 2, 0], "v": [10, 20, 30, 40]})
+        got = (
+            grouped_lag(ray.data.from_pandas(df), ["k"], ["o"], "v", out_col="nxt", shift=-1)
+            .to_pandas()
+            .sort_values(["k", "o"])
+        )
+        assert got["nxt"].tolist()[:2] == [20.0, 30.0]
+        assert pd.isna(got["nxt"].tolist()[2]) and pd.isna(got["nxt"].tolist()[3])
+
+
 class TestRollupAggregate:
     def test_matches_manual_rollup(self):
         from clawrag_ray.stages.relational import rollup_aggregate
