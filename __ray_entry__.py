@@ -650,6 +650,28 @@ def _q_event_gaps(sf_dir: str):
     return lagged.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_top_tokens(sf_dir: str):
+    """Corpus-wide top-20 most frequent tokens — the frequent-token table
+    every tokenizer/vocab build starts from, via the EXACT two-pass
+    heavy-hitters shape (per-block top-capacity candidates by pigeonhole,
+    then a broadcast-filtered exact recount; only candidate-sized rows
+    ever shuffle). Tokenization is lowercase whitespace, the repetition
+    filter's convention (split on \\s+ + drop empties == extract \\S+,
+    both RE2)."""
+    import pyarrow.compute as pc
+
+    from clawrag_ray.stages.relational import heavy_hitters
+
+    docs = _read(sf_dir, "documents", ["text"])
+
+    def explode(b: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(pc.split_pattern_regex(pc.utf8_lower(b["text"]), pattern=r"\s+"))
+        return pa.table({"token": flat.filter(pc.not_equal(flat, ""))})
+
+    toks = docs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    return heavy_hitters(toks, "token", k=20, capacity=8192)
+
+
 def _q_doc_sample(sf_dir: str):
     from clawrag_ray.stages.relational import deterministic_sample
 
@@ -1086,6 +1108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_events": _q_late_events,
         "user_running_spend": _q_user_running_spend,
         "event_gaps": _q_event_gaps,
+        "top_tokens": _q_top_tokens,
         "doc_sample": _q_doc_sample,
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh,
@@ -1547,6 +1570,12 @@ def oracle_sql() -> dict[str, str]:
         "event_gaps": (
             "SELECT event_id, user_id, date_diff('microsecond', "
             "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts)::BIGINT AS gap_us FROM events"
+        ),
+        # exact by the heavy-hitters certificate: k-th count > N/capacity
+        # (checked by the operator itself, strict mode)
+        "top_tokens": (
+            "WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '\\S+')) AS token FROM documents) "
+            "SELECT token, count(*)::BIGINT AS n FROM tok GROUP BY token ORDER BY n DESC, token LIMIT 20"
         ),
         "doc_sample": (
             "SELECT doc_id, n_chars FROM documents "

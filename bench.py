@@ -70,6 +70,7 @@ TIMED_QUERIES = [
     "semantic_dedup",
     "user_running_spend",
     "event_gaps",
+    "top_tokens",
     "simhash_near_dups",
     "bm25_topk",
     "rrf_hybrid",

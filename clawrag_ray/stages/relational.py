@@ -1095,6 +1095,90 @@ def grouped_lag(
     return hash_partitioned_groups(ds, list(keys), per_part, num_partitions=num_partitions)
 
 
+def heavy_hitters(
+    ds: Dataset,
+    key_col: str,
+    k: int = 20,
+    capacity: int = 8192,
+    count_alias: str = "n",
+    strict: bool = True,
+) -> Dataset:
+    """EXACT distributed top-k most frequent values (heavy hitters) via
+    the two-pass candidate + recount shape — the way frequent-token /
+    frequent-URL tables are built over corpora whose raw key space
+    (misspellings, URLs, hashes) is far too wide to groupby directly.
+
+    Pass 1 (candidates, map-only): each block computes exact local
+    value_counts and keeps its top ``capacity`` keys. By pigeonhole a key
+    with global frequency > N/capacity has, in at least one block, local
+    frequency > block_N/capacity and therefore ranks in that block's
+    top-capacity — so the union of block survivors is a SUPERSET of every
+    global heavy hitter. Survivor partials (capacity-bounded per block)
+    are pre-aggregated to distinct candidate keys: the only shuffle is
+    candidate-sized, never corpus- or vocabulary-sized.
+
+    Pass 2 (recount, map-only + tiny shuffle): the candidate key set
+    broadcasts once (ray.put), blocks filter to candidate rows and
+    pre_aggregate recounts them EXACTLY; top-k by (count desc, key asc).
+
+    Self-certifying: the returned top-k is provably the true top-k
+    whenever the k-th recounted count > N/capacity (every non-candidate
+    key's frequency is <= N/capacity, so none can displace the top-k).
+    With ``strict`` the operator raises when the certificate fails —
+    resize ``capacity`` — instead of silently returning approximations.
+    N rides pass 1 as a sentinel row under the empty key ('' can never be
+    a real key for tokenized input; callers with '' keys must pre-filter).
+    """
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    sentinel = ""
+
+    def block_top(b: pa.Table) -> pa.Table:
+        col = b[key_col]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        vc = pc.value_counts(col)
+        vals, cnts = vc.field("values"), vc.field("counts").to_numpy(zero_copy_only=False)
+        if len(vals) > capacity:
+            keep = np.argpartition(cnts, -capacity)[-capacity:]
+            vals, cnts = vals.take(pa.array(keep)), cnts[keep]
+        out = pa.table({key_col: vals, "p_cnt": pa.array(cnts, pa.int64())})
+        total = pa.table({key_col: pa.array([sentinel]), "p_cnt": pa.array([b.num_rows], pa.int64())})
+        return pa.concat_tables([out, total])
+
+    partials = ds.map_batches(block_top, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    # candidate-sized: distinct survivors + per-block sentinel totals
+    agg = pre_aggregate(partials, [key_col], ["p_cnt"]).to_pandas()
+    n_total = int(agg.loc[agg[key_col] == sentinel, "sum_p_cnt"].sum())
+    cand = agg.loc[agg[key_col] != sentinel, key_col]
+    cand_ref = ray.put(pa.array(cand.to_numpy(dtype=object), type=pa.string()))
+
+    def recount_filter(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b[key_col], value_set=ray.get(cand_ref)))
+
+    exact = pre_aggregate(
+        ds.map_batches(recount_filter, batch_format="pyarrow", zero_copy_batch=True),
+        [key_col],
+        [],
+        count_alias=count_alias,
+    )
+    top = (
+        exact.to_pandas()
+        .sort_values([count_alias, key_col], ascending=[False, True], kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )
+    certified = len(top) >= k and int(top[count_alias].iloc[k - 1]) * capacity > n_total
+    if strict and not certified:
+        raise ValueError(
+            f"heavy_hitters certificate failed: k-th count "
+            f"{int(top[count_alias].iloc[-1]) if len(top) else 0} <= N/capacity "
+            f"({n_total}/{capacity}) — raise capacity"
+        )
+    return rd.from_pandas(top)
+
+
 def rollup_aggregate(
     ds: Dataset,
     keys: list[str],

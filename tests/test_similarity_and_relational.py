@@ -3,6 +3,7 @@
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pytest
 import ray.data
 
 from clawrag_ray.stages.relational import (
@@ -719,6 +720,42 @@ class TestGroupedLag:
         )
         assert got["nxt"].tolist()[:2] == [20.0, 30.0]
         assert pd.isna(got["nxt"].tolist()[2]) and pd.isna(got["nxt"].tolist()[3])
+
+
+class TestHeavyHitters:
+    def _zipf_df(self, n=20000, vocab=800, seed=3):
+        rng = np.random.RandomState(seed)
+        ranks = np.clip(rng.zipf(1.3, n), 1, vocab)
+        return pd.DataFrame({"token": [f"w{r}" for r in ranks]})
+
+    def test_matches_exact_topk_under_truncation(self):
+        from clawrag_ray.stages.relational import heavy_hitters
+
+        df = self._zipf_df()
+        # capacity 128 << vocab 800: every block truncates, certificate
+        # still holds for the skewed head (k-th count 276 > 20000/128)
+        ds = ray.data.from_pandas(df).repartition(8)
+        got = heavy_hitters(ds, "token", k=10, capacity=128).to_pandas()
+        want = (
+            df.value_counts("token")
+            .reset_index(name="n")
+            .sort_values(["n", "token"], ascending=[False, True], kind="mergesort")
+            .head(10)
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_certificate_failure_raises(self):
+        from clawrag_ray.stages.relational import heavy_hitters
+
+        # uniform keys: k-th count ~ N/vocab << N/capacity with capacity 4
+        df = pd.DataFrame({"token": [f"u{i % 500}" for i in range(5000)]})
+        ds = ray.data.from_pandas(df).repartition(4)
+        with pytest.raises(ValueError, match="certificate"):
+            heavy_hitters(ds, "token", k=10, capacity=4)
+        # non-strict returns the (approximate) head instead of raising
+        out = heavy_hitters(ds, "token", k=10, capacity=4, strict=False).to_pandas()
+        assert len(out) <= 10
 
 
 class TestRollupAggregate:
