@@ -672,6 +672,32 @@ def _q_top_tokens(sf_dir: str):
     return heavy_hitters(toks, "token", k=20, capacity=8192)
 
 
+def _q_incremental_ingest(sf_dir: str):
+    """Incremental-ingest dedup: which docs of the arriving batch
+    (doc_id % 10 >= 7) are NEW against the already-ingested corpus
+    (doc_id % 10 < 7), by content sha256 — exact anti-join semantics with
+    the seen side never shuffling: a distributed OR-reduced Bloom filter
+    prefilters the batch (misses are provably new), and only the bounded
+    Bloom-hit key set is verified exactly (bloom_anti_join). The 10^12-doc
+    version of "has this document been indexed before" (reference:
+    DuplicateDetector, backend/src/services/deduplication_service.py)."""
+    from clawrag_ray.stages.dedup import bloom_anti_join, with_text_hash
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def side(lo: int, hi: int):
+        def f(b: pa.Table) -> pa.Table:
+            m = b["doc_id"].to_numpy(zero_copy_only=False) % 10
+            return b.filter(pa.array((m >= lo) & (m < hi)))
+
+        return f
+
+    seen = with_text_hash(docs.map_batches(side(0, 7), batch_format="pyarrow", zero_copy_batch=True))
+    batch = with_text_hash(docs.map_batches(side(7, 10), batch_format="pyarrow", zero_copy_batch=True))
+    fresh = bloom_anti_join(batch, seen, "text_sha256", n_bits=1 << 20)
+    return fresh.select_columns(["doc_id"])
+
+
 def _q_doc_sample(sf_dir: str):
     from clawrag_ray.stages.relational import deterministic_sample
 
@@ -1109,6 +1135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_running_spend": _q_user_running_spend,
         "event_gaps": _q_event_gaps,
         "top_tokens": _q_top_tokens,
+        "incremental_ingest": _q_incremental_ingest,
         "doc_sample": _q_doc_sample,
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh,
@@ -1576,6 +1603,12 @@ def oracle_sql() -> dict[str, str]:
         "top_tokens": (
             "WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '\\S+')) AS token FROM documents) "
             "SELECT token, count(*)::BIGINT AS n FROM tok GROUP BY token ORDER BY n DESC, token LIMIT 20"
+        ),
+        # text equality == sha256 equality under the no-collision
+        # assumption all dedup oracles share
+        "incremental_ingest": (
+            "SELECT d.doc_id FROM documents d WHERE d.doc_id % 10 >= 7 AND NOT EXISTS "
+            "(SELECT 1 FROM documents s WHERE s.doc_id % 10 < 7 AND s.text = d.text)"
         ),
         "doc_sample": (
             "SELECT doc_id, n_chars FROM documents "

@@ -71,6 +71,7 @@ TIMED_QUERIES = [
     "user_running_spend",
     "event_gaps",
     "top_tokens",
+    "incremental_ingest",
     "simhash_near_dups",
     "bm25_topk",
     "rrf_hybrid",

@@ -343,3 +343,46 @@ class TestConnectedComponents:
         out = near_dup_clusters(docs, threshold=0.9).to_pandas()
         assert (out["cluster_id"] == out["doc_id"]).all()
         assert (out["cluster_size"] == 1).all()
+
+
+class TestBloomAntiJoin:
+    def _sides(self, n_seen=60, n_new=40, n_dups=15):
+        seen = pd.DataFrame(
+            {"doc_id": range(n_seen), "key": [f"content-{i}" for i in range(n_seen)]}
+        )
+        # first n_dups of the batch duplicate seen content; rest are fresh
+        new = pd.DataFrame(
+            {
+                "doc_id": range(1000, 1000 + n_new),
+                "key": [f"content-{i}" if i < n_dups else f"fresh-{i}" for i in range(n_new)],
+            }
+        )
+        return (
+            ray.data.from_pandas(new).repartition(4),
+            ray.data.from_pandas(seen).repartition(5),
+            new,
+        )
+
+    def test_exact_anti_join_semantics(self, ray_session):
+        from clawrag_ray.stages.dedup import bloom_anti_join
+
+        new_ds, seen_ds, new = self._sides()
+        got = bloom_anti_join(new_ds, seen_ds, "key").to_pandas().sort_values("doc_id")
+        assert got["doc_id"].tolist() == new["doc_id"][15:].tolist()
+
+    def test_exact_under_forced_false_positives(self, ray_session):
+        from clawrag_ray.stages.dedup import bloom_anti_join
+
+        # 64-bit filter over 60 seen keys: nearly every probe collides, so
+        # the exact-verify leg carries the result alone
+        new_ds, seen_ds, new = self._sides()
+        got = bloom_anti_join(new_ds, seen_ds, "key", n_bits=64, n_hashes=2).to_pandas()
+        assert sorted(got["doc_id"]) == new["doc_id"][15:].tolist()
+
+    def test_empty_seen_passes_everything(self, ray_session):
+        from clawrag_ray.stages.dedup import bloom_anti_join
+
+        new_ds, _, new = self._sides()
+        empty = ray.data.from_pandas(pd.DataFrame({"doc_id": [], "key": pd.Series([], dtype=str)}))
+        got = bloom_anti_join(new_ds, empty, "key").to_pandas()
+        assert sorted(got["doc_id"]) == new["doc_id"].tolist()
