@@ -672,6 +672,23 @@ def _q_top_tokens(sf_dir: str):
     return heavy_hitters(toks, "token", k=20, capacity=8192)
 
 
+def _q_doc_cube(sf_dir: str):
+    """GROUP BY CUBE(lang, source) over documents — every subset level
+    ((lang,source), (lang), (source), ()) of char-volume + doc counts,
+    absent keys NULL: the corpus-composition report shape. One
+    distributed finest pass; subsets re-aggregate the tiny finest
+    result (cube_aggregate)."""
+    from clawrag_ray.stages.relational import cube_aggregate
+
+    return cube_aggregate(
+        _read(sf_dir, "documents", ["lang", "source", "n_chars"]),
+        ["lang", "source"],
+        "n_chars",
+        total_alias="total_chars",
+        count_alias="n_docs",
+    )
+
+
 def _q_incremental_ingest(sf_dir: str):
     """Incremental-ingest dedup: which docs of the arriving batch
     (doc_id % 10 >= 7) are NEW against the already-ingested corpus
@@ -1136,6 +1153,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_gaps": _q_event_gaps,
         "top_tokens": _q_top_tokens,
         "incremental_ingest": _q_incremental_ingest,
+        "doc_cube": _q_doc_cube,
         "doc_sample": _q_doc_sample,
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh,
@@ -1609,6 +1627,10 @@ def oracle_sql() -> dict[str, str]:
         "incremental_ingest": (
             "SELECT d.doc_id FROM documents d WHERE d.doc_id % 10 >= 7 AND NOT EXISTS "
             "(SELECT 1 FROM documents s WHERE s.doc_id % 10 < 7 AND s.text = d.text)"
+        ),
+        "doc_cube": (
+            "SELECT lang, source, sum(n_chars)::BIGINT AS total_chars, count(*) AS n_docs "
+            "FROM documents GROUP BY CUBE(lang, source)"
         ),
         "doc_sample": (
             "SELECT doc_id, n_chars FROM documents "

@@ -1195,20 +1195,63 @@ def rollup_aggregate(
     global_prefix_sum's bucket totals. At vocabulary-sized key spaces,
     re-aggregate each prefix level with pre_aggregate over the finest
     Dataset instead (one extra tiny shuffle per level)."""
+    sets = [tuple(keys[:lvl]) for lvl in range(len(keys), -1, -1)]
+    return grouping_sets_aggregate(ds, keys, sets, sum_col, total_alias, count_alias)
+
+
+def cube_aggregate(
+    ds: Dataset,
+    keys: list[str],
+    sum_col: str,
+    total_alias: str = "total",
+    count_alias: str = "n",
+) -> Dataset:
+    """GROUP BY CUBE(keys): sum + count at EVERY subset of the keys
+    (2^len(keys) grouping sets). Same bounded-driver contract as
+    rollup_aggregate — one distributed finest-level pass, subset levels
+    re-aggregated from the group-cardinality-sized finest result."""
+    n = len(keys)
+    sets = sorted(
+        (tuple(k for j, k in enumerate(keys) if m & (1 << j)) for m in range(1 << n)),
+        key=lambda s: -len(s),
+    )
+    return grouping_sets_aggregate(ds, keys, sets, sum_col, total_alias, count_alias)
+
+
+def grouping_sets_aggregate(
+    ds: Dataset,
+    keys: list[str],
+    sets: list[tuple],
+    sum_col: str,
+    total_alias: str = "total",
+    count_alias: str = "n",
+) -> Dataset:
+    """GROUP BY GROUPING SETS(sets), each set a subset of ``keys``: the
+    FINEST level (all keys) is the only corpus-proportional work and runs
+    distributed (pre_aggregate: per-batch Arrow partials + one grouped
+    sum); every requested set re-aggregates the finest RESULT, which is
+    group-cardinality-sized (the bounded-driver contract). Keys absent
+    from a set come back NULL, exactly like the SQL construct. At
+    vocabulary-sized key spaces, re-aggregate each set with pre_aggregate
+    over the finest Dataset instead (one extra tiny shuffle per set)."""
     import ray.data as rd
 
     finest = pre_aggregate(ds, keys, [sum_col], count_alias=count_alias)
     fin = finest.to_pandas().rename(columns={f"sum_{sum_col}": total_alias})
     cols = list(keys) + [total_alias, count_alias]
-    frames = [fin[cols]]
-    for lvl in range(len(keys) - 1, -1, -1):
-        if lvl:
-            g = fin.groupby(list(keys[:lvl]), sort=False)[[total_alias, count_alias]].sum().reset_index()
+    frames = []
+    for s in sets:
+        s = list(s)
+        if s == list(keys):
+            g = fin.copy()
+        elif s:
+            g = fin.groupby(s, sort=False)[[total_alias, count_alias]].sum().reset_index()
         else:
             g = fin[[total_alias, count_alias]].sum().to_frame().T
             g[count_alias] = g[count_alias].astype("int64")
-        for k in keys[lvl:]:
-            g[k] = None
+        for k in keys:
+            if k not in s:
+                g[k] = None
         frames.append(g[cols])
     out = pd.concat(frames, ignore_index=True)
     for k in keys:

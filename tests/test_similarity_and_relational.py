@@ -779,3 +779,22 @@ class TestRollupAggregate:
         grand = got[got["a"].isna()]
         assert len(grand) == 1
         assert grand["total"].item() == 31.0 and grand["n"].item() == 5
+
+    def test_cube_covers_all_subsets(self):
+        from clawrag_ray.stages.relational import cube_aggregate
+
+        df = pd.DataFrame(
+            {
+                "a": ["x", "x", "y", "y", "y"],
+                "b": ["p", "q", "p", "p", "q"],
+                "v": [1.0, 2.0, 4.0, 8.0, 16.0],
+            }
+        )
+        got = cube_aggregate(ray.data.from_pandas(df).repartition(3), ["a", "b"], "v").to_pandas()
+        # 4 finest + 2 by-a + 2 by-b + 1 grand = 9 rows
+        assert len(got) == 9
+        by_b = got[got["a"].isna() & got["b"].notna()].sort_values("b")
+        assert by_b["total"].tolist() == [13.0, 18.0]
+        assert by_b["n"].tolist() == [3, 2]
+        grand = got[got["a"].isna() & got["b"].isna()]
+        assert grand["total"].item() == 31.0 and grand["n"].item() == 5
