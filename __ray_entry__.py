@@ -672,6 +672,44 @@ def _q_top_tokens(sf_dir: str):
     return heavy_hitters(toks, "token", k=20, capacity=8192)
 
 
+def _q_event_value_quartiles(sf_dir: str):
+    """NTILE(4) OVER (PARTITION BY event_type ORDER BY value, event_id) —
+    per-type equal-depth value quartile per event (the quantile-bin
+    feature column). One hash-partition shuffle + vectorized grouped
+    cumcount (grouped_rank); event_id breaks value ties so both sides
+    order identically."""
+    from clawrag_ray.stages.relational import grouped_rank
+
+    ranked = grouped_rank(
+        _read(sf_dir, "events", ["event_id", "event_type", "value"]),
+        keys=["event_type"],
+        order_cols=["value", "event_id"],
+        out_col="quartile",
+        method="ntile",
+        n_tiles=4,
+    )
+    return ranked.select_columns(["event_id", "event_type", "quartile"])
+
+
+def _q_hourly_distinct_users(sf_dir: str):
+    """Distinct users per tumbling hour window per event type — the
+    streaming count(DISTINCT) composition: a map-only floor_temporal
+    window-assign feeding the exact pair-collapse distinct_count (window
+    key rides the same two-level aggregate; nothing user-id-sized reaches
+    the driver)."""
+    import pyarrow.compute as pc
+
+    from clawrag_ray.stages.relational import distinct_count
+
+    ev = _read(sf_dir, "events", ["ts", "event_type", "user_id"])
+
+    def add_window(b: pa.Table) -> pa.Table:
+        return b.append_column("window_start", pc.floor_temporal(b["ts"], unit="hour")).drop_columns(["ts"])
+
+    windowed = ev.map_batches(add_window, batch_format="pyarrow", zero_copy_batch=True)
+    return distinct_count(windowed, ["window_start", "event_type"], "user_id")
+
+
 def _q_doc_cube(sf_dir: str):
     """GROUP BY CUBE(lang, source) over documents — every subset level
     ((lang,source), (lang), (source), ()) of char-volume + doc counts,
@@ -1154,6 +1192,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens": _q_top_tokens,
         "incremental_ingest": _q_incremental_ingest,
         "doc_cube": _q_doc_cube,
+        "event_value_quartiles": _q_event_value_quartiles,
+        "hourly_distinct_users": _q_hourly_distinct_users,
         "doc_sample": _q_doc_sample,
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh,
@@ -1631,6 +1671,14 @@ def oracle_sql() -> dict[str, str]:
         "doc_cube": (
             "SELECT lang, source, sum(n_chars)::BIGINT AS total_chars, count(*) AS n_docs "
             "FROM documents GROUP BY CUBE(lang, source)"
+        ),
+        "event_value_quartiles": (
+            "SELECT event_id, event_type, ntile(4) OVER "
+            "(PARTITION BY event_type ORDER BY value, event_id)::BIGINT AS quartile FROM events"
+        ),
+        "hourly_distinct_users": (
+            "SELECT date_trunc('hour', ts) AS window_start, event_type, "
+            "count(DISTINCT user_id) AS n_distinct_user_id FROM events GROUP BY 1, 2"
         ),
         "doc_sample": (
             "SELECT doc_id, n_chars FROM documents "

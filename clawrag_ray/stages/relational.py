@@ -1095,6 +1095,45 @@ def grouped_lag(
     return hash_partitioned_groups(ds, list(keys), per_part, num_partitions=num_partitions)
 
 
+def grouped_rank(
+    ds: Dataset,
+    keys: list[str],
+    order_cols: list[str],
+    out_col: str = "rnk",
+    method: str = "row_number",
+    n_tiles: int = 4,
+    num_partitions: int = 64,
+) -> Dataset:
+    """ROW_NUMBER() / NTILE(n) OVER (PARTITION BY keys ORDER BY
+    order_cols) — per-key dense ordering and equal-depth bucketing (the
+    quantile-bin feature / per-group position window). Same one-shuffle
+    hash-partitioned shape as grouped_running_sum; ranks are a vectorized
+    grouped cumcount per partition. NTILE follows SQL semantics exactly:
+    with c rows and n tiles the first c % n tiles hold ceil(c/n) rows.
+    Ties rank by position after the mergesort on order_cols — pass a
+    unique final order column for deterministic output (the SQL oracle
+    needs the same tiebreak)."""
+    import numpy as np
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(list(keys) + list(order_cols), kind="mergesort")
+        grp = g.groupby(list(keys), sort=False)
+        rn = grp.cumcount().to_numpy()
+        if method == "row_number":
+            g[out_col] = rn + 1
+            return g
+        if method != "ntile":
+            raise ValueError(f"unknown rank method: {method}")
+        c = grp[order_cols[0]].transform("size").to_numpy()
+        q, r = c // n_tiles, c % n_tiles
+        cut = r * (q + 1)  # rows consumed by the (q+1)-sized leading tiles
+        small_q = np.maximum(q, 1)  # c < n_tiles: every row lands in its own tile
+        g[out_col] = np.where(rn < cut, rn // np.maximum(q + 1, 1), r + (rn - cut) // small_q) + 1
+        return g
+
+    return hash_partitioned_groups(ds, list(keys), per_part, num_partitions=num_partitions)
+
+
 def heavy_hitters(
     ds: Dataset,
     key_col: str,

@@ -722,6 +722,44 @@ class TestGroupedLag:
         assert pd.isna(got["nxt"].tolist()[2]) and pd.isna(got["nxt"].tolist()[3])
 
 
+class TestGroupedRank:
+    def test_row_number_matches_pandas(self):
+        from clawrag_ray.stages.relational import grouped_rank
+
+        rng = np.random.RandomState(5)
+        df = pd.DataFrame({"k": rng.randint(0, 7, 200), "o": rng.permutation(200)})
+        got = (
+            grouped_rank(ray.data.from_pandas(df).repartition(4), ["k"], ["o"], out_col="rn")
+            .to_pandas()
+            .sort_values(["k", "o"])
+            .reset_index(drop=True)
+        )
+        want = df.sort_values(["k", "o"]).reset_index(drop=True)
+        want["rn"] = want.groupby("k").cumcount() + 1
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_ntile_matches_duckdb(self):
+        import duckdb
+
+        from clawrag_ray.stages.relational import grouped_rank
+
+        rng = np.random.RandomState(9)
+        # ragged group sizes incl. groups smaller than n_tiles
+        df = pd.DataFrame({"k": rng.randint(0, 11, 137), "o": rng.permutation(137)})
+        got = (
+            grouped_rank(
+                ray.data.from_pandas(df).repartition(3), ["k"], ["o"], out_col="t", method="ntile", n_tiles=4
+            )
+            .to_pandas()
+            .sort_values(["k", "o"])
+            .reset_index(drop=True)
+        )
+        want = duckdb.query(
+            "SELECT k, o, ntile(4) OVER (PARTITION BY k ORDER BY o) AS t FROM df ORDER BY k, o"
+        ).df()
+        assert got["t"].astype("int64").tolist() == want["t"].astype("int64").tolist()
+
+
 class TestHeavyHitters:
     def _zipf_df(self, n=20000, vocab=800, seed=3):
         rng = np.random.RandomState(seed)
