@@ -710,6 +710,17 @@ def _q_hourly_distinct_users(sf_dir: str):
     return distinct_count(windowed, ["window_start", "event_type"], "user_id")
 
 
+def _q_substring_dedup(sf_dir: str):
+    """ExactSubstr dedup (Lee et al. 2021): remove every 64-char span
+    whose identical text occurs earlier in global (doc_id, pos) order,
+    keeping exactly one copy of each duplicated region corpus-wide. One
+    wh-partitioned pass marks non-first window occurrences; one
+    doc-partitioned pass cuts the covered intervals."""
+    from clawrag_ray.stages.curation import exact_substring_dedup
+
+    return exact_substring_dedup(_read(sf_dir, "documents", ["doc_id", "text"]), window=64)
+
+
 def _q_doc_cube(sf_dir: str):
     """GROUP BY CUBE(lang, source) over documents — every subset level
     ((lang,source), (lang), (source), ()) of char-volume + doc counts,
@@ -1192,6 +1203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens": _q_top_tokens,
         "incremental_ingest": _q_incremental_ingest,
         "doc_cube": _q_doc_cube,
+        "substring_dedup": _q_substring_dedup,
         "event_value_quartiles": _q_event_value_quartiles,
         "hourly_distinct_users": _q_hourly_distinct_users,
         "doc_sample": _q_doc_sample,
@@ -1671,6 +1683,29 @@ def oracle_sql() -> dict[str, str]:
         "doc_cube": (
             "SELECT lang, source, sum(n_chars)::BIGINT AS total_chars, count(*) AS n_docs "
             "FROM documents GROUP BY CUBE(lang, source)"
+        ),
+        # replays the ExactSubstr rule end-to-end: rolling prefix-hash
+        # windows, first-occurrence ranking, interval-union cut
+        "substring_dedup": (
+            f"WITH RECURSIVE pre AS ("
+            f"SELECT doc_id, 0 AS i, 0::HUGEINT AS h FROM documents "
+            f"UNION ALL "
+            f"SELECT pre.doc_id, pre.i + 1, (pre.h * 257 + unicode(d.text[pre.i + 1])) % {_FP_MOD} "
+            f"FROM pre JOIN documents d ON pre.doc_id = d.doc_id WHERE pre.i < length(d.text)), "
+            f"win AS (SELECT a.doc_id, a.i AS pos, "
+            f"((b.h - (a.h * {_FP_B64}::HUGEINT) % {_FP_MOD}) % {_FP_MOD} + {_FP_MOD}) % {_FP_MOD} AS wh "
+            f"FROM pre a JOIN pre b ON a.doc_id = b.doc_id AND b.i = a.i + 64), "
+            f"marked AS (SELECT doc_id, pos FROM ("
+            f"SELECT doc_id, pos, row_number() OVER (PARTITION BY wh ORDER BY doc_id, pos) AS rn FROM win) "
+            f"WHERE rn > 1), "
+            f"chars AS (SELECT doc_id, unnest(generate_series(1, length(text))) AS c FROM documents), "
+            f"kept AS (SELECT ch.doc_id, ch.c FROM chars ch WHERE NOT EXISTS ("
+            f"SELECT 1 FROM marked m WHERE m.doc_id = ch.doc_id AND ch.c BETWEEN m.pos + 1 AND m.pos + 64)), "
+            f"rebuilt AS (SELECT k.doc_id, string_agg(d.text[k.c], '' ORDER BY k.c) AS text "
+            f"FROM kept k JOIN documents d ON k.doc_id = d.doc_id GROUP BY k.doc_id) "
+            f"SELECT d.doc_id, coalesce(r.text, '') AS text, "
+            f"(length(d.text) - length(coalesce(r.text, '')))::BIGINT AS n_removed "
+            f"FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id"
         ),
         "event_value_quartiles": (
             "SELECT event_id, event_type, ntile(4) OVER "

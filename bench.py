@@ -72,6 +72,7 @@ TIMED_QUERIES = [
     "event_gaps",
     "top_tokens",
     "incremental_ingest",
+    "substring_dedup",
     "simhash_near_dups",
     "bm25_topk",
     "rrf_hybrid",

@@ -607,6 +607,129 @@ def paragraph_dedup(
     return hash_partitioned_groups(joined, [id_col], per_part, num_partitions=num_partitions)
 
 
+def exact_substring_dedup(
+    ds: Dataset,
+    window: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 64,
+) -> Dataset:
+    """ExactSubstr dedup (Lee et al. 2021, arXiv:2107.06499, public): cut
+    from every document each character covered by a ``window``-char
+    substring whose identical text occurs EARLIER in global (doc_id, pos)
+    order — in another document or earlier in the same one. Exactly one
+    copy of every duplicated region survives corpus-wide (the paper keeps
+    one occurrence; first-in-id-order is the deterministic choice here).
+    Returns (id, text cleaned, n_removed chars).
+
+    Shape (all shuffles corpus-character-proportional):
+      1. per-doc rolling Rabin-Karp over CODEPOINTS emits one
+         (wh, doc_id, pos) row per offset — O(n) per doc, ~16 bytes per
+         character into the shuffle. This is the honest cost of
+         suffix-array-free ExactSubstr; production corpora prune it by
+         stride-sampling probe offsets or building distributed suffix
+         arrays (documented swap, not built).
+      2. ONE hash-partitioned pass by wh marks every occurrence that is
+         not its hash's lexicographic minimum (vectorized duplicated());
+         only the marked (doc_id, pos) rows — duplication-sized — leave.
+      3. marked positions union with the doc table and ONE
+         hash-partitioned pass by doc cuts the covered intervals via a
+         numpy diff-array (no per-char Python), rebuilding each text.
+
+    Positions pack as doc_id * 2^24 + pos for the grouped min, so docs
+    are capped at 16M chars (the corpus contract shared with
+    paragraph_dedup's index packing). Hash collisions (2^-61) could
+    delete a non-duplicate span; at 10^12 docs verify marked spans
+    against the keeper text via the bucket-join machinery."""
+    from clawrag_ray.stages.dedup import _MERSENNE
+    from clawrag_ray.stages.relational import hash_partitioned_groups
+
+    mod, base = _MERSENNE, 257
+    pw = pow(base, window - 1, mod)
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids, poss, whs = [], [], []
+        for doc_id, text in zip(b[id_col].to_pylist(), b[text_col].to_pylist()):
+            codes = np.frombuffer((text or "").encode("utf-32-le"), dtype=np.uint32)
+            n = len(codes)
+            if n < window:
+                continue
+            h = 0
+            for c in codes[:window]:
+                h = (h * base + int(c)) % mod
+            whs.append(h)
+            for i in range(window, n):
+                h = ((h - int(codes[i - window]) * pw) * base + int(codes[i])) % mod
+                whs.append(h)
+            cnt = n - window + 1
+            ids.extend([doc_id] * cnt)
+            poss.extend(range(cnt))
+        return pa.table(
+            {
+                id_col: pa.array(ids, b[id_col].type),
+                "pos": pa.array(poss, pa.int64()),
+                "wh": pa.array(whs, pa.int64()),
+            }
+        )
+
+    rows = ds.select_columns([id_col, text_col]).map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def mark_non_first(g: pd.DataFrame) -> pd.DataFrame:
+        occ = g[id_col].to_numpy(dtype="int64") * _IDX_SPAN + g["pos"].to_numpy(dtype="int64")
+        g = g.iloc[np.lexsort((occ, g["wh"].to_numpy()))]
+        return g.loc[g["wh"].duplicated(), [id_col, "pos"]]
+
+    removed = hash_partitioned_groups(rows, ["wh"], mark_non_first, num_partitions=num_partitions)
+
+    def doc_rows(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "pos": pa.array(np.full(b.num_rows, -1), pa.int64()),
+                text_col: b[text_col],
+            }
+        )
+
+    def rem_rows(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {id_col: b[id_col], "pos": b["pos"], text_col: pa.nulls(b.num_rows, pa.string())}
+        )
+
+    unioned = ds.select_columns([id_col, text_col]).map_batches(
+        doc_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).union(removed.map_batches(rem_rows, batch_format="pyarrow", zero_copy_batch=True))
+
+    def cut(g: pd.DataFrame) -> pd.DataFrame:
+        docs = g[g["pos"] < 0]
+        rem = g[g["pos"] >= 0]
+        marks = {d: p.to_numpy(dtype="int64") for d, p in rem.groupby(id_col, sort=False)["pos"]}
+        out_ids, out_texts, out_removed = [], [], []
+        for doc_id, text in zip(docs[id_col], docs[text_col]):
+            text = text or ""
+            ps = marks.get(doc_id)
+            if ps is None:
+                out_ids.append(doc_id)
+                out_texts.append(text)
+                out_removed.append(0)
+                continue
+            n = len(text)
+            cov = np.zeros(n + 1, dtype=np.int32)
+            np.add.at(cov, ps, 1)
+            np.add.at(cov, np.minimum(ps + window, n), -1)
+            keep = np.cumsum(cov[:n]) == 0
+            codes = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+            out_ids.append(doc_id)
+            out_texts.append(codes[keep].tobytes().decode("utf-32-le"))
+            out_removed.append(int(n - keep.sum()))
+        return pd.DataFrame(
+            {id_col: out_ids, text_col: out_texts, "n_removed": pd.array(out_removed, dtype="int64")}
+        )
+
+    return hash_partitioned_groups(unioned, [id_col], cut, num_partitions=num_partitions)
+
+
 # ---------------------------------------------------------------------------
 # perplexity filtering (CCNet-style, corpus-trained unigram LM)
 # ---------------------------------------------------------------------------

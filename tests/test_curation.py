@@ -435,3 +435,86 @@ class TestParagraphDedup:
         got = paragraph_dedup(ds).to_pandas().sort_values("doc_id")
         assert got["clean_text"].tolist() == list(docs.values())
         assert (got["n_removed"] == 0).all()
+
+
+class TestExactSubstringDedup:
+    @staticmethod
+    def _brute(rows, window=64):
+        # naive reference: mark every window occurrence that is not the
+        # lexicographically-first (doc_id, pos) for its text, cut unions
+        occ = {}
+        for doc_id, text in rows:
+            for p in range(len(text) - window + 1):
+                occ.setdefault(text[p : p + window], []).append((doc_id, p))
+        marked = {}
+        for _, places in occ.items():
+            for d, p in sorted(places)[1:]:
+                marked.setdefault(d, []).append(p)
+        out = {}
+        for doc_id, text in rows:
+            keep = [True] * len(text)
+            for p in marked.get(doc_id, []):
+                for c in range(p, min(p + window, len(text))):
+                    keep[c] = False
+            out[doc_id] = "".join(ch for ch, k in zip(text, keep) if k)
+        return out
+
+    def _run(self, rows, window=64):
+        from clawrag_ray.stages.curation import exact_substring_dedup
+
+        ds = ray.data.from_arrow(
+            pa.table({"doc_id": [r[0] for r in rows], "text": [r[1] for r in rows]})
+        ).repartition(3)
+        got = exact_substring_dedup(ds, window=window).to_pandas()
+        return dict(zip(got["doc_id"], got["text"])), dict(zip(got["doc_id"], got["n_removed"]))
+
+    def test_cross_doc_region_removed_once(self, ray_session):
+        shared = "the quick brown fox jumps over the lazy dog again and again, ok!"[:64]
+        assert len(shared) == 64
+        rows = [
+            (1, "AAA " + shared + " tail one unique marker text"),
+            (2, "BBBB " + shared + " other unique trailing content"),
+            (3, "totally unrelated short document"),
+        ]
+        texts, removed = self._run(rows)
+        brute = self._brute(rows)
+        assert texts == brute
+        assert shared in texts[1] and shared not in texts[2]
+        assert removed[3] == 0
+
+    def test_within_doc_repeat_removed(self, ray_session):
+        block = "x" * 30 + "y" * 34  # 64 chars
+        rows = [(7, block + "-mid-" + block)]
+        texts, removed = self._run(rows)
+        assert texts == self._brute(rows)
+        assert removed[7] > 0
+
+    def test_exact_dup_doc_fully_cut(self, ray_session):
+        # non-periodic body: no within-doc window repeats, so the first
+        # copy survives whole and the second is cut entirely
+        body = "".join(chr(33 + (i * 7) % 90) for i in range(100))
+        rows = [(1, body), (2, body), (3, "short")]
+        texts, removed = self._run(rows)
+        assert texts[1] == body and texts[2] == "" and texts[3] == "short"
+        assert removed[2] == 100 and removed[1] == 0
+
+    def test_self_repetitive_doc_self_dedups(self, ray_session):
+        # 100 identical chars: every window equals the first, so only the
+        # char at position 0 survives (the paper's within-doc rule)
+        rows = [(9, "z" * 100)]
+        texts, removed = self._run(rows)
+        assert texts == self._brute(rows)
+        assert texts[9] == "z" and removed[9] == 99
+
+    def test_random_brute_parity(self, ray_session):
+        import numpy as np
+
+        rng = np.random.RandomState(21)
+        alphabet = list("abc ")
+        rows = []
+        for i in range(12):
+            n = int(rng.randint(40, 160))
+            rows.append((i, "".join(rng.choice(alphabet) for _ in range(n))))
+        # small alphabet + window 8 forces plenty of collisions/overlaps
+        texts, _ = self._run(rows, window=8)
+        assert texts == self._brute(rows, window=8)
