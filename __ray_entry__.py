@@ -630,6 +630,54 @@ def _q_user_running_spend(sf_dir: str):
     return run.select_columns(["event_id", "user_id", "running_cents"])
 
 
+def _q_user_rolling_spend3(sf_dir: str):
+    """Trailing-3-events spend window — SUM(cents) OVER (PARTITION BY
+    user ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW):
+    the bounded-frame variant of user_running_spend, computed as cumsum
+    minus frame-shifted cumsum in one hash-partition shuffle. Integer
+    cents keep both sides exact."""
+    import pyarrow.compute as pc
+
+    from clawrag_ray.stages.relational import grouped_rolling_sum
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        c = pc.cast(pc.floor(pc.multiply(b["value"], 100.0)), pa.int64())
+        return pa.table({"event_id": b["event_id"], "user_id": b["user_id"], "ts": b["ts"], "cents": c})
+
+    rolled = grouped_rolling_sum(
+        ev.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True),
+        keys=["user_id"],
+        order_cols=["ts", "event_id"],
+        value_col="cents",
+        frame=3,
+        out_col="rolling3",
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "user_id": b["user_id"],
+                "rolling3_cents": pc.cast(b["rolling3"], pa.int64()),
+            }
+        )
+
+    return rolled.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_signup_purchase_funnel(sf_dir: str):
+    """A-then-B funnel: per user, first signup time and first purchase
+    STRICTLY after it (NULL when never converted). Map-side type filter,
+    one hash-partition shuffle by user, vectorized grouped mins."""
+    from clawrag_ray.stages.relational import funnel_conversion
+
+    return funnel_conversion(
+        _read(sf_dir, "events", ["user_id", "ts", "event_type"]), "signup", "purchase"
+    )
+
+
 def _q_event_gaps(sf_dir: str):
     """Per-user inter-event gap — LAG(ts) OVER (PARTITION BY user_id
     ORDER BY ts, event_id), gap in integer microseconds (exact arithmetic
@@ -1200,6 +1248,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_events": _q_late_events,
         "user_running_spend": _q_user_running_spend,
         "event_gaps": _q_event_gaps,
+        "user_rolling_spend3": _q_user_rolling_spend3,
+        "signup_purchase_funnel": _q_signup_purchase_funnel,
         "top_tokens": _q_top_tokens,
         "incremental_ingest": _q_incremental_ingest,
         "doc_cube": _q_doc_cube,
@@ -1667,6 +1717,17 @@ def oracle_sql() -> dict[str, str]:
         "event_gaps": (
             "SELECT event_id, user_id, date_diff('microsecond', "
             "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts)::BIGINT AS gap_us FROM events"
+        ),
+        "user_rolling_spend3": (
+            "SELECT event_id, user_id, "
+            "(sum(floor(value * 100)::BIGINT) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))::BIGINT AS rolling3_cents FROM events"
+        ),
+        "signup_purchase_funnel": (
+            "WITH a AS (SELECT user_id, min(ts) AS ta FROM events WHERE event_type = 'signup' GROUP BY user_id) "
+            "SELECT a.user_id, a.ta, min(e.ts) AS tb FROM a LEFT JOIN events e "
+            "ON e.user_id = a.user_id AND e.event_type = 'purchase' AND e.ts > a.ta "
+            "GROUP BY a.user_id, a.ta"
         ),
         # exact by the heavy-hitters certificate: k-th count > N/capacity
         # (checked by the operator itself, strict mode)

@@ -70,6 +70,7 @@ TIMED_QUERIES = [
     "semantic_dedup",
     "user_running_spend",
     "event_gaps",
+    "user_rolling_spend3",
     "top_tokens",
     "incremental_ingest",
     "substring_dedup",

@@ -1095,6 +1095,73 @@ def grouped_lag(
     return hash_partitioned_groups(ds, list(keys), per_part, num_partitions=num_partitions)
 
 
+def grouped_rolling_sum(
+    ds: Dataset,
+    keys: list[str],
+    order_cols: list[str],
+    value_col: str,
+    frame: int,
+    out_col: str = "rolling",
+    num_partitions: int = 64,
+) -> Dataset:
+    """Bounded-frame window — SUM(value) OVER (PARTITION BY keys ORDER BY
+    order_cols ROWS BETWEEN frame-1 PRECEDING AND CURRENT ROW), the
+    trailing-k-events feature. Same one-shuffle shape as
+    grouped_running_sum; the bounded frame is cumsum minus the
+    frame-shifted cumsum (two vectorized grouped passes, no per-row
+    Python, exact for integer values)."""
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(list(keys) + list(order_cols), kind="mergesort")
+        grp = g.groupby(list(keys), sort=False)[value_col]
+        run = grp.cumsum()
+        g[out_col] = run - grp.shift(frame).groupby([g[k] for k in keys], sort=False).cumsum().fillna(0)
+        return g
+
+    return hash_partitioned_groups(ds, list(keys), per_part, num_partitions=num_partitions)
+
+
+def funnel_conversion(
+    ds: Dataset,
+    step_a: str,
+    step_b: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    num_partitions: int = 64,
+) -> Dataset:
+    """First-conversion funnel: per user, the earliest ``step_a`` event
+    time and the earliest ``step_b`` event STRICTLY AFTER it (NULL when
+    the user never converts) — the A-then-B behavioral primitive under
+    activation/retention funnels. Map-side filter prunes the stream to
+    the two step types before the single hash-partition shuffle by user;
+    the per-partition pass is two vectorized grouped mins + a masked
+    merge (no per-user Python). Returns (user_col, ta, tb) for users
+    with at least one ``step_a`` event."""
+
+    def prune(b: pa.Table) -> pa.Table:
+        mask = pc.is_in(b[type_col], value_set=pa.array([step_a, step_b]))
+        return b.filter(mask).select([user_col, ts_col, type_col])
+
+    pruned = ds.map_batches(prune, batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        ta = g.loc[g[type_col] == step_a].groupby(user_col, sort=False)[ts_col].min().rename("ta")
+        b_rows = g.loc[g[type_col] == step_b, [user_col, ts_col]].merge(
+            ta, left_on=user_col, right_index=True
+        )
+        tb = (
+            b_rows.loc[b_rows[ts_col] > b_rows["ta"]]
+            .groupby(user_col, sort=False)[ts_col]
+            .min()
+            .rename("tb")
+        )
+        out = ta.to_frame().join(tb).reset_index()
+        return out[[user_col, "ta", "tb"]]
+
+    return hash_partitioned_groups(pruned, [user_col], per_part, num_partitions=num_partitions)
+
+
 def grouped_rank(
     ds: Dataset,
     keys: list[str],

@@ -722,6 +722,63 @@ class TestGroupedLag:
         assert pd.isna(got["nxt"].tolist()[2]) and pd.isna(got["nxt"].tolist()[3])
 
 
+class TestGroupedRollingSum:
+    def test_matches_pandas_rolling(self):
+        from clawrag_ray.stages.relational import grouped_rolling_sum
+
+        rng = np.random.RandomState(13)
+        n = 300
+        df = pd.DataFrame(
+            {
+                "k": rng.randint(0, 9, n),
+                "o": rng.permutation(n),
+                "v": rng.randint(-20, 20, n).astype("int64"),
+            }
+        )
+        got = (
+            grouped_rolling_sum(ray.data.from_pandas(df).repartition(4), ["k"], ["o"], "v", frame=4, out_col="r")
+            .to_pandas()
+            .sort_values(["k", "o"])
+            .reset_index(drop=True)
+        )
+        want = df.sort_values(["k", "o"]).reset_index(drop=True)
+        want["r"] = (
+            want.groupby("k")["v"].rolling(4, min_periods=1).sum().reset_index(level=0, drop=True).sort_index()
+        )
+        assert got["r"].astype("int64").tolist() == want["r"].astype("int64").tolist()
+
+
+class TestFunnelConversion:
+    def test_first_a_then_first_b_after(self):
+        from clawrag_ray.stages.relational import funnel_conversion
+
+        rows = [
+            # u1: signup@2, purchase@1 (before -> ignored), purchase@5 -> converts at 5
+            {"user_id": 1, "ts": 2, "event_type": "signup"},
+            {"user_id": 1, "ts": 1, "event_type": "purchase"},
+            {"user_id": 1, "ts": 5, "event_type": "purchase"},
+            # u2: signup@3, no purchase after -> tb null
+            {"user_id": 2, "ts": 3, "event_type": "signup"},
+            {"user_id": 2, "ts": 3, "event_type": "purchase"},  # tie: strict > excludes
+            # u3: purchase only -> not in output
+            {"user_id": 3, "ts": 1, "event_type": "purchase"},
+            # u4: two signups, purchase between them
+            {"user_id": 4, "ts": 1, "event_type": "signup"},
+            {"user_id": 4, "ts": 4, "event_type": "signup"},
+            {"user_id": 4, "ts": 2, "event_type": "purchase"},
+        ]
+        ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(3)
+        got = (
+            funnel_conversion(ds, "signup", "purchase")
+            .to_pandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        assert got["user_id"].tolist() == [1, 2, 4]
+        assert got["ta"].tolist() == [2, 3, 1]
+        assert got["tb"].iloc[0] == 5 and pd.isna(got["tb"].iloc[1]) and got["tb"].iloc[2] == 2
+
+
 class TestGroupedRank:
     def test_row_number_matches_pandas(self):
         from clawrag_ray.stages.relational import grouped_rank
