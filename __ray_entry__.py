@@ -865,6 +865,22 @@ def _q_ann_ivf(sf_dir: str):
     return ivf_topk(_read(sf_dir, "embeddings", ["vec_id", "embedding"]), _ann_queries(sf_dir), k=ANN_K)
 
 
+def _q_ann_ivf_pq(sf_dir: str):
+    """IVF-PQ top-k: vectors compressed to 8 uint8 codes, probe scan via
+    per-query ADC lookup tables over codes only, exact rescans just the
+    k*refine ADC candidates — the memory scale path (recall vs exact
+    reported as recall_ann_ivf_pq_topk in the bench JSON)."""
+    from clawrag_ray.stages.similarity import ivf_pq_topk
+
+    return ivf_pq_topk(
+        _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+        _ann_queries(sf_dir),
+        k=ANN_K,
+        n_probe=6,
+        refine=16,
+    )
+
+
 def _q_simhash(sf_dir: str):
     from clawrag_ray.stages.dedup import simhash_table
 
@@ -1260,6 +1276,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _q_ann_topk,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
+        "ann_ivf_pq_topk": _q_ann_ivf_pq,
         "ngram_jaccard_near_dups": _q_ngram_jaccard,
         "embedding_near_dup": _q_embedding_near_dup,
         "simhash": _q_simhash,

@@ -62,6 +62,7 @@ TIMED_QUERIES = [
     "pii_scrub",
     "ann_topk",
     "ann_ivf_topk",
+    "ann_ivf_pq_topk",
     "minhash_near_dups",
     "near_dup_clusters",
     "perplexity_filter",
@@ -216,7 +217,7 @@ def ann_recalls(sf_dir: str) -> dict[str, float]:
         qid: set(g["vec_id"]) for qid, g in exact.groupby("query_id")
     }
     out: dict[str, float] = {}
-    for name in ("ann_lsh_topk", "ann_ivf_topk"):
+    for name in ("ann_lsh_topk", "ann_ivf_topk", "ann_ivf_pq_topk"):
         approx = qs[name](sf_dir)
         hits = total = 0
         for qid, g in approx.groupby("query_id"):

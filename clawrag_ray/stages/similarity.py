@@ -247,6 +247,170 @@ def ivf_topk(
     return brute_force_topk(candidates, queries, k=k, concurrency=concurrency)
 
 
+def _bounded_sample(ds: Dataset, sample_limit: int) -> np.ndarray:
+    """Bounded, execution-order-independent normalized sample matrix (the
+    kmeans_centroids sampling contract, factored for PQ training)."""
+    sample = _stack(
+        ds.select_columns(["embedding"]).limit(sample_limit).to_pandas()["embedding"].pipe(
+            lambda s: pa.array(s.tolist())
+        )
+    )
+    sample = sample[np.lexsort(sample.T[::-1])]
+    return _normalize(sample)
+
+
+def pq_train_codebooks(
+    ds: Dataset,
+    m: int = 8,
+    n_codes: int = 32,
+    n_iters: int = 5,
+    seed: int = 17,
+    sample_limit: int = 4096,
+) -> np.ndarray:
+    """Product-quantization codebooks (m, n_codes, d/m): independent
+    Lloyd k-means per subspace over the bounded sample (the FAISS
+    IndexPQ trainer shape — a few KB of state; the corpus never
+    participates in training, only in distributed encoding)."""
+    sample = _bounded_sample(ds, sample_limit)
+    d = sample.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, n_codes, dsub), dtype=np.float64)
+    for j in range(m):
+        sub = sample[:, j * dsub : (j + 1) * dsub]
+        k = min(n_codes, len(sub))
+        cents = sub[rng.choice(len(sub), size=k, replace=False)]
+        for _ in range(n_iters):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(k):
+                members = sub[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        if k < n_codes:  # tiny corpora: pad with repeats so codes stay uint8-dense
+            cents = np.concatenate([cents, np.repeat(cents[:1], n_codes - k, axis=0)])
+        books[j] = cents
+    return books
+
+
+def pq_encode(ds: Dataset, centroids: np.ndarray, books: np.ndarray, concurrency=(1, 8)) -> Dataset:
+    """Distributed IVF-PQ encoding: (vec_id, ivf_cell, m uint8 codes) —
+    the compressed representation the ADC scan reads; the float vectors
+    never leave this stage."""
+    cref, bref = ray.put(centroids), ray.put(books)
+
+    class Encoder:
+        def __init__(self):
+            self.c = ray.get(cref)
+            self.b = ray.get(bref)  # (m, n_codes, dsub)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vm = _normalize(_stack(batch["embedding"]))
+            cell = np.argmax(vm @ self.c.T, axis=1).astype(np.int32)
+            m, _, dsub = self.b.shape
+            codes = np.empty((len(vm), m), dtype=np.uint8)
+            for j in range(m):
+                sub = vm[:, j * dsub : (j + 1) * dsub]
+                d2 = ((sub[:, None, :] - self.b[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = np.argmin(d2, axis=1).astype(np.uint8)
+            return pa.table(
+                {
+                    "vec_id": batch["vec_id"],
+                    "ivf_cell": pa.array(cell),
+                    "codes": pa.array(list(codes), pa.list_(pa.uint8())),
+                }
+            )
+
+    return ds.map_batches(Encoder, batch_format="pyarrow", concurrency=concurrency, zero_copy_batch=True)
+
+
+def ivf_pq_topk(
+    ds: Dataset,
+    queries: dict[int, np.ndarray],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    n_codes: int = 32,
+    refine: int = 4,
+    seed: int = 13,
+    concurrency=(1, 8),
+) -> pd.DataFrame:
+    """IVF-PQ approximate top-k — the MEMORY scale path next to ivf_topk:
+    vectors compress to m uint8 codes (64x for d=64 float32), the probe
+    scan reads only (vec_id, cell, codes) via per-query ADC lookup tables
+    (sum of m table hits, no float vectors touched), and the exact kernel
+    rescans just the top k*refine ADC candidates per query for the final
+    ranking. At 10^12 vectors the code table is what fits in cluster RAM;
+    the raw vectors stay in cold storage and surface only for the
+    refine-candidate fetch. Output schema matches brute_force_topk;
+    recall < 1 by design (quantization + probe pruning)."""
+    centroids = kmeans_centroids(ds, n_centroids=n_centroids, seed=seed, concurrency=concurrency)
+    books = pq_train_codebooks(ds, m=m, n_codes=n_codes, seed=seed + 4)
+    encoded = pq_encode(ds, centroids, books, concurrency=concurrency)
+
+    qm = _normalize(np.array(list(queries.values()), dtype=np.float64))
+    query_ids = list(queries.keys())
+    sims = qm @ centroids.T
+    probe: set[int] = set()
+    for qi in range(sims.shape[0]):
+        for c in np.argsort(-sims[qi])[: min(n_probe, sims.shape[1])]:
+            probe.add(int(c))
+    # per-query ADC tables: dot(query_sub, code_sub) per (subspace, code)
+    m_, n_codes_, dsub = books.shape
+    luts = np.einsum("qjd,jcd->qjc", qm.reshape(len(qm), m_, dsub), books)
+
+    lut_ref = ray.put((query_ids, luts))
+    n_cand = k * refine
+
+    class ADCScan:
+        def __init__(self):
+            self.query_ids, self.luts = ray.get(lut_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mask = pa.compute.is_in(batch["ivf_cell"], value_set=pa.array(sorted(probe), pa.int32()))
+            batch = batch.filter(mask)
+            if not batch.num_rows:
+                return pa.table(
+                    {"query_id": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()), "adc": pa.array([], pa.float64())}
+                )
+            codes = np.stack(batch["codes"].to_numpy(zero_copy_only=False))  # (n, m)
+            vec_ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+            cols = np.arange(codes.shape[1])
+            out_q, out_v, out_s = [], [], []
+            for qi, qid in enumerate(self.query_ids):
+                scores = self.luts[qi][cols[None, :], codes].sum(axis=1)  # (n,)
+                kk = min(n_cand, len(scores))
+                idx = np.argpartition(-scores, kth=kk - 1)[:kk] if kk < len(scores) else np.arange(len(scores))
+                out_q.extend([qid] * kk)
+                out_v.extend(int(v) for v in vec_ids[idx])
+                out_s.extend(float(s) for s in scores[idx])
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, pa.int64()),
+                    "vec_id": pa.array(out_v, pa.int64()),
+                    "adc": pa.array(out_s, pa.float64()),
+                }
+            )
+
+    local = encoded.map_batches(ADCScan, batch_format="pyarrow", concurrency=concurrency, zero_copy_batch=True)
+    cand = (
+        local.to_pandas()
+        .sort_values(["query_id", "adc", "vec_id"], ascending=[True, False, True])
+        .groupby("query_id", as_index=False)
+        .head(n_cand)
+    )
+    cand_ids = ray.put(pa.array(np.unique(cand["vec_id"].to_numpy()), pa.int64()))
+
+    def keep_candidates(batch: pa.Table) -> pa.Table:
+        return batch.filter(pa.compute.is_in(batch["vec_id"], value_set=ray.get(cand_ids)))
+
+    survivors = ds.map_batches(keep_candidates, batch_format="pyarrow", zero_copy_batch=True)
+    return brute_force_topk(survivors, queries, k=k, concurrency=concurrency)
+
+
 def _block_pair_hits(ta: pa.Table, tb: pa.Table, threshold: float, same: bool) -> pa.Table:
     """Pairs (vec_a < vec_b, cosine >= threshold) between two vector blocks
     — one bounded matmul; only the qualifying pairs come back.

@@ -314,6 +314,45 @@ class TestIVF:
         assert set(cells.unique()).issubset(set(range(4)))
 
 
+class TestIVFPQ:
+    def test_pq_recall_and_determinism(self):
+        from clawrag_ray.stages.similarity import ivf_pq_topk
+
+        ds, vecs = _emb_ds()
+        q = {0: vecs[0], 7: vecs[7], 42: vecs[42]}
+        got = ivf_pq_topk(ds, q, k=5, n_centroids=8, n_probe=6, m=4, n_codes=16, refine=8, concurrency=1)
+        again = ivf_pq_topk(ds, q, k=5, n_centroids=8, n_probe=6, m=4, n_codes=16, refine=8, concurrency=1)
+        pd.testing.assert_frame_equal(got, again)
+        exact = brute_force_topk(ds, q, k=5, concurrency=1)
+        hits = 0
+        for qid in q:
+            want = set(exact[exact["query_id"] == qid]["vec_id"])
+            hits += len(want & set(got[got["query_id"] == qid]["vec_id"]))
+        assert hits / (5 * len(q)) >= 0.6
+        # refine rescans true vectors: every reported cosine is exact
+        merged = got.merge(exact, on=["query_id", "vec_id"], suffixes=("", "_x"))
+        assert (merged["cosine"] == merged["cosine_x"]).all()
+
+    def test_encode_shapes_and_dtype(self):
+        from clawrag_ray.stages.similarity import kmeans_centroids, pq_encode, pq_train_codebooks
+
+        ds, _ = _emb_ds()
+        cents = kmeans_centroids(ds, n_centroids=4, n_iters=3, concurrency=1)
+        books = pq_train_codebooks(ds, m=4, n_codes=16)
+        assert books.shape == (4, 16, 4)
+        enc = pq_encode(ds, cents, books, concurrency=1).to_pandas()
+        assert len(enc) == 200
+        codes = np.stack(enc["codes"].to_numpy())
+        assert codes.shape == (200, 4) and codes.dtype == np.uint8 and codes.max() < 16
+
+    def test_indivisible_dim_raises(self):
+        from clawrag_ray.stages.similarity import pq_train_codebooks
+
+        ds, _ = _emb_ds()  # dim 16
+        with pytest.raises(ValueError, match="divisible"):
+            pq_train_codebooks(ds, m=5)
+
+
 class TestNewRelationalOps:
     def test_hash_join_inner(self):
         from clawrag_ray.stages.relational import hash_join
