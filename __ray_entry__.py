@@ -758,6 +758,35 @@ def _q_hourly_distinct_users(sf_dir: str):
     return distinct_count(windowed, ["window_start", "event_type"], "user_id")
 
 
+def _q_doc_global_rank(sf_dir: str):
+    """Materialized corpus-wide total order — ROW_NUMBER() OVER (ORDER BY
+    n_chars, doc_id) without a single-node sort: ones ranked through the
+    two-phase prefix-sum scan (per-range-bucket totals, tiny driver
+    prefix, per-bucket cumsum). The composite order packs into one int64
+    (n_chars * 2^40 + doc_id) to keep the rank key unique."""
+    import pyarrow.compute as pc
+
+    from clawrag_ray.stages.curation import global_rank
+
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def pack(b: pa.Table) -> pa.Table:
+        key = pc.add(pc.multiply(b["n_chars"], 1 << 40), b["doc_id"])
+        return b.append_column("__key", key)
+
+    ranked = global_rank(docs.map_batches(pack, batch_format="pyarrow", zero_copy_batch=True), "__key")
+    return ranked.select_columns(["doc_id", "rnk"])
+
+
+def _q_lang_token_divergence(sf_dir: str):
+    """Per-language token-distribution drift vs the whole corpus:
+    add-one-smoothed KL(P_lang || P_corpus) over the corpus vocabulary —
+    distributed (lang, token) counts, vocabulary-bounded KL reduce."""
+    from clawrag_ray.stages.text_analysis import token_kl_divergence
+
+    return token_kl_divergence(_read(sf_dir, "documents", ["lang", "text"]))
+
+
 def _q_substring_dedup(sf_dir: str):
     """ExactSubstr dedup (Lee et al. 2021): remove every 64-char span
     whose identical text occurs earlier in global (doc_id, pos) order,
@@ -1270,6 +1299,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_ingest": _q_incremental_ingest,
         "doc_cube": _q_doc_cube,
         "substring_dedup": _q_substring_dedup,
+        "doc_global_rank": _q_doc_global_rank,
+        "lang_token_divergence": _q_lang_token_divergence,
         "event_value_quartiles": _q_event_value_quartiles,
         "hourly_distinct_users": _q_hourly_distinct_users,
         "doc_sample": _q_doc_sample,
@@ -1761,6 +1792,22 @@ def oracle_sql() -> dict[str, str]:
         "doc_cube": (
             "SELECT lang, source, sum(n_chars)::BIGINT AS total_chars, count(*) AS n_docs "
             "FROM documents GROUP BY CUBE(lang, source)"
+        ),
+        "doc_global_rank": (
+            "SELECT doc_id, row_number() OVER (ORDER BY n_chars, doc_id)::BIGINT AS rnk FROM documents"
+        ),
+        "lang_token_divergence": (
+            "WITH tok AS (SELECT lang, unnest(regexp_extract_all(lower(text), '\\S+')) AS t FROM documents), "
+            "cnt AS (SELECT lang, t, count(*)::BIGINT AS c FROM tok GROUP BY 1, 2), "
+            "vocab AS (SELECT t, sum(c)::BIGINT AS ct FROM cnt GROUP BY 1), "
+            "tot AS (SELECT sum(ct)::BIGINT AS n, count(*)::BIGINT AS v FROM vocab), "
+            "lt AS (SELECT lang, sum(c)::BIGINT AS ng FROM cnt GROUP BY 1), "
+            "dense AS (SELECT l.lang, l.ng, vb.t, coalesce(c.c, 0)::BIGINT AS c, vb.ct "
+            "FROM lt l CROSS JOIN vocab vb LEFT JOIN cnt c ON c.lang = l.lang AND c.t = vb.t) "
+            "SELECT d.lang, d.ng AS n_tokens, round(sum("
+            "((d.c + 1)::DOUBLE / (d.ng + t.v)) * ln(((d.c + 1)::DOUBLE / (d.ng + t.v)) / "
+            "((d.ct + 1)::DOUBLE / (t.n + t.v)))), 6) AS kl "
+            "FROM dense d, tot t GROUP BY d.lang, d.ng"
         ),
         # replays the ExactSubstr rule end-to-end: rolling prefix-hash
         # windows, first-occurrence ranking, interval-union cut

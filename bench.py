@@ -75,6 +75,8 @@ TIMED_QUERIES = [
     "top_tokens",
     "incremental_ingest",
     "substring_dedup",
+    "doc_global_rank",
+    "lang_token_divergence",
     "simhash_near_dups",
     "bm25_topk",
     "rrf_hybrid",

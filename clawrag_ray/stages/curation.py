@@ -114,6 +114,38 @@ def global_prefix_sum(
     return hash_partitioned_groups(bucketed, ["__bucket"], per_part, num_partitions=num_partitions)
 
 
+def global_rank(
+    ds: Dataset,
+    order_col: str,
+    out_col: str = "rnk",
+    num_buckets: int = 64,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Global ROW_NUMBER() OVER (ORDER BY order_col) — a materialized
+    corpus-wide total order WITHOUT a single-node sort: ranking ones
+    through the two-phase prefix-sum scan (per-range-bucket totals, tiny
+    driver prefix, per-bucket ordered cumsum). ``order_col`` must be
+    unique (pack tiebreak columns into it); ties would rank
+    nondeterministically."""
+
+    def with_one(b: pa.Table) -> pa.Table:
+        return b.append_column("__one", pa.array(np.ones(b.num_rows, dtype=np.int64)))
+
+    ranked = global_prefix_sum(
+        ds.map_batches(with_one, batch_format="pyarrow", zero_copy_batch=True),
+        order_col,
+        "__one",
+        num_buckets=num_buckets,
+        num_partitions=num_partitions,
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.append_column(out_col, pc.add(b["cum_before"], 1))
+        return b.drop_columns(["__one", "cum_before"])
+
+    return ranked.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def pack_sequences(
     ds: Dataset,
     order_col: str,

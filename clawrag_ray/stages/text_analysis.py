@@ -223,3 +223,49 @@ def repetition_metrics(
         return pa.table(cols)
 
     return ds.map_batches(metrics, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def token_kl_divergence(ds: Dataset, group_col: str = "lang", text_col: str = "text") -> Dataset:
+    """Per-group token-distribution drift from the corpus: KL(P_group ||
+    P_corpus) over the corpus vocabulary with add-one smoothing — the
+    distribution-shift monitor a corpus-composition pipeline runs when a
+    new crawl slice lands. The (group, token) counts run as the standard
+    two-level distributed aggregate (Arrow split/flatten explode with
+    list_parent_indices carrying the group, no Python loop); the KL sum
+    itself runs on the vocabulary-x-groups count table, which is
+    vocabulary-bounded — the same bounded-driver contract as
+    rollup_aggregate (at web vocabularies, cap to the top-K tokens by
+    corpus count via heavy_hitters first). Returns (group, n_tokens, kl
+    rounded to 6)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from clawrag_ray.stages.relational import pre_aggregate
+
+    def explode(b: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(pc.utf8_lower(b[text_col]), pattern=r"\s+")
+        flat = pc.list_flatten(toks)
+        grp = b[group_col].take(pc.list_parent_indices(toks))
+        t = pa.table({group_col: grp, "token": flat})
+        return t.filter(pc.not_equal(t["token"], ""))
+
+    rows = ds.select_columns([group_col, text_col]).map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True
+    )
+    counts = pre_aggregate(rows, [group_col, "token"], [], count_alias="c").to_pandas()
+    dense = counts.pivot_table(index="token", columns=group_col, values="c", fill_value=0)
+    ct = dense.sum(axis=1).to_numpy(dtype="int64")  # corpus count per token
+    v, n = len(dense), int(ct.sum())
+    p_corpus = (ct + 1.0) / (n + v)
+    out_g, out_n, out_kl = [], [], []
+    for g in dense.columns:
+        c = dense[g].to_numpy(dtype="int64")
+        ng = int(c.sum())
+        p_g = (c + 1.0) / (ng + v)
+        out_g.append(g)
+        out_n.append(ng)
+        out_kl.append(round(float(np.sum(p_g * np.log(p_g / p_corpus))), 6))
+    return rd.from_pandas(
+        pd.DataFrame({group_col: out_g, "n_tokens": pd.array(out_n, dtype="int64"), "kl": out_kl})
+    )

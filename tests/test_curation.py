@@ -518,3 +518,50 @@ class TestExactSubstringDedup:
         # small alphabet + window 8 forces plenty of collisions/overlaps
         texts, _ = self._run(rows, window=8)
         assert texts == self._brute(rows, window=8)
+
+
+class TestGlobalRank:
+    def test_matches_argsort(self, ray_session):
+        import numpy as np
+
+        from clawrag_ray.stages.curation import global_rank
+
+        rng = np.random.RandomState(17)
+        keys = rng.permutation(500) * 3 + 7  # unique, gappy
+        ds = ray.data.from_arrow(pa.table({"k": keys, "payload": keys * 2})).repartition(6)
+        got = global_rank(ds, "k").to_pandas().sort_values("k").reset_index(drop=True)
+        assert got["rnk"].tolist() == list(range(1, 501))
+        assert (got["payload"] == got["k"] * 2).all()  # other columns ride along
+
+
+class TestTokenKLDivergence:
+    def test_matches_manual_kl(self, ray_session):
+        import numpy as np
+
+        from clawrag_ray.stages.text_analysis import token_kl_divergence
+
+        rows = [
+            {"lang": "en", "text": "the cat sat on the mat"},
+            {"lang": "en", "text": "the dog sat"},
+            {"lang": "de", "text": "der hund der katze"},
+        ]
+        ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(2)
+        got = token_kl_divergence(ds).to_pandas().set_index("lang")
+        # manual add-one KL over the corpus vocab
+        from collections import Counter
+
+        by_lang = {"en": Counter(), "de": Counter()}
+        for r in rows:
+            by_lang[r["lang"]].update(r["text"].split())
+        corpus = by_lang["en"] + by_lang["de"]
+        v, n = len(corpus), sum(corpus.values())
+        for lang, cnt in by_lang.items():
+            ng = sum(cnt.values())
+            kl = sum(
+                ((cnt[t] + 1) / (ng + v)) * np.log(((cnt[t] + 1) / (ng + v)) / ((corpus[t] + 1) / (n + v)))
+                for t in corpus
+            )
+            assert got.loc[lang, "kl"] == round(kl, 6)
+            assert got.loc[lang, "n_tokens"] == ng
+        # identical distributions diverge less than disjoint ones
+        assert got.loc["de", "kl"] > 0
