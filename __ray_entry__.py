@@ -798,6 +798,39 @@ def _q_substring_dedup(sf_dir: str):
     return exact_substring_dedup(_read(sf_dir, "documents", ["doc_id", "text"]), window=64)
 
 
+def _q_value_histogram(sf_dir: str):
+    """Equi-width value histogram per event type over explicit [0, 100)
+    bounds, 20 bins — map-only bin assign + two-level grouped count."""
+    from clawrag_ray.stages.relational import histogram_fixed_bins
+
+    return histogram_fixed_bins(
+        _read(sf_dir, "events", ["event_type", "value"]), ["event_type"], "value", 0.0, 100.0, 20
+    )
+
+
+def _q_top_event_per_user(sf_dir: str):
+    """Per-user most frequent event type (smallest type wins ties) —
+    grouped mode over one DISTINCT-(user, type)-sized shuffle."""
+    from clawrag_ray.stages.relational import grouped_mode
+
+    return grouped_mode(_read(sf_dir, "events", ["user_id", "event_type"]), ["user_id"], "event_type")
+
+
+def _q_event_value_zscores(sf_dir: str):
+    """Per-type value standardization z = (v - mean)/stddev_pop: one
+    two-level moments aggregate broadcasts per-key (mean, std); the
+    normalization is a pure per-batch kernel. Oracle replays the same
+    sum-of-squares formula so both sides round identically."""
+    from clawrag_ray.stages.relational import grouped_zscore
+
+    return grouped_zscore(
+        _read(sf_dir, "events", ["event_id", "event_type", "value"]),
+        ["event_type"],
+        "value",
+        id_cols=["event_id"],
+    )
+
+
 def _q_doc_cube(sf_dir: str):
     """GROUP BY CUBE(lang, source) over documents — every subset level
     ((lang,source), (lang), (source), ()) of char-volume + doc counts,
@@ -1298,6 +1331,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens": _q_top_tokens,
         "incremental_ingest": _q_incremental_ingest,
         "doc_cube": _q_doc_cube,
+        "value_histogram": _q_value_histogram,
+        "top_event_per_user": _q_top_event_per_user,
+        "event_value_zscores": _q_event_value_zscores,
         "substring_dedup": _q_substring_dedup,
         "doc_global_rank": _q_doc_global_rank,
         "lang_token_divergence": _q_lang_token_divergence,
@@ -1792,6 +1828,24 @@ def oracle_sql() -> dict[str, str]:
         "doc_cube": (
             "SELECT lang, source, sum(n_chars)::BIGINT AS total_chars, count(*) AS n_docs "
             "FROM documents GROUP BY CUBE(lang, source)"
+        ),
+        "value_histogram": (
+            "SELECT event_type, least(greatest(floor((value - 0.0) / 5.0)::BIGINT, 0), 19) AS bin, "
+            "count(*) AS n FROM events GROUP BY 1, 2"
+        ),
+        "top_event_per_user": (
+            "SELECT user_id, event_type, n FROM (SELECT user_id, event_type, count(*) AS n, "
+            "row_number() OVER (PARTITION BY user_id ORDER BY count(*) DESC, event_type) AS r "
+            "FROM events GROUP BY 1, 2) WHERE r = 1"
+        ),
+        # same sum-of-squares formula as the operator so rounding agrees
+        "event_value_zscores": (
+            "WITH m AS (SELECT event_type, sum(value) AS s, sum(value * value) AS s2, "
+            "count(*)::DOUBLE AS c FROM events GROUP BY 1), "
+            "st AS (SELECT event_type, s / c AS mu, sqrt(greatest(s2 / c - (s / c) * (s / c), 0)) AS sd FROM m) "
+            "SELECT e.event_id, e.event_type, "
+            "round(CASE WHEN st.sd > 0 THEN (e.value - st.mu) / st.sd ELSE 0.0 END, 4) AS z "
+            "FROM events e JOIN st USING (event_type)"
         ),
         "doc_global_rank": (
             "SELECT doc_id, row_number() OVER (ORDER BY n_chars, doc_id)::BIGINT AS rnk FROM documents"

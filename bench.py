@@ -77,6 +77,7 @@ TIMED_QUERIES = [
     "substring_dedup",
     "doc_global_rank",
     "lang_token_divergence",
+    "event_value_zscores",
     "simhash_near_dups",
     "bm25_topk",
     "rrf_hybrid",

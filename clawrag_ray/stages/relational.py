@@ -1095,6 +1095,108 @@ def grouped_lag(
     return hash_partitioned_groups(ds, list(keys), per_part, num_partitions=num_partitions)
 
 
+def histogram_fixed_bins(
+    ds: Dataset,
+    keys: list[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int,
+    count_alias: str = "n",
+) -> Dataset:
+    """Equi-width histogram per key over EXPLICIT bounds [lo, hi) — the
+    distribution-profile aggregate. Explicit bounds keep the operator one
+    map-only bin-assign + the standard two-level grouped count (a
+    data-derived range would cost an extra min/max pass); values outside
+    clamp into the edge bins so totals reconcile. Empty bins are absent
+    (sparse output), matching the SQL GROUP BY."""
+    width = (hi - lo) / n_bins
+
+    def assign(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        v = b[value_col].to_numpy(zero_copy_only=False)
+        bins = np.clip(((v - lo) / width).astype(np.int64), 0, n_bins - 1)
+        return b.append_column("bin", pa.array(bins, pa.int64())).drop_columns([value_col])
+
+    binned = ds.select_columns(list(keys) + [value_col]).map_batches(
+        assign, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return pre_aggregate(binned, list(keys) + ["bin"], [], count_alias=count_alias)
+
+
+def grouped_mode(
+    ds: Dataset,
+    keys: list[str],
+    value_col: str,
+    count_alias: str = "n",
+) -> Dataset:
+    """Most frequent value per key (deterministic: smallest value wins
+    ties) — two-level grouped counts over (key, value), then a
+    hash-partitioned argmax per key. The shuffle carries one row per
+    DISTINCT (key, value), never per input row."""
+    counts = pre_aggregate(ds.select_columns(list(keys) + [value_col]), list(keys) + [value_col], [], count_alias=count_alias)
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(list(keys) + [count_alias, value_col], ascending=[True] * len(keys) + [False, True], kind="mergesort")
+        return g.groupby(list(keys), sort=False, as_index=False).head(1)[list(keys) + [value_col, count_alias]]
+
+    return hash_partitioned_groups(counts, list(keys), per_part)
+
+
+def grouped_zscore(
+    ds: Dataset,
+    keys: list[str],
+    value_col: str,
+    id_cols: list[str],
+    out_col: str = "z",
+    ndigits: int = 4,
+) -> Dataset:
+    """Per-key standardization z = (v - mean) / stddev_pop — the feature
+    normalization map. Two passes, both map-shaped: a two-level grouped
+    (sum, sum-of-squares, count) aggregate produces the per-key moments
+    (key-cardinality-sized), which broadcast once; the normalization is
+    then a pure per-batch kernel. Keys with zero variance emit z = 0."""
+    import numpy as np
+    import ray
+
+    if len(keys) != 1:
+        raise ValueError("grouped_zscore broadcasts moments by a single key column")
+
+    def sq(b: pa.Table) -> pa.Table:
+        v = b[value_col].to_numpy(zero_copy_only=False)
+        return b.append_column("__v2", pa.array(v * v, pa.float64()))
+
+    moments = (
+        pre_aggregate(
+            ds.select_columns(list(keys) + [value_col]).map_batches(sq, batch_format="pyarrow", zero_copy_batch=True),
+            list(keys),
+            [value_col, "__v2"],
+        )
+        .to_pandas()
+        .set_index(list(keys) if len(keys) > 1 else keys[0])
+    )
+    mean = moments[f"sum_{value_col}"] / moments["n"]
+    var = (moments["sum___v2"] / moments["n"] - mean * mean).clip(lower=0.0)
+    stats_ref = ray.put((mean, np.sqrt(var)))
+
+    class Normalize:
+        def __init__(self):
+            self.mean, self.std = ray.get(stats_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            kv = b[keys[0]].to_numpy(zero_copy_only=False)
+            mu = self.mean.reindex(kv).to_numpy()
+            sd = self.std.reindex(kv).to_numpy()
+            v = b[value_col].to_numpy(zero_copy_only=False)
+            with np.errstate(invalid="ignore"):
+                z = np.where(sd > 0, (v - mu) / sd, 0.0)
+            out = b.select(list(id_cols) + list(keys))
+            return out.append_column(out_col, pa.array(np.round(z, ndigits), pa.float64()))
+
+    return ds.map_batches(Normalize, batch_format="pyarrow", concurrency=(1, 8), zero_copy_batch=True)
+
+
 def grouped_rolling_sum(
     ds: Dataset,
     keys: list[str],

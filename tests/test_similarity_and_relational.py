@@ -761,6 +761,52 @@ class TestGroupedLag:
         assert pd.isna(got["nxt"].tolist()[2]) and pd.isna(got["nxt"].tolist()[3])
 
 
+class TestStatOps:
+    def test_histogram_clamps_and_counts(self):
+        from clawrag_ray.stages.relational import histogram_fixed_bins
+
+        df = pd.DataFrame({"k": ["a"] * 5 + ["b"] * 2, "v": [-1.0, 0.0, 4.9, 5.0, 99.0, 100.0, 42.0]})
+        got = (
+            histogram_fixed_bins(ray.data.from_pandas(df).repartition(3), ["k"], "v", 0.0, 100.0, 20)
+            .to_pandas()
+            .sort_values(["k", "bin"])
+        )
+        m = {(r.k, r.bin): r.n for r in got.itertuples()}
+        # -1 clamps to bin 0, 5.0 opens bin 1, 100 clamps into bin 19
+        assert m == {("a", 0): 3, ("a", 1): 1, ("a", 19): 1, ("b", 19): 1, ("b", 8): 1}
+
+    def test_grouped_mode_deterministic_ties(self):
+        from clawrag_ray.stages.relational import grouped_mode
+
+        df = pd.DataFrame({"k": [1, 1, 1, 1, 2], "v": ["b", "a", "a", "b", "z"]})
+        got = grouped_mode(ray.data.from_pandas(df).repartition(2), ["k"], "v").to_pandas()
+        m = {r.k: (r.v, r.n) for r in got.itertuples()}
+        assert m == {1: ("a", 2), 2: ("z", 1)}  # tie 2-2 -> smallest value
+
+    def test_zscore_matches_numpy(self):
+        from clawrag_ray.stages.relational import grouped_zscore
+
+        rng = np.random.RandomState(3)
+        df = pd.DataFrame(
+            {"i": range(200), "k": rng.choice(["x", "y"], 200), "v": rng.standard_normal(200) * 5 + 3}
+        )
+        got = (
+            grouped_zscore(ray.data.from_pandas(df).repartition(4), ["k"], "v", id_cols=["i"])
+            .to_pandas()
+            .sort_values("i")
+            .reset_index(drop=True)
+        )
+        want = df.copy()
+        mu = want.groupby("k")["v"].transform("mean")
+        sd = want.groupby("k")["v"].transform(lambda s: s.std(ddof=0))
+        want_z = ((want["v"] - mu) / sd).round(4)
+        assert np.allclose(got["z"], want_z, atol=2e-4)
+        # constant group -> z = 0
+        const = pd.DataFrame({"i": [0, 1], "k": ["c", "c"], "v": [7.0, 7.0]})
+        gz = grouped_zscore(ray.data.from_pandas(const), ["k"], "v", id_cols=["i"]).to_pandas()
+        assert (gz["z"] == 0.0).all()
+
+
 class TestGroupedRollingSum:
     def test_matches_pandas_rolling(self):
         from clawrag_ray.stages.relational import grouped_rolling_sum
