@@ -798,6 +798,32 @@ def _q_substring_dedup(sf_dir: str):
     return exact_substring_dedup(_read(sf_dir, "documents", ["doc_id", "text"]), window=64)
 
 
+def _q_doc_expectations(sf_dir: str):
+    """Data-contract gate over the documents table: not_null / unique /
+    bounds / whitelist rules evaluated in one shared map-only partial
+    pass (+ a distinct-value-sized shuffle for uniqueness), reported as
+    (col, rule, n_violations, passed)."""
+    from clawrag_ray.stages.expectations import validate_expectations
+
+    return validate_expectations(
+        _read(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"]),
+        {
+            "doc_id": {"not_null": True, "unique": True, "min": 0},
+            "n_chars": {"min": 1, "max": 1_000_000},
+            "lang": {"allowed": ["de", "en", "es", "fr", "zh"]},
+            "text": {"not_null": True},
+        },
+    )
+
+
+def _q_retention_cohorts(sf_dir: str):
+    """Retention matrix: cohort users by first-event epoch-week, count
+    distinct active users per (cohort_week, week_offset) cell."""
+    from clawrag_ray.stages.relational import retention_cohorts
+
+    return retention_cohorts(_read(sf_dir, "events", ["user_id", "ts"]))
+
+
 def _q_value_histogram(sf_dir: str):
     """Equi-width value histogram per event type over explicit [0, 100)
     bounds, 20 bins — map-only bin assign + two-level grouped count."""
@@ -1332,6 +1358,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_ingest": _q_incremental_ingest,
         "doc_cube": _q_doc_cube,
         "value_histogram": _q_value_histogram,
+        "retention_cohorts": _q_retention_cohorts,
+        "doc_expectations": _q_doc_expectations,
         "top_event_per_user": _q_top_event_per_user,
         "event_value_zscores": _q_event_value_zscores,
         "substring_dedup": _q_substring_dedup,
@@ -1828,6 +1856,24 @@ def oracle_sql() -> dict[str, str]:
         "doc_cube": (
             "SELECT lang, source, sum(n_chars)::BIGINT AS total_chars, count(*) AS n_docs "
             "FROM documents GROUP BY CUBE(lang, source)"
+        ),
+        "doc_expectations": (
+            "SELECT * FROM ("
+            "SELECT 'doc_id' AS col, 'min' AS rule, count(*) FILTER (WHERE doc_id < 0)::BIGINT AS n_violations FROM documents "
+            "UNION ALL SELECT 'doc_id', 'not_null', count(*) FILTER (WHERE doc_id IS NULL)::BIGINT FROM documents "
+            "UNION ALL SELECT 'doc_id', 'unique', (count(doc_id) - count(DISTINCT doc_id))::BIGINT FROM documents "
+            "UNION ALL SELECT 'lang', 'allowed', count(*) FILTER (WHERE lang NOT IN ('de','en','es','fr','zh'))::BIGINT FROM documents "
+            "UNION ALL SELECT 'n_chars', 'max', count(*) FILTER (WHERE n_chars > 1000000)::BIGINT FROM documents "
+            "UNION ALL SELECT 'n_chars', 'min', count(*) FILTER (WHERE n_chars < 1)::BIGINT FROM documents "
+            "UNION ALL SELECT 'text', 'not_null', count(*) FILTER (WHERE text IS NULL)::BIGINT FROM documents"
+            ") t(col, rule, n_violations), LATERAL (SELECT n_violations = 0 AS passed)"
+        ),
+        "retention_cohorts": (
+            "WITH w AS (SELECT user_id, epoch_us(ts) // 604800000000 AS week FROM events), "
+            "f AS (SELECT user_id, min(week) AS cohort_week FROM w GROUP BY 1) "
+            "SELECT f.cohort_week, w.week - f.cohort_week AS week_offset, "
+            "count(DISTINCT w.user_id) AS n_distinct_user_id "
+            "FROM w JOIN f USING (user_id) GROUP BY 1, 2"
         ),
         "value_histogram": (
             "SELECT event_type, least(greatest(floor((value - 0.0) / 5.0)::BIGINT, 0), 19) AS bin, "

@@ -1264,6 +1264,69 @@ def funnel_conversion(
     return hash_partitioned_groups(pruned, [user_col], per_part, num_partitions=num_partitions)
 
 
+_WEEK_US = 7 * 86_400 * 1_000_000
+
+
+def retention_cohorts(
+    ds: Dataset,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    num_partitions: int = 64,
+) -> Dataset:
+    """Retention cohort matrix: users cohort by the epoch-week of their
+    FIRST event; each (cohort_week, week_offset) cell counts the distinct
+    users active that many weeks later — the activation/retention report.
+    Epoch-week integers (us // week) keep both sides calendar-free.
+
+    Shape: per-user first-event week is a two-level grouped min
+    (user-cardinality-sized); it joins back to the stream through the
+    distributed keyed join (one shuffle, nothing driver-side), and the
+    cell counts run as the exact pair-collapse distinct_count — the
+    shuffle after the join carries one row per distinct
+    (cohort, offset, user), never per event."""
+    from ray.data.aggregate import Min as AggMin
+
+    from clawrag_ray.stages.dedup import _keyed_join
+
+    def to_week(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        w = b[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False) // _WEEK_US
+        return pa.table({user_col: b[user_col], "week": pa.array(w, pa.int64())})
+
+    weeks = ds.select_columns([user_col, ts_col]).map_batches(
+        to_week, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def partial_min(b: pa.Table) -> pa.Table:
+        g = b.group_by(user_col).aggregate([("week", "min")])
+        return g.rename_columns([user_col, "pmin"])
+
+    firsts = (
+        weeks.map_batches(partial_min, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        .groupby(user_col)
+        .aggregate(AggMin("pmin", alias_name="cohort_week"))
+        .map_batches(
+            lambda b: pa.table({"__u": b[user_col], "cohort_week": pc.cast(b["cohort_week"], pa.int64())}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+    joined = _keyed_join(weeks, user_col, firsts, "__u", ["cohort_week"], num_partitions=num_partitions)
+
+    def offsets(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cohort_week": b["cohort_week"],
+                "week_offset": pc.subtract(b["week"], b["cohort_week"]),
+                user_col: b[user_col],
+            }
+        )
+
+    cells = joined.map_batches(offsets, batch_format="pyarrow", zero_copy_batch=True)
+    return distinct_count(cells, ["cohort_week", "week_offset"], user_col)
+
+
 def grouped_rank(
     ds: Dataset,
     keys: list[str],

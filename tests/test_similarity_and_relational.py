@@ -978,3 +978,61 @@ class TestRollupAggregate:
         assert by_b["n"].tolist() == [3, 2]
         grand = got[got["a"].isna() & got["b"].isna()]
         assert grand["total"].item() == 31.0 and grand["n"].item() == 5
+
+
+class TestRetentionCohorts:
+    def test_known_matrix(self):
+        from clawrag_ray.stages.relational import retention_cohorts
+
+        week = 7 * 86_400 * 1_000_000
+        rows = []
+        # u1 first in week 0, active weeks 0,1,3; u2 first week 1, active 1; u3 first week 0, active 0,1
+        for u, wks in ((1, [0, 1, 3]), (2, [1]), (3, [0, 1])):
+            for w in wks:
+                rows.append({"user_id": u, "ts": w * week + u * 1000})
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "user_id": [r["user_id"] for r in rows],
+                    "ts": pa.array([r["ts"] for r in rows], pa.timestamp("us")),
+                }
+            )
+        ).repartition(3)
+        got = retention_cohorts(ds).to_pandas()
+        m = {(r.cohort_week, r.week_offset): r.n_distinct_user_id for r in got.itertuples()}
+        assert m == {(0, 0): 2, (0, 1): 2, (0, 3): 1, (1, 0): 1}
+
+
+class TestValidateExpectations:
+    def test_planted_violations(self):
+        from clawrag_ray.stages.expectations import validate_expectations
+
+        tbl = pa.table(
+            {
+                "id": pa.array([1, 2, 2, 4, None], pa.int64()),
+                "v": pa.array([5, -1, 300, 10, 20], pa.int64()),
+                "tag": pa.array(["a", "b", "weird", "a", "b"]),
+            }
+        )
+        ds = ray.data.from_arrow(tbl).repartition(2)
+        got = validate_expectations(
+            ds,
+            {
+                "id": {"not_null": True, "unique": True},
+                "v": {"min": 0, "max": 100},
+                "tag": {"allowed": ["a", "b"]},
+            },
+        ).to_pandas()
+        m = {(r.col, r.rule): (r.n_violations, r.passed) for r in got.itertuples()}
+        assert m[("id", "not_null")] == (1, False)
+        assert m[("id", "unique")] == (1, False)  # one duplicated row beyond the first
+        assert m[("v", "min")] == (1, False)
+        assert m[("v", "max")] == (1, False)
+        assert m[("tag", "allowed")] == (1, False)
+
+    def test_all_pass(self):
+        from clawrag_ray.stages.expectations import validate_expectations
+
+        ds = ray.data.from_pandas(pd.DataFrame({"id": [1, 2, 3]}))
+        got = validate_expectations(ds, {"id": {"not_null": True, "unique": True, "min": 0}}).to_pandas()
+        assert got["passed"].all() and (got["n_violations"] == 0).all()
