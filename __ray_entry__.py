@@ -816,6 +816,32 @@ def _q_doc_expectations(sf_dir: str):
     )
 
 
+def _q_audio_resample(sf_dir: str):
+    """Byte-real WAV resample: real RIFF decode, nearest-neighbor frame
+    decimation by 2, re-encode at half the sample rate; the oracle
+    predicts the surviving samples from the generator formulas (payload
+    byte-validity is pinned by pytest re-parsing instead)."""
+    from clawrag_ray.functions.mediafixtures import encode_wav
+    from clawrag_ray.stages.multimodal import audio_resample_pipeline
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        ids, payloads = [], []
+        for doc_id, n_chars in zip(batch["doc_id"].to_pylist(), batch["n_chars"].to_pylist()):
+            sr = 8000 + 1000 * (doc_id % 5)
+            ch = 1 + doc_id % 2
+            frames = 32 + n_chars % 64
+            payloads.append(encode_wav(sr, ch, frames, lambda i, d=doc_id: ((d * 31 + i * 7) % 256 - 128) * 256))
+            ids.append(str(doc_id))
+        return pa.table({"media_id": pa.array(ids, pa.string()), "payload": pa.array(payloads, pa.binary())})
+
+    media = _read(sf_dir, "documents", ["doc_id", "n_chars"]).map_batches(
+        to_media, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return audio_resample_pipeline(media, factor=2).select_columns(
+        ["media_id", "sample_rate", "channels", "n_frames", "sum_sq"]
+    )
+
+
 def _q_retention_cohorts(sf_dir: str):
     """Retention matrix: cohort users by first-event epoch-week, count
     distinct active users per (cohort_week, week_offset) cell."""
@@ -1360,6 +1386,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_histogram": _q_value_histogram,
         "retention_cohorts": _q_retention_cohorts,
         "doc_expectations": _q_doc_expectations,
+        "audio_resample": _q_audio_resample,
         "top_event_per_user": _q_top_event_per_user,
         "event_value_zscores": _q_event_value_zscores,
         "substring_dedup": _q_substring_dedup,
@@ -1856,6 +1883,18 @@ def oracle_sql() -> dict[str, str]:
         "doc_cube": (
             "SELECT lang, source, sum(n_chars)::BIGINT AS total_chars, count(*) AS n_docs "
             "FROM documents GROUP BY CUBE(lang, source)"
+        ),
+        # the oracle predicts the decimated PCM from the generator
+        # formulas: frame j survives iff j % 2 == 0
+        "audio_resample": (
+            "WITH p AS (SELECT doc_id, 8000 + 1000 * (doc_id % 5) AS sr, 1 + doc_id % 2 AS ch, "
+            "32 + n_chars % 64 AS frames FROM documents), "
+            "v AS (SELECT doc_id, (((doc_id * 31 + (i - 1) * 7) % 256) - 128) * 256 AS s "
+            "FROM p, unnest(generate_series(1, frames * ch)) AS t(i) WHERE ((i - 1) // ch) % 2 = 0), "
+            "agg AS (SELECT doc_id, sum(s * s)::BIGINT AS sum_sq FROM v GROUP BY doc_id) "
+            "SELECT CAST(p.doc_id AS VARCHAR) AS media_id, (p.sr // 2)::INTEGER AS sample_rate, "
+            "p.ch::INTEGER AS channels, ((p.frames + 1) // 2)::BIGINT AS n_frames, agg.sum_sq "
+            "FROM p JOIN agg USING (doc_id)"
         ),
         "doc_expectations": (
             "SELECT * FROM ("

@@ -62,20 +62,26 @@ def global_prefix_sum(
     value_col: str,
     num_buckets: int = 64,
     num_partitions: int = 64,
+    boundaries: str = "range",
+    sample_limit: int = 65536,
 ) -> Dataset:
     """Add ``cum_before`` = exclusive prefix sum of ``value_col`` in global
     ``order_col`` order, distributed as a two-phase scan:
 
-    1. bucket rows by ``order_col`` range (min/max from a tiny aggregate);
+    1. bucket rows by ``order_col`` (see below);
     2. per-bucket totals (num_buckets rows) come to the driver, which
        computes the exclusive prefix over buckets in order;
     3. offsets broadcast back; one hash-partitioned pass computes each
        bucket's internal ordered cumsum plus its offset.
 
-    Equal-width range buckets assume ids are roughly uniform over
-    [min, max] (true for dense ids); for skewed id spaces swap step 1's
-    boundaries for sampled quantiles — steps 2-3 are unchanged. One
-    bucket's rows must fit a task (same contract as
+    ``boundaries="range"`` uses equal-width buckets over [min, max] —
+    right for roughly uniform ids (dense corpus ids). For skewed key
+    spaces ``boundaries="sampled"`` derives the cut points from the
+    quantiles of a bounded sample instead (the Ray sort-boundary recipe),
+    which balances bucket sizes without touching steps 2-3 — the RESULT
+    is identical either way (bucketing only partitions; the cumsum math
+    never depends on boundary placement), only the per-task row balance
+    changes. One bucket's rows must fit a task (same contract as
     hash_partitioned_groups)."""
     from clawrag_ray.stages.relational import hash_partitioned_groups
     from ray.data.aggregate import Max, Min, Sum
@@ -87,11 +93,25 @@ def global_prefix_sum(
             lambda b: b.append_column("cum_before", pa.array([], pa.int64())),
             batch_format="pyarrow",
         )
-    width = max(1, (int(hi) - int(lo) + num_buckets) // num_buckets)
 
-    def bucket_of(b: pa.Table) -> pa.Table:
-        v = b[order_col].to_numpy()
-        return b.append_column("__bucket", pa.array((v - lo) // width, pa.int64()))
+    if boundaries == "sampled":
+        sample = ds.select_columns([order_col]).limit(sample_limit).to_pandas()[order_col].to_numpy()
+        qs = np.quantile(sample, np.linspace(0, 1, num_buckets + 1)[1:-1])
+        cuts = np.unique(qs)  # interior cut points, sorted
+
+        def bucket_of(b: pa.Table) -> pa.Table:
+            v = b[order_col].to_numpy()
+            return b.append_column("__bucket", pa.array(np.searchsorted(cuts, v, side="right"), pa.int64()))
+
+    elif boundaries == "range":
+        width = max(1, (int(hi) - int(lo) + num_buckets) // num_buckets)
+
+        def bucket_of(b: pa.Table) -> pa.Table:
+            v = b[order_col].to_numpy()
+            return b.append_column("__bucket", pa.array((v - lo) // width, pa.int64()))
+
+    else:
+        raise ValueError(f"unknown boundaries mode: {boundaries}")
 
     bucketed = ds.map_batches(bucket_of, batch_format="pyarrow", zero_copy_batch=True)
     totals = (

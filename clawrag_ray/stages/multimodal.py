@@ -300,6 +300,79 @@ class AudioMetadata:
         )
 
 
+class AudioResample:
+    """Actor-pool stage: REAL WAV decode -> integer-factor frame
+    decimation (nearest-neighbor resample, the audio analog of the PNG
+    NN resize) -> byte-real re-encode at sample_rate // factor. Emits
+    the resampled RIFF/WAVE payload plus the verifiable features
+    (n_frames, sum_sq of the kept samples); malformed/non-16-bit
+    payloads emit -1 error rows (the AudioMetadata convention)."""
+
+    def __init__(self, factor: int = 2):
+        if factor < 1:
+            raise ValueError("factor must be >= 1")
+        self.factor = factor
+
+    @staticmethod
+    def _encode(sample_rate: int, channels: int, pcm: np.ndarray) -> bytes:
+        data = pcm.astype("<i2").tobytes()
+        fmt = struct.pack("<HHIIHH", 1, channels, sample_rate, sample_rate * channels * 2, channels * 2, 16)
+        riff_len = 4 + (8 + len(fmt)) + (8 + len(data))
+        return (
+            b"RIFF" + struct.pack("<I", riff_len) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = {k: [] for k in ("sample_rate", "channels", "n_frames", "sum_sq", "payload")}
+        for payload in batch["payload"].to_pylist():
+            try:
+                m = parse_wav_metadata(payload or b"")
+                if m["bits"] != 16:
+                    raise ValueError("only 16-bit PCM resample supported")
+                ch = max(1, m["channels"])
+                pcm = np.frombuffer(m["pcm"], dtype="<i2")
+                frames = len(pcm) // ch
+                kept = pcm[: frames * ch].reshape(frames, ch)[:: self.factor]
+                flat = kept.reshape(-1)
+                new_sr = max(1, m["sample_rate"] // self.factor)
+                out["sample_rate"].append(new_sr)
+                out["channels"].append(ch)
+                out["n_frames"].append(len(kept))
+                out["sum_sq"].append(int((flat.astype(np.int64) ** 2).sum()))
+                out["payload"].append(self._encode(new_sr, ch, flat))
+            except ValueError:
+                out["sample_rate"].append(-1)
+                out["channels"].append(-1)
+                out["n_frames"].append(-1)
+                out["sum_sq"].append(-1)
+                out["payload"].append(b"")
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "sample_rate": pa.array(out["sample_rate"], pa.int32()),
+                "channels": pa.array(out["channels"], pa.int32()),
+                "n_frames": pa.array(out["n_frames"], pa.int64()),
+                "sum_sq": pa.array(out["sum_sq"], pa.int64()),
+                "payload": pa.array(out["payload"], pa.binary()),
+            }
+        )
+
+
+def audio_resample_pipeline(ds: Dataset, factor: int = 2, concurrency=(1, 4), batch_size: int = 16) -> Dataset:
+    """Byte-real audio resample over a binary media column: small batches
+    (wide binary rows), actor pool sized by ``concurrency``."""
+    return ds.map_batches(
+        AudioResample,
+        fn_constructor_kwargs={"factor": factor},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        zero_copy_batch=True,
+    )
+
+
 def image_metadata_pipeline(ds: Dataset, concurrency=(1, 4), batch_size: int = 16) -> Dataset:
     """Real metadata extraction over a binary media column (S10 de-stubbed):
     small batches for wide binary rows, task/actor pool per ``concurrency``."""

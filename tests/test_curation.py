@@ -33,6 +33,23 @@ class TestPrefixSumAndPacking:
         got = global_prefix_sum(ds, "id", "v", num_buckets=4).to_pandas().sort_values("id")
         assert got["cum_before"].tolist() == [0, 3, 7, 12, 18]
 
+    def test_sampled_boundaries_match_range_on_skewed_ids(self):
+        # 95% of ids clustered in [0, 100), the rest flung to 10^9: range
+        # bucketing piles everything into bucket 0; sampled quantiles
+        # balance it — and the RESULT must be identical either way
+        rng = np.random.RandomState(31)
+        ids = np.unique(
+            np.concatenate([rng.randint(0, 100, 190), rng.randint(1_000_000_000, 2_000_000_000, 10)])
+        )
+        vals = (ids % 11 + 1).astype("int64")
+        df = pd.DataFrame({"id": ids, "v": vals})
+        want = df.sort_values("id")
+        want = dict(zip(want["id"], np.cumsum(want["v"]) - want["v"]))
+        for mode in ("range", "sampled"):
+            ds = ray.data.from_pandas(df.sample(frac=1, random_state=1)).repartition(4)
+            got = global_prefix_sum(ds, "id", "v", num_buckets=8, boundaries=mode).to_pandas()
+            assert dict(zip(got["id"], got["cum_before"])) == want
+
     def test_pack_sequences_bins(self):
         # budget 10: docs of 4,4,4 tokens -> third doc straddles bins 0/1
         ds = ray.data.from_pandas(pd.DataFrame({"id": [1, 2, 3, 4], "n": [4, 4, 4, 0]}))

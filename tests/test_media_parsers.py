@@ -305,3 +305,38 @@ class TestMp4TruncationContract:
         payload = b"\x00\x00\x00\x0cftypisom" + moov
         with _pytest.raises(ValueError):
             parse_mp4_metadata(payload)
+
+
+class TestAudioResample:
+    def test_roundtrip_reparses_and_decimates(self):
+        import numpy as np
+
+        from clawrag_ray.functions.mediafixtures import encode_wav
+        from clawrag_ray.stages.multimodal import AudioResample, parse_wav_metadata
+
+        sr, ch, frames = 8000, 2, 33
+        wav = encode_wav(sr, ch, frames, lambda i: (i * 7) % 200 - 100)
+        import pyarrow as pa
+
+        batch = pa.table({"media_id": ["m1"], "payload": pa.array([wav], pa.binary())})
+        out = AudioResample(factor=2)(batch)
+        assert out["sample_rate"][0].as_py() == 4000
+        assert out["n_frames"][0].as_py() == 17  # ceil(33/2)
+        # the emitted payload is a valid RIFF/WAVE whose PCM is exactly
+        # every other frame of the original
+        m = parse_wav_metadata(out["payload"][0].as_py())
+        assert m["sample_rate"] == 4000 and m["channels"] == 2 and m["n_frames"] == 17
+        orig = np.frombuffer(parse_wav_metadata(wav)["pcm"], "<i2").reshape(frames, ch)
+        new = np.frombuffer(m["pcm"], "<i2").reshape(17, ch)
+        assert (new == orig[::2]).all()
+        assert out["sum_sq"][0].as_py() == int((orig[::2].astype(np.int64) ** 2).sum())
+
+    def test_malformed_payload_error_row(self):
+        import pyarrow as pa
+
+        from clawrag_ray.stages.multimodal import AudioResample
+
+        batch = pa.table({"media_id": ["bad"], "payload": pa.array([b"not a wav"], pa.binary())})
+        out = AudioResample()(batch)
+        assert out["sample_rate"][0].as_py() == -1
+        assert out["payload"][0].as_py() == b""
