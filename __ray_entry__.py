@@ -816,6 +816,28 @@ def _q_doc_expectations(sf_dir: str):
     )
 
 
+def _q_customers_no_urgent_order(sf_dir: str):
+    """Distributed LEFT ANTI join (NOT EXISTS): customers who never
+    placed a 1-URGENT order. The right side filters map-side before the
+    join and contributes only per-batch-deduplicated key rows; both
+    sides shuffle once by key."""
+    import pyarrow.compute as pc
+
+    from clawrag_ray.stages.relational import anti_join
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    def urgent(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b["o_orderpriority"], "1-URGENT")).select(["o_custkey"])
+
+    return anti_join(
+        _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]),
+        "c_custkey",
+        orders.map_batches(urgent, batch_format="pyarrow", zero_copy_batch=True),
+        "o_custkey",
+    )
+
+
 def _q_audio_resample(sf_dir: str):
     """Byte-real WAV resample: real RIFF decode, nearest-neighbor frame
     decimation by 2, re-encode at half the sample rate; the oracle
@@ -1387,6 +1409,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention_cohorts": _q_retention_cohorts,
         "doc_expectations": _q_doc_expectations,
         "audio_resample": _q_audio_resample,
+        "customers_no_urgent_order": _q_customers_no_urgent_order,
         "top_event_per_user": _q_top_event_per_user,
         "event_value_zscores": _q_event_value_zscores,
         "substring_dedup": _q_substring_dedup,
@@ -1883,6 +1906,10 @@ def oracle_sql() -> dict[str, str]:
         "doc_cube": (
             "SELECT lang, source, sum(n_chars)::BIGINT AS total_chars, count(*) AS n_docs "
             "FROM documents GROUP BY CUBE(lang, source)"
+        ),
+        "customers_no_urgent_order": (
+            "SELECT c_custkey, c_nationkey FROM customer c WHERE NOT EXISTS "
+            "(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')"
         ),
         # the oracle predicts the decimated PCM from the generator
         # formulas: frame j survives iff j % 2 == 0

@@ -355,6 +355,69 @@ def hash_join(
     )
 
 
+def semi_join(
+    left: Dataset, on: str, right: Dataset, right_on: str | None = None, num_partitions: int = 64
+) -> Dataset:
+    """Distributed LEFT SEMI join: left rows whose key appears in
+    ``right`` — the EXISTS filter. See anti_join for the shape."""
+    return _semi_anti(left, on, right, right_on or on, anti=False, num_partitions=num_partitions)
+
+
+def anti_join(
+    left: Dataset, on: str, right: Dataset, right_on: str | None = None, num_partitions: int = 64
+) -> Dataset:
+    """Distributed LEFT ANTI join: left rows whose key does NOT appear in
+    ``right`` — the NOT EXISTS filter (orphan detection, "never
+    converted" cohorts). Both sides shuffle ONCE by key through the
+    union + hash-partitioned-pass shape (no Dataset.join fixed setup,
+    no driver state): right contributes only per-batch-deduplicated key
+    rows, so its shuffle volume is distinct-keys-per-block, not rows.
+    For a bounded right side prefer the broadcast ID-set filter; for a
+    huge seen-side by CONTENT prefer dedup.bloom_anti_join."""
+    return _semi_anti(left, on, right, right_on or on, anti=True, num_partitions=num_partitions)
+
+
+def _semi_anti(
+    left: Dataset, on: str, right: Dataset, right_on: str, anti: bool, num_partitions: int
+) -> Dataset:
+    import numpy as np
+
+    left_schema = _as_arrow_schema(left.schema())
+    cols = left_schema.names
+
+    def tag_left(b: pa.Table) -> pa.Table:
+        return b.append_column("__side", pa.array(np.zeros(b.num_rows, dtype=np.int8)))
+
+    def right_keys(b: pa.Table) -> pa.Table:
+        col = b[right_on]
+        keys = (col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col).unique()
+        out = {}
+        for name in cols:
+            out[name] = keys if name == on else pa.nulls(len(keys), left_schema.field(name).type)
+        out["__side"] = pa.array(np.ones(len(keys), dtype=np.int8))
+        return pa.table(out)
+
+    unioned = left.map_batches(tag_left, batch_format="pyarrow", zero_copy_batch=True).union(
+        right.select_columns([right_on]).map_batches(right_keys, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    # Arrow-mode partition pass: the null-padded union would otherwise
+    # float-ify int columns through a pandas round-trip
+    def per_part(g: pa.Table) -> pa.Table:
+        keys = g.filter(pc.equal(g["__side"], 1))[on]
+        present = (keys.combine_chunks() if isinstance(keys, pa.ChunkedArray) else keys).unique()
+        lhs = g.filter(pc.equal(g["__side"], 0))
+        mask = pc.is_in(lhs[on], value_set=present)
+        return lhs.filter(pc.invert(mask) if anti else mask).select(cols)
+
+    out = hash_partitioned_groups(unioned, [on], per_part, num_partitions=num_partitions, batch_format="pyarrow")
+    # an all-empty result would otherwise lose its schema (Ray drops empty
+    # map_groups blocks); one typed zero-row block pins it
+    import ray.data as rd
+
+    return out.union(rd.from_arrow(left_schema.empty_table()))
+
+
 def asof_join(
     left: Dataset,
     right: Dataset,

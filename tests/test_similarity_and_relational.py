@@ -1036,3 +1036,40 @@ class TestValidateExpectations:
         ds = ray.data.from_pandas(pd.DataFrame({"id": [1, 2, 3]}))
         got = validate_expectations(ds, {"id": {"not_null": True, "unique": True, "min": 0}}).to_pandas()
         assert got["passed"].all() and (got["n_violations"] == 0).all()
+
+
+class TestSemiAntiJoin:
+    def _sides(self):
+        left = ray.data.from_arrow(
+            pa.table({"k": [1, 2, 3, 4, 4], "v": ["a", "b", "c", "d", "e"]})
+        ).repartition(3)
+        right = ray.data.from_arrow(pa.table({"rk": [2, 4, 4, 9]})).repartition(2)
+        return left, right
+
+    def test_semi_keeps_matching(self):
+        from clawrag_ray.stages.relational import semi_join
+
+        left, right = self._sides()
+        got = semi_join(left, "k", right, "rk").to_pandas().sort_values(["k", "v"])
+        assert list(zip(got["k"], got["v"])) == [(2, "b"), (4, "d"), (4, "e")]
+        assert got["k"].dtype == "int64"  # no null-padding float-ification
+
+    def test_anti_keeps_nonmatching(self):
+        from clawrag_ray.stages.relational import anti_join
+
+        left, right = self._sides()
+        got = anti_join(left, "k", right, "rk").to_pandas().sort_values("k")
+        assert list(zip(got["k"], got["v"])) == [(1, "a"), (3, "c")]
+
+    def test_empty_results_keep_schema(self):
+        # Dataset.to_pandas() drops zero-row blocks in Ray 2.49, so the
+        # schema contract is asserted on the Dataset itself
+        from clawrag_ray.stages.relational import anti_join, semi_join
+
+        left, right = self._sides()
+        all_match = ray.data.from_arrow(pa.table({"rk": [1, 2, 3, 4]}))
+        got = anti_join(left, "k", all_match, "rk")
+        assert got.count() == 0 and got.schema().names == ["k", "v"]
+        none_match = ray.data.from_arrow(pa.table({"rk": [99]}))
+        got2 = semi_join(left, "k", none_match, "rk")
+        assert got2.count() == 0 and got2.schema().names == ["k", "v"]
