@@ -816,6 +816,15 @@ def _q_doc_expectations(sf_dir: str):
     )
 
 
+def _q_inverted_index(sf_dir: str):
+    """Posting-list build over the BM25 tokenizer: (token, df, sorted
+    comma-joined doc_id postings) via one tokenize pass + one
+    hash-partitioned assembly pass."""
+    from clawrag_ray.stages.bm25 import inverted_index
+
+    return inverted_index(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def _q_customers_no_urgent_order(sf_dir: str):
     """Distributed LEFT ANTI join (NOT EXISTS): customers who never
     placed a 1-URGENT order. The right side filters map-side before the
@@ -1410,6 +1419,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_expectations": _q_doc_expectations,
         "audio_resample": _q_audio_resample,
         "customers_no_urgent_order": _q_customers_no_urgent_order,
+        "inverted_index": _q_inverted_index,
         "top_event_per_user": _q_top_event_per_user,
         "event_value_zscores": _q_event_value_zscores,
         "substring_dedup": _q_substring_dedup,
@@ -2207,6 +2217,11 @@ def oracle_sql() -> dict[str, str]:
             "greatest(1, (((dms * ts) // 1000) * 1000 // ts) // 1000)::INTEGER AS n_frames FROM p"
         ),
         "bm25_idf": _BM25_PRESENCE_CTE + " SELECT token, df, idf FROM idf",
+        "inverted_index": (
+            _BM25_PRESENCE_CTE
+            + " SELECT t AS token, count(*)::BIGINT AS df, "
+            "string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings FROM pres GROUP BY t"
+        ),
         "media_resize": (
             f"WITH p AS (SELECT doc_id, 8 + doc_id % 16 AS w, 8 + n_chars % 16 AS h FROM documents), "
             f"px AS (SELECT doc_id, ((doc_id + ((y - 1) * h // {RESIZE_H}) * 31 + ((x - 1) * w // {RESIZE_W}) * 7) % 256) AS v "

@@ -265,3 +265,36 @@ def bm25_score_reference(corpus: list[str], query: str, k1: float = BM25_K1, b: 
                 s += idf.get(qt, 0.0) * f * (k1 + 1) / (f + k1 * (1 - b + b * dl / avgdl))
         scores.append(s)
     return scores
+
+
+def inverted_index(ds: Dataset, id_col: str = "doc_id", text_col: str = "text", num_partitions: int = 64) -> Dataset:
+    """Posting-list build (the K2 index surface as a dataflow): one
+    tokenizer pass emits per-doc distinct token rows; ONE hash-partition
+    pass by token assembles each term's sorted posting list plus its
+    document frequency — the shuffle carries one row per distinct
+    (doc, token), and each partition builds MANY whole posting lists
+    vectorized. Postings serialize as a comma-joined doc_id string (the
+    oracle-comparable wire format; a list<int64> column is the binary
+    variant). At web scale cap or tier ubiquitous terms' lists — they
+    are stopwords, not retrieval signal."""
+    from clawrag_ray.stages.relational import hash_partitioned_groups
+
+    rows = bm25_token_rows(ds, id_col, text_col)
+
+    def drop_dl(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return b.filter(pc.not_equal(b["token"], "")).select(["token", id_col])
+
+    tok = rows.map_batches(drop_dl, batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["token", id_col], kind="mergesort")
+        grp = g.groupby("token", sort=False)
+        out = grp[id_col].agg(lambda s: ",".join(s.astype(str)))
+        df = grp.size()
+        return pd.DataFrame(
+            {"token": out.index, "df": df.to_numpy().astype("int64"), "postings": out.to_numpy()}
+        )
+
+    return hash_partitioned_groups(tok, ["token"], per_part, num_partitions=num_partitions)

@@ -94,3 +94,24 @@ class TestTopK:
         # docs 0 and 1 both contain '230'; doc 0 also matches '§230'
         assert got["doc_id"].iloc[0] == 0
         assert set(got["doc_id"]) == {0, 1}
+
+
+class TestInvertedIndex:
+    def test_postings_sorted_and_complete(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from clawrag_ray.stages.bm25 import inverted_index
+
+        docs = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": [3, 1, 2],
+                    "text": ["alpha beta", "beta gamma beta", "alpha"],
+                }
+            )
+        ).repartition(3)
+        got = inverted_index(docs).to_pandas().set_index("token")
+        assert got.loc["alpha", "postings"] == "2,3" and got.loc["alpha", "df"] == 2
+        assert got.loc["beta", "postings"] == "1,3"  # tf>1 still one posting
+        assert got.loc["gamma", "postings"] == "1" and got.loc["gamma", "df"] == 1
