@@ -816,6 +816,34 @@ def _q_doc_expectations(sf_dir: str):
     )
 
 
+def _q_doc_pagerank(sf_dir: str):
+    """PageRank (3 power iterations, d=0.85) over a deterministic
+    synthetic link graph (each doc links to two formula hubs) — the
+    iterative node-state pattern: every round is one distributed keyed
+    join + one grouped sum; the rank table never lands on the driver."""
+    import pyarrow.compute as pc
+
+    from clawrag_ray.stages.graph import pagerank
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def edges(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        d1 = pa.array((ids * 7 + 13) % 97, pa.int64())
+        d2 = pa.array((ids * 3 + 5) % 31, pa.int64())
+        src = pa.array(ids, pa.int64())
+        return pa.concat_tables([pa.table({"src": src, "dst": d1}), pa.table({"src": src, "dst": d2})])
+
+    e = docs.map_batches(edges, batch_format="pyarrow", zero_copy_batch=True)
+    # ranks on this graph are exact multiples of 1/160000 (deg is the
+    # constant 2, 0.85 = 17/20): 8-decimal rounding is the identity on
+    # the true value lattice, so float sum-order noise (~1e-13) can
+    # never flip a digit — 6 decimals would sit ON .5 boundaries
+    return pagerank(e, n_iters=3, damping=0.85, ndigits=8)
+
+
 def _q_inverted_index(sf_dir: str):
     """Posting-list build over the BM25 tokenizer: (token, df, sorted
     comma-joined doc_id postings) via one tokenize pass + one
@@ -1420,6 +1448,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_resample": _q_audio_resample,
         "customers_no_urgent_order": _q_customers_no_urgent_order,
         "inverted_index": _q_inverted_index,
+        "doc_pagerank": _q_doc_pagerank,
         "top_event_per_user": _q_top_event_per_user,
         "event_value_zscores": _q_event_value_zscores,
         "substring_dedup": _q_substring_dedup,
@@ -1916,6 +1945,25 @@ def oracle_sql() -> dict[str, str]:
         "doc_cube": (
             "SELECT lang, source, sum(n_chars)::BIGINT AS total_chars, count(*) AS n_docs "
             "FROM documents GROUP BY CUBE(lang, source)"
+        ),
+        # three unrolled power-iteration CTEs replay the operator's exact
+        # update rule r = 0.15 + 0.85 * sum(r_src/deg_src)
+        "doc_pagerank": (
+            "WITH e AS (SELECT doc_id AS src, (doc_id * 7 + 13) % 97 AS dst FROM documents "
+            "UNION ALL SELECT doc_id, (doc_id * 3 + 5) % 31 FROM documents), "
+            "n AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)), "
+            "d AS (SELECT src, count(*)::DOUBLE AS deg FROM e GROUP BY 1), "
+            "r0 AS (SELECT node, 1.0 AS rank FROM n), "
+            "r1 AS (SELECT n.node, 0.15 + 0.85 * coalesce(s.c, 0) AS rank FROM n LEFT JOIN "
+            "(SELECT e.dst AS node, sum(r0.rank / d.deg) AS c FROM e JOIN r0 ON r0.node = e.src "
+            "JOIN d USING (src) GROUP BY e.dst) s USING (node)), "
+            "r2 AS (SELECT n.node, 0.15 + 0.85 * coalesce(s.c, 0) AS rank FROM n LEFT JOIN "
+            "(SELECT e.dst AS node, sum(r1.rank / d.deg) AS c FROM e JOIN r1 ON r1.node = e.src "
+            "JOIN d USING (src) GROUP BY e.dst) s USING (node)), "
+            "r3 AS (SELECT n.node, 0.15 + 0.85 * coalesce(s.c, 0) AS rank FROM n LEFT JOIN "
+            "(SELECT e.dst AS node, sum(r2.rank / d.deg) AS c FROM e JOIN r2 ON r2.node = e.src "
+            "JOIN d USING (src) GROUP BY e.dst) s USING (node)) "
+            "SELECT node, round(rank, 8) AS rank FROM r3"
         ),
         "customers_no_urgent_order": (
             "SELECT c_custkey, c_nationkey FROM customer c WHERE NOT EXISTS "

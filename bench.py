@@ -78,6 +78,8 @@ TIMED_QUERIES = [
     "doc_global_rank",
     "lang_token_divergence",
     "event_value_zscores",
+    "doc_pagerank",
+    "retention_cohorts",
     "simhash_near_dups",
     "bm25_topk",
     "rrf_hybrid",

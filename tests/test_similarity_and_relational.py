@@ -1073,3 +1073,33 @@ class TestSemiAntiJoin:
         none_match = ray.data.from_arrow(pa.table({"rk": [99]}))
         got2 = semi_join(left, "k", none_match, "rk")
         assert got2.count() == 0 and got2.schema().names == ["k", "v"]
+
+
+class TestPageRank:
+    def _edges(self):
+        # 1 -> 2, 1 -> 3, 2 -> 3, 4 -> 3 (3 is a sink, 4 has no in-edges)
+        return ray.data.from_arrow(
+            pa.table({"src": [1, 1, 2, 4], "dst": [2, 3, 3, 3]})
+        ).repartition(2)
+
+    def test_one_iteration_hand_check(self):
+        from clawrag_ray.stages.graph import pagerank
+
+        got = pagerank(self._edges(), n_iters=1, damping=0.85).to_pandas().set_index("node")["rank"]
+        # r0 = 1 everywhere; deg: 1->2, 2->1, 4->1
+        assert got[4] == 0.15
+        assert got[1] == 0.15
+        assert got[2] == round(0.15 + 0.85 * 0.5, 6)
+        assert got[3] == round(0.15 + 0.85 * (0.5 + 1.0 + 1.0), 6)
+
+    def test_broadcast_equals_distributed(self):
+        from clawrag_ray.stages.graph import pagerank
+
+        b = pagerank(self._edges(), n_iters=3).to_pandas().sort_values("node").reset_index(drop=True)
+        d = (
+            pagerank(self._edges(), n_iters=3, state="distributed")
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(b, d)
