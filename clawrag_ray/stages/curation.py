@@ -95,7 +95,28 @@ def global_prefix_sum(
         )
 
     if boundaries == "sampled":
-        sample = ds.select_columns([order_col]).limit(sample_limit).to_pandas()[order_col].to_numpy()
+        # per-block evenly-spaced sample, NOT limit(): limit reads the
+        # first blocks in execution order, and when order_col correlates
+        # with block order (monotone ids — the case that needs sampling)
+        # every cut would land in the low range, funneling the corpus
+        # into one bucket. Each block contributes <= per_block rows, so
+        # the collected sample is ~per_block x n_blocks (at extreme block
+        # counts, sample the sample again).
+        per_block = max(8, sample_limit // 256)
+
+        def block_sample(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            if n == 0:
+                return b.select([order_col])
+            idx = np.unique(np.linspace(0, n - 1, min(per_block, n)).astype(np.int64))
+            return b.select([order_col]).take(pa.array(idx))
+
+        sample = (
+            ds.select_columns([order_col])
+            .map_batches(block_sample, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+            .to_pandas()[order_col]
+            .to_numpy()
+        )
         qs = np.quantile(sample, np.linspace(0, 1, num_buckets + 1)[1:-1])
         cuts = np.unique(qs)  # interior cut points, sorted
 

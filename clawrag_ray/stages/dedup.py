@@ -87,13 +87,24 @@ def dedup_versions(
     return hash_partitioned_groups(hashed, ["text_sha256"], per_part, num_partitions=num_partitions)
 
 
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public-domain constants) — a full
+    64-bit avalanche, used to derive an independent second hash."""
+    x = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+    x = ((x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)).astype(np.uint64)
+    x = ((x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)).astype(np.uint64)
+    return x ^ (x >> np.uint64(31))
+
+
 def _bloom_positions(keys: np.ndarray, n_bits: int, n_hashes: int) -> np.ndarray:
-    """(len(keys), n_hashes) bit positions via double hashing h1 + i*h2 —
-    two independent 64-bit hashes per key (pd.util.hash_array with distinct
-    16-byte hash keys), the standard Kirsch-Mitzenmacher construction.
-    Fully vectorized; no per-row Python."""
+    """(len(keys), n_hashes) bit positions via double hashing h1 + i*h2
+    (Kirsch-Mitzenmacher). h2 derives from h1 through a splitmix64
+    avalanche rather than a second hash_array call: pd.util.hash_array
+    IGNORES hash_key for numeric dtypes, so two keyed calls return the
+    SAME hash for int columns — the mixer gives every dtype a decorrelated
+    second hash. Fully vectorized; no per-row Python."""
     h1 = pd.util.hash_array(keys, hash_key="clawrag_bloom_k1")
-    h2 = pd.util.hash_array(keys, hash_key="clawrag_bloom_k2") | np.uint64(1)
+    h2 = _splitmix64(h1) | np.uint64(1)
     i = np.arange(n_hashes, dtype=np.uint64)
     return ((h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(n_bits)).astype(np.int64)
 

@@ -83,8 +83,11 @@ def validate_expectations(ds: Dataset, rules: dict[str, dict]) -> Dataset:
             lambda b: b.filter(pc.greater(b["c"], 0)), batch_format="pyarrow", zero_copy_batch=True
         ).materialize()
         row = counts.aggregate(Sum("c", alias_name="total"))
-        # distinct = rows of the count table; total - distinct = dup rows
-        n_dups = int(row["total"]) - counts.count()
+        # distinct = rows of the count table; total - distinct = dup rows.
+        # Sum over an empty table is None (all-null column / empty input):
+        # zero non-null values means zero duplicates, not a crash.
+        total = row["total"] if row and row.get("total") is not None else 0
+        n_dups = max(0, int(total) - counts.count())
         frames.append(
             pd.DataFrame({"col": [col], "rule": ["unique"], "n_violations": pd.array([n_dups], dtype="int64")})
         )

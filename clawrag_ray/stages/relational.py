@@ -69,6 +69,15 @@ def hash_partitioned_groups(
         h = np.zeros(b.num_rows, dtype=np.uint64)
         for i, k in enumerate(keys):
             col = b[k].combine_chunks() if isinstance(b[k], pa.ChunkedArray) else b[k]
+            # dtype-STABLE hash: an integer batch containing nulls would
+            # convert to float64/NaN while a null-free batch stays int64,
+            # and pd.util.hash_array(1) != hash_array(1.0) — the same key
+            # would land in different partitions depending on which batch
+            # it rode in. Filling nulls (integer sentinel 0) keeps the
+            # dtype int64 in every batch; nulls merely co-locate with key
+            # 0 — partition placement only, group identity untouched.
+            if pa.types.is_integer(col.type) and col.null_count:
+                col = col.fill_null(0)
             arr = col.to_numpy(zero_copy_only=False)
             h = h * np.uint64(0x9E3779B97F4A7C15) + pd.util.hash_array(arr)
         return b.append_column("__part", pa.array((h % np.uint64(num_partitions)).astype(np.int64)))
@@ -390,7 +399,9 @@ def _semi_anti(
 
     def right_keys(b: pa.Table) -> pa.Table:
         col = b[right_on]
-        keys = (col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col).unique()
+        # a NULL key never matches in SQL EXISTS/NOT EXISTS — drop it from
+        # the membership set (pyarrow is_in would otherwise match nulls)
+        keys = (col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col).drop_null().unique()
         out = {}
         for name in cols:
             out[name] = keys if name == on else pa.nulls(len(keys), left_schema.field(name).type)
@@ -405,9 +416,11 @@ def _semi_anti(
     # float-ify int columns through a pandas round-trip
     def per_part(g: pa.Table) -> pa.Table:
         keys = g.filter(pc.equal(g["__side"], 1))[on]
-        present = (keys.combine_chunks() if isinstance(keys, pa.ChunkedArray) else keys).unique()
+        present = (keys.combine_chunks() if isinstance(keys, pa.ChunkedArray) else keys).drop_null().unique()
+        # NULL left keys: is_in yields null -> fill false, so semi drops
+        # them and anti keeps them, matching SQL null-equality semantics
         lhs = g.filter(pc.equal(g["__side"], 0))
-        mask = pc.is_in(lhs[on], value_set=present)
+        mask = pc.fill_null(pc.is_in(lhs[on], value_set=present), False)
         return lhs.filter(pc.invert(mask) if anti else mask).select(cols)
 
     out = hash_partitioned_groups(unioned, [on], per_part, num_partitions=num_partitions, batch_format="pyarrow")
@@ -1178,6 +1191,10 @@ def histogram_fixed_bins(
     def assign(b: pa.Table) -> pa.Table:
         import numpy as np
 
+        # null values carry no bin (SQL-aggregate convention shared with
+        # the expectations gate) — a NaN->int64 cast would land them in
+        # bin 0 silently
+        b = b.filter(pc.is_valid(b[value_col]))
         v = b[value_col].to_numpy(zero_copy_only=False)
         bins = np.clip(((v - lo) / width).astype(np.int64), 0, n_bins - 1)
         return b.append_column("bin", pa.array(bins, pa.int64())).drop_columns([value_col])
@@ -1469,23 +1486,32 @@ def heavy_hitters(
 
     sentinel = ""
 
+    sentinel_trunc = "\x00truncated"
+
     def block_top(b: pa.Table) -> pa.Table:
         col = b[key_col]
         col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
         vc = pc.value_counts(col)
         vals, cnts = vc.field("values"), vc.field("counts").to_numpy(zero_copy_only=False)
-        if len(vals) > capacity:
+        truncated = len(vals) > capacity
+        if truncated:
             keep = np.argpartition(cnts, -capacity)[-capacity:]
             vals, cnts = vals.take(pa.array(keep)), cnts[keep]
         out = pa.table({key_col: vals, "p_cnt": pa.array(cnts, pa.int64())})
-        total = pa.table({key_col: pa.array([sentinel]), "p_cnt": pa.array([b.num_rows], pa.int64())})
-        return pa.concat_tables([out, total])
+        marks = pa.table(
+            {
+                key_col: pa.array([sentinel] + ([sentinel_trunc] if truncated else [])),
+                "p_cnt": pa.array([b.num_rows] + ([1] if truncated else []), pa.int64()),
+            }
+        )
+        return pa.concat_tables([out, marks])
 
     partials = ds.map_batches(block_top, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
     # candidate-sized: distinct survivors + per-block sentinel totals
     agg = pre_aggregate(partials, [key_col], ["p_cnt"]).to_pandas()
     n_total = int(agg.loc[agg[key_col] == sentinel, "sum_p_cnt"].sum())
-    cand = agg.loc[agg[key_col] != sentinel, key_col]
+    n_truncated = int(agg.loc[agg[key_col] == sentinel_trunc, "sum_p_cnt"].sum())
+    cand = agg.loc[~agg[key_col].isin([sentinel, sentinel_trunc]), key_col]
     cand_ref = ray.put(pa.array(cand.to_numpy(dtype=object), type=pa.string()))
 
     def recount_filter(b: pa.Table) -> pa.Table:
@@ -1503,7 +1529,13 @@ def heavy_hitters(
         .head(k)
         .reset_index(drop=True)
     )
-    certified = len(top) >= k and int(top[count_alias].iloc[k - 1]) * capacity > n_total
+    # exact when (a) NO block ever truncated — candidates are then the
+    # complete vocabulary, so the recount IS the full frequency table
+    # (covers vocabularies smaller than k) — or (b) the k-th count clears
+    # the pigeonhole threshold
+    certified = n_truncated == 0 or (
+        len(top) >= k and int(top[count_alias].iloc[k - 1]) * capacity > n_total
+    )
     if strict and not certified:
         raise ValueError(
             f"heavy_hitters certificate failed: k-th count "
@@ -1579,7 +1611,10 @@ def grouping_sets_aggregate(
         if s == list(keys):
             g = fin.copy()
         elif s:
-            g = fin.groupby(s, sort=False)[[total_alias, count_alias]].sum().reset_index()
+            # dropna=False: genuinely-NULL input keys stay grouping values
+            # at every level (SQL CUBE keeps them; dropping would make
+            # sub-level sums disagree with the grand total)
+            g = fin.groupby(s, sort=False, dropna=False)[[total_alias, count_alias]].sum().reset_index()
         else:
             g = fin[[total_alias, count_alias]].sum().to_frame().T
             g[count_alias] = g[count_alias].astype("int64")

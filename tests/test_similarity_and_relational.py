@@ -1103,3 +1103,77 @@ class TestPageRank:
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(b, d)
+
+
+class TestReviewRegressions:
+    def test_heavy_hitters_small_vocab_is_exact_not_error(self):
+        from clawrag_ray.stages.relational import heavy_hitters
+
+        # 10 distinct keys, k=20: no block ever truncates, so the complete
+        # frequency table is provably exact and must NOT raise
+        df = pd.DataFrame({"token": [f"t{i % 10}" for i in range(300)]})
+        got = heavy_hitters(ray.data.from_pandas(df).repartition(3), "token", k=20).to_pandas()
+        assert len(got) == 10 and (got["n"] == 30).all()
+
+    def test_semi_anti_null_keys_sql_semantics(self):
+        from clawrag_ray.stages.relational import anti_join, semi_join
+
+        left = ray.data.from_arrow(
+            pa.table({"k": pa.array([1, None, 3], pa.int64()), "v": ["a", "b", "c"]})
+        )
+        right = ray.data.from_arrow(pa.table({"rk": pa.array([1, None], pa.int64())}))
+        semi = semi_join(left, "k", right, "rk").to_pandas()
+        anti = anti_join(left, "k", right, "rk").to_pandas()
+        # NULL never equals NULL: semi keeps only k=1, anti keeps NULL and 3
+        assert semi["v"].tolist() == ["a"]
+        assert sorted(anti["v"]) == ["b", "c"]
+
+    def test_expectations_unique_all_null(self):
+        from clawrag_ray.stages.expectations import validate_expectations
+
+        ds = ray.data.from_arrow(pa.table({"x": pa.array([None, None], pa.int64())}))
+        got = validate_expectations(ds, {"x": {"unique": True}}).to_pandas()
+        assert got["n_violations"].tolist() == [0] and got["passed"].all()
+
+    def test_histogram_excludes_nulls(self):
+        from clawrag_ray.stages.relational import histogram_fixed_bins
+
+        tbl = pa.table({"k": ["a"] * 4, "v": pa.array([1.0, None, 99.0, None], pa.float64())})
+        got = histogram_fixed_bins(ray.data.from_arrow(tbl), ["k"], "v", 0.0, 100.0, 10).to_pandas()
+        assert got["n"].sum() == 2  # the two nulls carry no bin
+
+    def test_cube_keeps_null_key_groups(self):
+        from clawrag_ray.stages.relational import cube_aggregate
+
+        df = pd.DataFrame({"a": ["x", None, None], "b": ["p", "p", "q"], "v": [1.0, 2.0, 4.0]})
+        got = cube_aggregate(ray.data.from_pandas(df), ["a", "b"], "v").to_pandas()
+        # by-a level must keep the NULL-a group so level sums equal the total
+        by_a = got[got["b"].isna()]
+        grand = by_a[by_a["a"].isna()]["total"]
+        # rows: (x, None)=1, (None, None) appears twice — as the NULL-a
+        # group (6.0) and as the grand total (7.0)
+        assert sorted(by_a["total"]) == [1.0, 6.0, 7.0]
+        assert 7.0 in set(grand)
+
+    def test_bloom_anti_join_int_keys(self):
+        from clawrag_ray.stages.dedup import _splitmix64, bloom_anti_join
+
+        new = ray.data.from_arrow(pa.table({"id": list(range(100, 140)), "key": list(range(0, 40))}))
+        seen = ray.data.from_arrow(pa.table({"key": list(range(0, 25))}))
+        got = bloom_anti_join(new.repartition(3), seen.repartition(2), "key").to_pandas()
+        assert sorted(got["key"]) == list(range(25, 40))
+        # the second hash must decorrelate from h1 (hash_array ignores
+        # hash_key for ints — the mixer provides independence)
+        h1 = pd.util.hash_array(np.arange(64, dtype="int64"), hash_key="clawrag_bloom_k1")
+        assert not np.array_equal(_splitmix64(h1) | np.uint64(1), h1 | np.uint64(1))
+
+    def test_sampled_prefix_sum_monotone_block_layout(self):
+        from clawrag_ray.stages.curation import global_prefix_sum
+
+        # ids ascending across blocks — the layout that biased limit()
+        ids = np.arange(300)
+        vals = (ids % 7 + 1).astype("int64")
+        ds = ray.data.from_pandas(pd.DataFrame({"id": ids, "v": vals})).repartition(6)
+        got = global_prefix_sum(ds, "id", "v", num_buckets=8, boundaries="sampled").to_pandas()
+        want = np.cumsum(vals) - vals
+        assert got.sort_values("id")["cum_before"].tolist() == want.tolist()
