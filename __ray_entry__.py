@@ -406,6 +406,41 @@ def _q_decontaminate(sf_dir: str):
     return decontaminate(docs, deterministic_sample(docs, "doc_id", 41, 0), shingle_k=8)
 
 
+def _wrap_lines_fixture(df):
+    """Shared nav/promo/footer multi-line fixture for the line-level ops
+    (the flat synthetic docs carry no newlines): mirrored in SQL by
+    _LINE_FIXTURE_CTE — one generator, one CTE, so the engine and oracle
+    cannot drift per query."""
+    import pandas as pd
+
+    ids = df["doc_id"].to_numpy()
+    return pd.DataFrame(
+        {
+            "doc_id": ids,
+            "text": (
+                "nav home about contact\npromo banner "
+                + pd.Series(ids % 50).astype(str)
+                + "\n"
+                + df["text"].to_numpy()
+                + "\nfooter copyright "
+                + pd.Series(ids % 4).astype(str)
+            ),
+        }
+    )
+
+
+# SQL mirror of _wrap_lines_fixture plus the line explode (ends at CTE `l`
+# = (doc_id, idx, ln))
+_LINE_FIXTURE_CTE = (
+    "WITH fx AS (SELECT doc_id, 'nav home about contact' || chr(10) || "
+    "'promo banner ' || (doc_id % 50) || chr(10) || text || chr(10) || "
+    "'footer copyright ' || (doc_id % 4) AS text FROM documents), "
+    "p AS (SELECT doc_id, string_split(text, chr(10)) AS parts FROM fx), "
+    "l AS (SELECT doc_id, i::BIGINT AS idx, parts[i] AS ln FROM p, "
+    "unnest(generate_series(1, len(parts))) AS t(i)), "
+)
+
+
 def _q_boilerplate_removal(sf_dir: str):
     """CCNet/RefinedWeb line-level boilerplate removal over a
     deterministic multi-line fixture (the flat synthetic docs carry no
@@ -419,25 +454,7 @@ def _q_boilerplate_removal(sf_dir: str):
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
 
-    def wrap(df):
-        import pandas as pd
-
-        ids = df["doc_id"].to_numpy()
-        return pd.DataFrame(
-            {
-                "doc_id": ids,
-                "text": (
-                    "nav home about contact\npromo banner "
-                    + pd.Series(ids % 50).astype(str)
-                    + "\n"
-                    + df["text"].to_numpy()
-                    + "\nfooter copyright "
-                    + pd.Series(ids % 4).astype(str)
-                ),
-            }
-        )
-
-    fixture = docs.map_batches(wrap, batch_format="pandas")
+    fixture = docs.map_batches(_wrap_lines_fixture, batch_format="pandas")
     return remove_boilerplate_lines(fixture, min_docs=10)
 
 
@@ -453,25 +470,7 @@ def _q_paragraph_dedup(sf_dir: str):
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
 
-    def wrap(df):
-        import pandas as pd
-
-        ids = df["doc_id"].to_numpy()
-        return pd.DataFrame(
-            {
-                "doc_id": ids,
-                "text": (
-                    "nav home about contact\npromo banner "
-                    + pd.Series(ids % 50).astype(str)
-                    + "\n"
-                    + df["text"].to_numpy()
-                    + "\nfooter copyright "
-                    + pd.Series(ids % 4).astype(str)
-                ),
-            }
-        )
-
-    fixture = docs.map_batches(wrap, batch_format="pandas")
+    fixture = docs.map_batches(_wrap_lines_fixture, batch_format="pandas")
     return paragraph_dedup(fixture)
 
 
@@ -1813,12 +1812,7 @@ def oracle_sql() -> dict[str, str]:
         # same nav/promo/footer fixture generator as the query; a line is
         # removed iff it appears verbatim in >= 10 distinct docs
         "boilerplate_removal": (
-            "WITH fx AS (SELECT doc_id, 'nav home about contact' || chr(10) || "
-            "'promo banner ' || (doc_id % 50) || chr(10) || text || chr(10) || "
-            "'footer copyright ' || (doc_id % 4) AS text FROM documents), "
-            "p AS (SELECT doc_id, string_split(text, chr(10)) AS parts FROM fx), "
-            "l AS (SELECT doc_id, i::BIGINT AS idx, parts[i] AS ln FROM p, "
-            "unnest(generate_series(1, len(parts))) AS t(i)), "
+            _LINE_FIXTURE_CTE +
             "f AS (SELECT ln, count(DISTINCT doc_id) AS df FROM l GROUP BY 1), "
             "m AS (SELECT l.doc_id, l.idx, l.ln, f.df FROM l JOIN f USING (ln)), "
             "k AS (SELECT doc_id, coalesce(string_agg(ln, chr(10) ORDER BY idx), '') AS clean_text, "
@@ -1830,12 +1824,7 @@ def oracle_sql() -> dict[str, str]:
         # same wrap fixture + explode as boilerplate_removal; keep rule is
         # first occurrence in (doc_id, idx) order via a row_number window
         "paragraph_dedup": (
-            "WITH fx AS (SELECT doc_id, 'nav home about contact' || chr(10) || "
-            "'promo banner ' || (doc_id % 50) || chr(10) || text || chr(10) || "
-            "'footer copyright ' || (doc_id % 4) AS text FROM documents), "
-            "p AS (SELECT doc_id, string_split(text, chr(10)) AS parts FROM fx), "
-            "l AS (SELECT doc_id, i::BIGINT AS idx, parts[i] AS ln FROM p, "
-            "unnest(generate_series(1, len(parts))) AS t(i)), "
+            _LINE_FIXTURE_CTE +
             "m AS (SELECT doc_id, idx, ln, "
             "row_number() OVER (PARTITION BY ln ORDER BY doc_id, idx) AS rn FROM l), "
             "k AS (SELECT doc_id, coalesce(string_agg(ln, chr(10) ORDER BY idx), '') AS clean_text, "

@@ -32,6 +32,14 @@ def re2_tokens(text: str) -> list[str]:
 BPE_ISH_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
+def md5_prefix_int(v) -> int:
+    """Canonical deterministic-order hash: first 8 hex chars of
+    md5(str(v)) as an int — THE construct every sampling/split oracle
+    mirrors as ('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 8))::UBIGINT.
+    One definition so engine/oracle parity cannot drift per call site."""
+    return int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16)
+
+
 def sha256_hex(col: pa.ChunkedArray | pa.Array) -> pa.Array:
     """sha256 hexdigest per string row."""
     out = [

@@ -24,15 +24,13 @@ Scale notes
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 from ray.data import Dataset
 
-from clawrag_ray.functions.kernels import re2_tokens
+from clawrag_ray.functions.kernels import md5_prefix_int, re2_tokens
 
 # ---------------------------------------------------------------------------
 # token counting (whitespace tokens — SQL mirror: length(regexp_extract_all(text, '\S+')))
@@ -242,7 +240,7 @@ def quota_sample(
         # md5 is for cross-engine parity (DuckDB mirrors it exactly);
         # per-row hashing of the id column only — text never touched
         h = [
-            -int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16)
+            -md5_prefix_int(v)
             for v in b[id_col].to_pylist()
         ]
         return b.append_column("__neg_hash", pa.array(h, pa.int64()))
@@ -278,22 +276,35 @@ def temperature_sample(
     Counts are a tiny per-stratum aggregate; selection is one
     hash-partitioned group pass (strata hotter than one group task: give
     ``quota_sample`` semantics with salt, selection is split-invariant)."""
-    from ray.data.aggregate import Count
-
     from clawrag_ray.stages.relational import hash_partitioned_groups
 
-    counts = ds.groupby(stratum_cols).aggregate(Count()).to_pandas()  # strata-sized: tiny
+    # null-safe strata counts: Ray's sort-based groupby cannot order a
+    # NULL string key against real ones, so count per batch with Arrow
+    # (null keys group fine) and sum the strata-sized partials driver-side
+    def count_partial(b: pa.Table) -> pa.Table:
+        g = b.select(stratum_cols).group_by(stratum_cols).aggregate([([], "count_all")])
+        return g.rename_columns(list(stratum_cols) + ["pcnt"])
+
+    counts = (
+        ds.map_batches(count_partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        .to_pandas()
+        .groupby(stratum_cols, sort=False, dropna=False, as_index=False)["pcnt"]
+        .sum()
+        .rename(columns={"pcnt": "count()"})
+    )  # strata-sized: tiny
     n = counts["count()"].to_numpy().astype("float64")
     root = np.sqrt(n) if temperature == 2.0 else np.power(n, 1.0 / temperature)
     tgt = np.minimum(n.astype("int64"), np.floor(scale * root).astype("int64"))
+    # NaN -> None so the per-partition lookup below (pandas groupby with
+    # dropna=False yields NaN keys) finds NULL strata
     targets = {
-        tuple(row): int(t)
+        tuple(None if pd.isna(x) else x for x in row): int(t)
         for row, t in zip(counts[stratum_cols].itertuples(index=False), tgt)
     }
 
     def add_hash(b: pa.Table) -> pa.Table:
         h = [
-            int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16)
+            md5_prefix_int(v)
             for v in b[id_col].to_pylist()
         ]
         return b.append_column("__h", pa.array(h, pa.int64()))
@@ -302,8 +313,10 @@ def temperature_sample(
 
     def per_part(g: pd.DataFrame) -> pd.DataFrame:
         out = []
-        for key, grp in g.groupby(stratum_cols, sort=False):
+        # dropna=False: a NULL stratum is still a stratum with a target
+        for key, grp in g.groupby(stratum_cols, sort=False, dropna=False):
             k = key if isinstance(key, tuple) else (key,)
+            k = tuple(None if pd.isna(x) else x for x in k)
             t = targets.get(k, 0)
             grp = grp.sort_values(["__h", id_col], kind="mergesort")
             out.append(grp.iloc[:t])
@@ -334,7 +347,7 @@ def stratified_split(
     def assign(b: pa.Table) -> pa.Table:
         m = np.array(
             [
-                int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16) % 100
+                md5_prefix_int(v) % 100
                 for v in b[id_col].to_pylist()
             ],
             dtype="int64",
@@ -493,6 +506,9 @@ def _explode_lines(ds: Dataset, id_col: str, text_col: str) -> Dataset:
         col = b[text_col]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
+        # a NULL text must behave like '' (one empty line), not poison the
+        # repeat counts with a NaN->int64 cast
+        col = pc.fill_null(col, "")
         parts = pc.split_pattern(col, "\n")
         parent = pc.list_parent_indices(parts)
         n = pc.list_value_length(parts).to_numpy(zero_copy_only=False).astype(np.int64)
@@ -511,6 +527,26 @@ def _explode_lines(ds: Dataset, id_col: str, text_col: str) -> Dataset:
         )
 
     return ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _rebuild_docs(g: pd.DataFrame, keep_mask: "pd.Series", id_col: str) -> pd.DataFrame:
+    """Shared per-partition document rebuild for the line-level ops: sort
+    lines back into (id, idx) order, newline-join the kept ones per doc,
+    and account removed lines. One vectorized pass per PARTITION of whole
+    doc groups (the hash_partitioned_groups contract)."""
+    g = g.sort_values([id_col, "idx"], kind="stable")
+    kept = g[keep_mask.reindex(g.index)]
+    text_agg = kept.groupby(id_col, sort=False)["line"].agg("\n".join)
+    n_lines = g.groupby(id_col, sort=False).size()
+    n_kept = kept.groupby(id_col, sort=False).size().reindex(n_lines.index, fill_value=0)
+    return pd.DataFrame(
+        {
+            id_col: n_lines.index,
+            "clean_text": text_agg.reindex(n_lines.index, fill_value="").to_numpy(),
+            "n_lines": n_lines.to_numpy().astype("int64"),
+            "n_removed": (n_lines - n_kept).to_numpy().astype("int64"),
+        }
+    )
 
 
 def remove_boilerplate_lines(
@@ -580,19 +616,7 @@ def remove_boilerplate_lines(
     joined = _keyed_join(lines, "line", freq, "line_f", ["df"], num_partitions=num_partitions)
 
     def per_part(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([id_col, "idx"], kind="stable")
-        kept = g[g["df"] < min_docs]
-        text_agg = kept.groupby(id_col, sort=False)["line"].agg("\n".join)
-        n_lines = g.groupby(id_col, sort=False).size()
-        n_kept = kept.groupby(id_col, sort=False).size().reindex(n_lines.index, fill_value=0)
-        return pd.DataFrame(
-            {
-                id_col: n_lines.index,
-                "clean_text": text_agg.reindex(n_lines.index, fill_value="").to_numpy(),
-                "n_lines": n_lines.to_numpy().astype("int64"),
-                "n_removed": (n_lines - n_kept).to_numpy().astype("int64"),
-            }
-        )
+        return _rebuild_docs(g, g["df"] < min_docs, id_col)
 
     return hash_partitioned_groups(joined, [id_col], per_part, num_partitions=num_partitions)
 
@@ -663,19 +687,7 @@ def paragraph_dedup(
     joined = _keyed_join(lines, "line", first, "line_f", ["first_occ"], num_partitions=num_partitions)
 
     def per_part(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([id_col, "idx"], kind="stable")
-        kept = g[g["occ"] == g["first_occ"]]
-        text_agg = kept.groupby(id_col, sort=False)["line"].agg("\n".join)
-        n_lines = g.groupby(id_col, sort=False).size()
-        n_kept = kept.groupby(id_col, sort=False).size().reindex(n_lines.index, fill_value=0)
-        return pd.DataFrame(
-            {
-                id_col: n_lines.index,
-                "clean_text": text_agg.reindex(n_lines.index, fill_value="").to_numpy(),
-                "n_lines": n_lines.to_numpy().astype("int64"),
-                "n_removed": (n_lines - n_kept).to_numpy().astype("int64"),
-            }
-        )
+        return _rebuild_docs(g, g["occ"] == g["first_occ"], id_col)
 
     return hash_partitioned_groups(joined, [id_col], per_part, num_partitions=num_partitions)
 
@@ -885,6 +897,16 @@ def perplexity_filter(
     )
 
     tot = freq.aggregate(AggSum("cnt"), AggCount())
+    # an empty / all-whitespace corpus aggregates to None: return the
+    # empty typed result instead of dying in int(None)
+    if not tot or tot.get("sum(cnt)") is None:
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.schema(
+                [(id_col, pa.int64()), ("n_tokens", pa.int64()), ("entropy", pa.float64()), ("ppl_bucket", pa.string())]
+            ).empty_table()
+        )
     total, vocab = int(tot["sum(cnt)"]), int(tot["count()"])
 
     def to_logprob(b: pa.Table) -> pa.Table:

@@ -415,18 +415,7 @@ def _join_legs(legs: Dataset, table: Dataset, value_cols: list[str], num_partiti
     tbl_schema = _as_arrow_schema(table.schema())
     value_types = [tbl_schema.field(c).type for c in value_cols]
 
-    def zero_pad(n: int, typ: pa.DataType) -> pa.Array:
-        # typed ZERO sentinels, not nulls: a null in an int64 column turns
-        # the whole pandas column float64 inside the group pass, and >53-bit
-        # values (simhash) silently lose low bits in the float mantissa.
-        # Pad values are dropped at merge time, so the sentinel never leaks.
-        if pa.types.is_integer(typ):
-            return pa.array(np.zeros(n, dtype="int64"), typ)
-        if pa.types.is_floating(typ):
-            return pa.array(np.zeros(n), typ)
-        if pa.types.is_string(typ) or pa.types.is_large_string(typ):
-            return pa.array([""] * n, typ)
-        return pa.nulls(n, typ)
+    zero_pad = _zero_pad  # shared typed-sentinel padding (defined below)
 
     def pad_legs(b: pa.Table) -> pa.Table:
         t = b

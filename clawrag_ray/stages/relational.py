@@ -761,7 +761,7 @@ def grouped_quantiles_tdigest(
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         rows = []
-        for key_vals, g in b.groupby(keys, sort=False):
+        for key_vals, g in b.groupby(keys, sort=False, dropna=False):
             vals = g[value_col].to_numpy(dtype=float)
             m, w = _merge_centroids(vals, np.ones(len(vals)), compression)
             key_vals = key_vals if isinstance(key_vals, tuple) else (key_vals,)
@@ -772,7 +772,7 @@ def grouped_quantiles_tdigest(
 
     def merge_part(g: pd.DataFrame) -> pd.DataFrame:
         rows = []
-        for key_vals, kg in g.groupby(keys, sort=False):
+        for key_vals, kg in g.groupby(keys, sort=False, dropna=False):
             means = np.concatenate([np.asarray(m, dtype=float) for m in kg["means"]])
             weights = np.concatenate([np.asarray(w, dtype=float) for w in kg["weights"]])
             m, w = _merge_centroids(means, weights, compression)
@@ -866,7 +866,7 @@ def distinct_count_hll(
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         rows = []
-        for key_vals, g in b.groupby(keys, sort=False):
+        for key_vals, g in b.groupby(keys, sort=False, dropna=False):
             h = np.unique(pd.util.hash_array(g[value_col].to_numpy()))
             key_vals = key_vals if isinstance(key_vals, tuple) else (key_vals,)
             if len(h) <= sparse_limit:
@@ -879,7 +879,7 @@ def distinct_count_hll(
 
     def merge_part(g: pd.DataFrame) -> pd.DataFrame:
         rows = []
-        for key_vals, kg in g.groupby(keys, sort=False):
+        for key_vals, kg in g.groupby(keys, sort=False, dropna=False):
             sparse = [np.asarray(p, dtype=np.int64) for p, md in zip(kg["payload"], kg["mode"]) if md == 0]
             dense = [np.asarray(p, dtype=np.int64) for p, md in zip(kg["payload"], kg["mode"]) if md == 1]
             union = np.unique(np.concatenate(sparse)) if sparse else np.array([], dtype=np.int64)
@@ -1104,12 +1104,12 @@ def deterministic_sample(ds: Dataset, id_col: str, mod: int = 10, keep: int = 0)
     ``mod`` equals ``keep`` — reproducible across runs/cluster sizes and
     SQL-mirrorable (DuckDB: ('0x' || substr(md5(id), 1, 8))::UBIGINT),
     unlike random_sample. The standard train/validation carve at scale."""
-    import hashlib
+    from clawrag_ray.functions.kernels import md5_prefix_int
 
     def flt(b: pa.Table) -> pa.Table:
         vals = b[id_col].to_pylist()
         mask = pa.array(
-            [int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16) % mod == keep for v in vals],
+            [md5_prefix_int(v) % mod == keep for v in vals],
             pa.bool_(),
         )
         return b.filter(mask)

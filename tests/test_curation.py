@@ -582,3 +582,51 @@ class TestTokenKLDivergence:
             assert got.loc[lang, "n_tokens"] == ng
         # identical distributions diverge less than disjoint ones
         assert got.loc["de", "kl"] > 0
+
+
+class TestNullAndEmptyRegressions:
+    def test_line_ops_survive_null_text(self, ray_session):
+        from clawrag_ray.stages.curation import paragraph_dedup, remove_boilerplate_lines
+
+        docs = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([1, 2, 3], pa.int64()),
+                    "text": pa.array(["keep me\nshared line", None, "shared line\nother"], pa.string()),
+                }
+            )
+        )
+        pd_out = paragraph_dedup(docs).to_pandas().set_index("doc_id")
+        assert pd_out.loc[2, "clean_text"] == ""  # null behaves like ''
+        assert pd_out.loc[1, "clean_text"] == "keep me\nshared line"
+        rb = remove_boilerplate_lines(docs, min_docs=2).to_pandas().set_index("doc_id")
+        assert rb.loc[2, "n_lines"] == 1  # the single empty line
+
+    def test_temperature_sample_null_stratum(self, ray_session):
+        from clawrag_ray.stages.curation import temperature_sample
+
+        rows = [{"doc_id": i, "lang": "en"} for i in range(100)] + [
+            {"doc_id": 1000 + i, "lang": None} for i in range(16)
+        ]
+        tbl = pa.table(
+            {
+                "doc_id": pa.array([r["doc_id"] for r in rows], pa.int64()),
+                "lang": pa.array([r["lang"] for r in rows], pa.string()),
+            }
+        )
+        out = temperature_sample(
+            ray.data.from_arrow(tbl).repartition(4), ["lang"], temperature=2.0, scale=1.0
+        ).to_pandas()
+        # null stratum sampled to floor(sqrt(16)) = 4, not dropped
+        assert (out["lang"].isna()).sum() == 4
+        assert (out["lang"] == "en").sum() == 10
+
+    def test_perplexity_filter_empty_corpus(self, ray_session):
+        from clawrag_ray.stages.curation import perplexity_filter
+
+        docs = ray.data.from_arrow(
+            pa.table({"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())})
+        )
+        out = perplexity_filter(docs)
+        assert out.count() == 0
+        assert out.schema().names == ["doc_id", "n_tokens", "entropy", "ppl_bucket"]
