@@ -697,6 +697,30 @@ def _q_event_gaps(sf_dir: str):
     return lagged.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_events_window_dedup(sf_dir: str):
+    """Time-window event dedup (telemetry/at-least-once-delivery dedup):
+    drop an event when the SAME (user, type) fired within the preceding
+    5 minutes — the LAG-gap rule (prev null OR gap > W), composed from
+    grouped_lag + a null-propagating Arrow compare. One hash-partition
+    shuffle by (user, type)."""
+    import pyarrow.compute as pc
+
+    from clawrag_ray.stages.relational import grouped_lag
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+    lagged = grouped_lag(
+        ev, keys=["user_id", "event_type"], order_cols=["ts", "event_id"], value_col="ts", out_col="prev_ts"
+    )
+    window_us = 5 * 60 * 1_000_000
+
+    def keep(b: pa.Table) -> pa.Table:
+        gap = pc.subtract(pc.cast(b["ts"], pa.int64()), pc.cast(b["prev_ts"], pa.int64()))
+        mask = pc.fill_null(pc.greater(gap, window_us), True)  # first event: keep
+        return b.filter(mask).select(["event_id", "user_id", "event_type"])
+
+    return lagged.map_batches(keep, batch_format="pyarrow")
+
+
 def _q_top_tokens(sf_dir: str):
     """Corpus-wide top-20 most frequent tokens — the frequent-token table
     every tokenizer/vocab build starts from, via the EXACT two-pass
@@ -1439,6 +1463,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_rolling_spend3": _q_user_rolling_spend3,
         "signup_purchase_funnel": _q_signup_purchase_funnel,
         "top_tokens": _q_top_tokens,
+        "events_window_dedup": _q_events_window_dedup,
         "incremental_ingest": _q_incremental_ingest,
         "doc_cube": _q_doc_cube,
         "value_histogram": _q_value_histogram,
@@ -1918,6 +1943,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.user_id, a.ta, min(e.ts) AS tb FROM a LEFT JOIN events e "
             "ON e.user_id = a.user_id AND e.event_type = 'purchase' AND e.ts > a.ta "
             "GROUP BY a.user_id, a.ta"
+        ),
+        "events_window_dedup": (
+            "SELECT event_id, user_id, event_type FROM ("
+            "SELECT event_id, user_id, event_type, date_diff('microsecond', "
+            "lag(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id), ts) AS gap "
+            "FROM events) WHERE gap IS NULL OR gap > 300000000"
         ),
         # exact by the heavy-hitters certificate: k-th count > N/capacity
         # (checked by the operator itself, strict mode)
