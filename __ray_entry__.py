@@ -1077,6 +1077,16 @@ def _q_ann_ivf_pq(sf_dir: str):
     )
 
 
+def _q_label_centroids(sf_dir: str):
+    """Per-label mean embedding (class prototypes) as a long
+    (label, dim, mean) table: per-block vectorized (sum, count) partials,
+    label-sized reduce — the vector aggregate under prototype classifiers
+    and drift monitors."""
+    from clawrag_ray.stages.similarity import label_centroids
+
+    return label_centroids(_read(sf_dir, "embeddings", ["label", "embedding"]))
+
+
 def _q_simhash(sf_dir: str):
     from clawrag_ray.stages.dedup import simhash_table
 
@@ -1485,6 +1495,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
         "ann_ivf_pq_topk": _q_ann_ivf_pq,
+        "label_centroids": _q_label_centroids,
         "ngram_jaccard_near_dups": _q_ngram_jaccard,
         "embedding_near_dup": _q_embedding_near_dup,
         "simhash": _q_simhash,
@@ -1943,6 +1954,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a.user_id, a.ta, min(e.ts) AS tb FROM a LEFT JOIN events e "
             "ON e.user_id = a.user_id AND e.event_type = 'purchase' AND e.ts > a.ta "
             "GROUP BY a.user_id, a.ta"
+        ),
+        "label_centroids": (
+            "SELECT label, i::BIGINT AS dim, round(avg(embedding[i]::DOUBLE), 6) AS mean_val "
+            "FROM embeddings, unnest(generate_series(1, 64)) AS t(i) GROUP BY label, i"
         ),
         "events_window_dedup": (
             "SELECT event_id, user_id, event_type FROM ("

@@ -726,3 +726,52 @@ def semantic_dedup(
         return b.append_column("keep", pa.compute.equal(b[id_col], b["cluster_id"]))
 
     return labeled.map_batches(add_keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def label_centroids(ds: Dataset, label_col: str = "label", ndigits: int = 6) -> Dataset:
+    """Per-label mean embedding (class prototypes / cluster centers) as a
+    LONG (label, dim, mean) table — the vector aggregate under prototype
+    classifiers, centroid-seeded clustering, and drift monitors. Each
+    block folds its vectors into per-label (sum-vector, count) partials
+    (one numpy add.at pass — label-cardinality x d state per block), so
+    the shuffle carries partial centroids, never vectors. The division
+    happens once on the label-sized reduce."""
+    import ray.data as rd
+
+    def partial(b: pa.Table) -> pa.Table:
+        vm = _stack(b["embedding"]).astype(np.float64)
+        labels = b[label_col].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), vm.shape[1]))
+        np.add.at(sums, inv, vm)
+        counts = np.bincount(inv, minlength=len(uniq)).astype("int64")
+        return pa.table(
+            {
+                label_col: pa.array(uniq),
+                "psum": pa.array(list(sums), pa.list_(pa.float64())),
+                "pn": pa.array(counts, pa.int64()),
+            }
+        )
+
+    partials = ds.select_columns([label_col, "embedding"]).map_batches(
+        partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+    # label-sized: reduce driver-side (the rollup bounded-driver contract)
+    df = partials.to_pandas()
+    out_l, out_d, out_m = [], [], []
+    for lab, g in df.groupby(label_col, sort=True):
+        total = np.sum(np.stack([np.asarray(v) for v in g["psum"]]), axis=0)
+        n = int(g["pn"].sum())
+        mean = np.round(total / n, ndigits)
+        out_l.extend([lab] * len(mean))
+        out_d.extend(range(1, len(mean) + 1))
+        out_m.extend(mean.tolist())
+    return rd.from_pandas(
+        pd.DataFrame(
+            {
+                label_col: np.asarray(out_l),
+                "dim": pd.array(out_d, dtype="int64"),
+                "mean_val": out_m,
+            }
+        )
+    )

@@ -1177,3 +1177,24 @@ class TestReviewRegressions:
         got = global_prefix_sum(ds, "id", "v", num_buckets=8, boundaries="sampled").to_pandas()
         want = np.cumsum(vals) - vals
         assert got.sort_values("id")["cum_before"].tolist() == want.tolist()
+
+
+class TestLabelCentroids:
+    def test_matches_numpy_groupwise_mean(self):
+        from clawrag_ray.stages.similarity import label_centroids
+
+        rng = np.random.RandomState(6)
+        vecs = rng.standard_normal((120, 8))
+        labels = rng.randint(0, 4, 120)
+        rows = [
+            {"label": int(labels[i]), "embedding": vecs[i].astype(np.float32).tolist()}
+            for i in range(120)
+        ]
+        ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(5)
+        got = label_centroids(ds).to_pandas()
+        v32 = vecs.astype(np.float32).astype(np.float64)
+        for lab in range(4):
+            want = np.round(v32[labels == lab].mean(axis=0), 6)
+            g = got[got["label"] == lab].sort_values("dim")
+            assert np.allclose(g["mean_val"].to_numpy(), want, atol=1e-6)
+        assert got["dim"].min() == 1 and got["dim"].max() == 8
