@@ -80,6 +80,8 @@ TIMED_QUERIES = [
     "event_value_zscores",
     "doc_pagerank",
     "retention_cohorts",
+    "events_window_dedup",
+    "label_centroids",
     "simhash_near_dups",
     "bm25_topk",
     "rrf_hybrid",

@@ -269,3 +269,68 @@ def token_kl_divergence(ds: Dataset, group_col: str = "lang", text_col: str = "t
     return rd.from_pandas(
         pd.DataFrame({group_col: out_g, "n_tokens": pd.array(out_n, dtype="int64"), "kl": out_kl})
     )
+
+
+def bpe_train(
+    ds: Dataset,
+    n_merges: int = 50,
+    text_col: str = "text",
+    min_pair_freq: int = 2,
+) -> "pd.DataFrame":
+    """Train BPE merge rules over the corpus (the classic Sennrich et al.
+    2016 word-internal algorithm — the tokenizer-training step of a
+    pretraining pipeline). Returns the ordered merge table
+    (rank, left, right, freq).
+
+    Shape: the corpus compresses to its DISTINCT-WORD frequency table via
+    the standard two-level aggregate (the only corpus-proportional pass —
+    lowercase whitespace words, one shuffle of (word, partial_count)
+    rows); the merge loop then runs on that word table, which is
+    vocabulary-sized — exactly how production tokenizer trainers work
+    (count distributed, merge local). Determinism: ties on pair frequency
+    break lexicographically, so the merge sequence is a pure function of
+    the corpus bag-of-words."""
+    import numpy as np
+    import pandas as pd
+
+    from clawrag_ray.stages.relational import pre_aggregate
+
+    def words(b: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(pc.split_pattern_regex(pc.utf8_lower(b[text_col]), pattern=r"\s+"))
+        return pa.table({"word": flat.filter(pc.not_equal(flat, ""))})
+
+    rows = ds.select_columns([text_col]).map_batches(words, batch_format="pyarrow", zero_copy_batch=True)
+    wf = pre_aggregate(rows, ["word"], [], count_alias="n").to_pandas()  # vocabulary-sized
+
+    symbol_seqs = [tuple(w) for w in wf["word"]]
+    counts = wf["n"].to_numpy(dtype="int64")
+    merges = []
+    for rank in range(n_merges):
+        pair_freq: dict = {}
+        for seq, c in zip(symbol_seqs, counts):
+            for a, b_ in zip(seq, seq[1:]):
+                pair_freq[(a, b_)] = pair_freq.get((a, b_), 0) + int(c)
+        if not pair_freq:
+            break
+        # deterministic argmax: highest freq, then lexicographically
+        # smallest pair
+        best_freq = max(pair_freq.values())
+        if best_freq < min_pair_freq:
+            break
+        best_pair = min(p for p, f in pair_freq.items() if f == best_freq)
+        merges.append((rank, best_pair[0], best_pair[1], int(best_freq)))
+        joined = best_pair[0] + best_pair[1]
+        new_seqs = []
+        for seq in symbol_seqs:
+            out = []
+            i = 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == best_pair[0] and seq[i + 1] == best_pair[1]:
+                    out.append(joined)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            new_seqs.append(tuple(out))
+        symbol_seqs = new_seqs
+    return pd.DataFrame(merges, columns=["rank", "left", "right", "freq"])

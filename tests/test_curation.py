@@ -630,3 +630,60 @@ class TestNullAndEmptyRegressions:
         out = perplexity_filter(docs)
         assert out.count() == 0
         assert out.schema().names == ["doc_id", "n_tokens", "entropy", "ppl_bucket"]
+
+
+class TestBpeTrain:
+    @staticmethod
+    def _reference(word_counts, n_merges, min_pair_freq=2):
+        # slow reference: same Sennrich BPE over an explicit word bag
+        seqs = {tuple(w): c for w, c in word_counts.items()}
+        merges = []
+        for rank in range(n_merges):
+            pf = {}
+            for seq, c in seqs.items():
+                for a, b in zip(seq, seq[1:]):
+                    pf[(a, b)] = pf.get((a, b), 0) + c
+            if not pf or max(pf.values()) < min_pair_freq:
+                break
+            best_f = max(pf.values())
+            pair = min(p for p, f in pf.items() if f == best_f)
+            merges.append((rank, pair[0], pair[1], best_f))
+            joined = pair[0] + pair[1]
+            new = {}
+            for seq, c in seqs.items():
+                out, i = [], 0
+                while i < len(seq):
+                    if i + 1 < len(seq) and (seq[i], seq[i + 1]) == pair:
+                        out.append(joined)
+                        i += 2
+                    else:
+                        out.append(seq[i])
+                        i += 1
+                new[tuple(out)] = new.get(tuple(out), 0) + c
+            seqs = new
+        return merges
+
+    def test_matches_reference_and_merges_known_pair(self, ray_session):
+        from collections import Counter
+
+        from clawrag_ray.stages.text_analysis import bpe_train
+
+        texts = [
+            "low lower lowest low low",
+            "new newer newest new",
+            "low newer lowest",
+        ]
+        ds = ray.data.from_arrow(pa.table({"text": texts})).repartition(2)
+        got = bpe_train(ds, n_merges=6)
+        wc = Counter(w for t in texts for w in t.lower().split())
+        want = self._reference(wc, 6)
+        assert [tuple(r) for r in got.itertuples(index=False)] == want
+        # 'lo' or 'ow' must be the first merge ('low' dominates)
+        assert (got.loc[0, "left"], got.loc[0, "right"]) in {("l", "o"), ("o", "w"), ("lo", "w"), ("l", "ow")}
+
+    def test_stops_below_min_pair_freq(self, ray_session):
+        from clawrag_ray.stages.text_analysis import bpe_train
+
+        ds = ray.data.from_arrow(pa.table({"text": ["ab", "cd", "ef"]}))
+        got = bpe_train(ds, n_merges=10, min_pair_freq=2)
+        assert len(got) == 0  # every pair occurs once
