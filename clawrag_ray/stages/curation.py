@@ -37,10 +37,68 @@ from clawrag_ray.functions.kernels import md5_prefix_int, re2_tokens
 # ---------------------------------------------------------------------------
 
 
-def token_count_table(ds: Dataset, id_col: str = "doc_id", text_col: str = "text") -> Dataset:
-    """(id, n_tokens) with whitespace tokenization — the packing-side token
-    budget proxy (swap the regex for a real BPE count upstream when model
-    tokenizers are available; the packing math is tokenizer-agnostic)."""
+class _BpeTokenCounter:
+    """Actor-pool stage: per-doc SUBWORD token count under a trained BPE
+    merge table. The merge table (vocab-bounded, a few KB) broadcasts once
+    via ray.put and each actor fetches it in __init__; encoded-word lengths
+    memoize in a per-actor dict (vocab-bounded), so repeated words across
+    batches cost one dict hit. Map-only — no shuffle; per-doc counts are a
+    pure row function once the merges are broadcast."""
+
+    def __init__(self, merges_ref, id_col: str, text_col: str):
+        import ray
+
+        self.merges = [tuple(m) for m in ray.get(merges_ref)]
+        self.id_col, self.text_col = id_col, text_col
+        self.cache: dict = {}
+
+    def _wlen(self, w: str) -> int:
+        k = self.cache.get(w)
+        if k is None:
+            from clawrag_ray.stages.text_analysis import bpe_apply
+
+            k = len(bpe_apply(tuple(w), self.merges))
+            self.cache[w] = k
+        return k
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        lst = pc.split_pattern_regex(pc.utf8_lower(b[self.text_col]), pattern=r"\s+")
+        lst = lst.combine_chunks() if isinstance(lst, pa.ChunkedArray) else lst
+        offs = lst.offsets.to_numpy(zero_copy_only=False)
+        words = lst.values.to_pylist()
+        wl = self._wlen
+        lens = np.fromiter((wl(w) for w in words), dtype=np.int64, count=len(words))
+        # per-doc sum via the offset ranges ('' boundary artifacts of \s+
+        # split encode to 0 tokens, matching the \S+ extraction count)
+        cums = np.concatenate([[0], np.cumsum(lens)])
+        n = cums[offs[1:]] - cums[offs[:-1]]
+        return pa.table({self.id_col: b[self.id_col], "n_tokens": pa.array(n, pa.int64())})
+
+
+def token_count_table(
+    ds: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    merges=None,
+    concurrency=(1, 8),
+) -> Dataset:
+    """(id, n_tokens): whitespace token counts by default, or — with
+    ``merges=`` (ordered (left, right) pairs from
+    text_analysis.bpe_train) — true BPE SUBWORD counts, so packing budgets
+    real model tokens. Both paths are map-only; the BPE path is an actor
+    pool holding the broadcast merge table (see _BpeTokenCounter)."""
+
+    if merges is not None:
+        import ray
+
+        ref = ray.put([tuple(m) for m in merges])
+        return ds.select_columns([id_col, text_col]).map_batches(
+            _BpeTokenCounter,
+            fn_constructor_kwargs={"merges_ref": ref, "id_col": id_col, "text_col": text_col},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=concurrency,
+        )
 
     def count(b: pa.Table) -> pa.Table:
         n = pc.count_substring_regex(b[text_col], pattern=r"\S+")

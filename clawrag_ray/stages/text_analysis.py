@@ -334,3 +334,30 @@ def bpe_train(
             new_seqs.append(tuple(out))
         symbol_seqs = new_seqs
     return pd.DataFrame(merges, columns=["rank", "left", "right", "freq"])
+
+
+def bpe_apply(seq: tuple, merges) -> tuple:
+    """Encode ONE symbol sequence with trained merge rules applied in rank
+    order; each merge rewrites every leftmost-first non-overlapping
+    occurrence — byte-for-byte the inner loop of bpe_train, so encoding a
+    training word reproduces its training-end segmentation (and the SQL
+    oracle's separator-string replace(), which shares the same
+    leftmost-non-overlapping contract, replays it exactly).
+
+    ``merges``: iterable of (left, right) pairs ordered by rank (the
+    first two columns of bpe_train's output)."""
+    for a, b in merges:
+        n = len(seq)
+        if n < 2:
+            break
+        out = []
+        i = 0
+        while i < n:
+            if i + 1 < n and seq[i] == a and seq[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(seq[i])
+                i += 1
+        seq = tuple(out)
+    return seq
