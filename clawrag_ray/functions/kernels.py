@@ -40,6 +40,23 @@ def md5_prefix_int(v) -> int:
     return int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16)
 
 
+def md5_prefix_ints(values) -> "np.ndarray":
+    """Batched md5_prefix_int over a sequence of ids -> int64 ndarray.
+    Same digits as the scalar form (first 4 digest bytes big-endian ==
+    first 8 hex chars), but one tight generator pass: bytes-level digest
+    slicing instead of hexdigest + string slice + int(,16) per row, and no
+    intermediate Python list. The md5 choice itself is cross-engine parity
+    (DuckDB mirrors it) — see md5_prefix_int."""
+    import numpy as np
+
+    md5 = hashlib.md5
+    return np.fromiter(
+        (int.from_bytes(md5(str(v).encode()).digest()[:4], "big") for v in values),
+        dtype=np.int64,
+        count=len(values),
+    )
+
+
 def sha256_hex(col: pa.ChunkedArray | pa.Array) -> pa.Array:
     """sha256 hexdigest per string row."""
     out = [

@@ -30,7 +30,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 from ray.data import Dataset
 
-from clawrag_ray.functions.kernels import md5_prefix_int, re2_tokens
+from clawrag_ray.functions.kernels import md5_prefix_ints, re2_tokens
 
 # ---------------------------------------------------------------------------
 # token counting (whitespace tokens — SQL mirror: length(regexp_extract_all(text, '\S+')))
@@ -296,11 +296,8 @@ def quota_sample(
 
     def add_hash(b: pa.Table) -> pa.Table:
         # md5 is for cross-engine parity (DuckDB mirrors it exactly);
-        # per-row hashing of the id column only — text never touched
-        h = [
-            -md5_prefix_int(v)
-            for v in b[id_col].to_pylist()
-        ]
+        # batched digest of the id column only — text never touched
+        h = -md5_prefix_ints(b[id_col].to_pylist())
         return b.append_column("__neg_hash", pa.array(h, pa.int64()))
 
     hashed = ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
@@ -361,10 +358,7 @@ def temperature_sample(
     }
 
     def add_hash(b: pa.Table) -> pa.Table:
-        h = [
-            md5_prefix_int(v)
-            for v in b[id_col].to_pylist()
-        ]
+        h = md5_prefix_ints(b[id_col].to_pylist())
         return b.append_column("__h", pa.array(h, pa.int64()))
 
     hashed = ds.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
@@ -403,13 +397,7 @@ def stratified_split(
     lo, hi = bounds
 
     def assign(b: pa.Table) -> pa.Table:
-        m = np.array(
-            [
-                md5_prefix_int(v) % 100
-                for v in b[id_col].to_pylist()
-            ],
-            dtype="int64",
-        )
+        m = md5_prefix_ints(b[id_col].to_pylist()) % 100
         split = np.where(m < lo, "train", np.where(m < hi, "val", "test"))
         return b.append_column("split", pa.array(split.tolist(), pa.string()))
 
@@ -750,6 +738,44 @@ def paragraph_dedup(
     return hash_partitioned_groups(joined, [id_col], per_part, num_partitions=num_partitions)
 
 
+# Double rolling hash over codepoints, fully vectorized. Moduli are primes
+# below 2^31 so that residue*residue < 2^62 (uint64-safe) and per-element
+# (codepoint * power) % m < 2^52 with prefix sums exact below ~2^33 rows.
+_RH_M1, _RH_M2 = 2147483629, 2147483587
+_RH_B = 257
+
+
+def _modpow_tables(base: int, n: int, mod: int) -> tuple[np.ndarray, np.ndarray]:
+    """(base^k % mod, base^-k % mod) for k in [0, n) — built by vectorized
+    doubling (powers[t+i] = powers[t-1]*base * powers[i]), O(log n) numpy
+    passes, no Python per-element loop."""
+    inv = pow(base, mod - 2, mod)
+    out = []
+    for b in (base, inv):
+        p = np.ones(1, dtype=np.uint64)
+        bb, mm = np.uint64(b % mod), np.uint64(mod)
+        while len(p) < max(n, 1):
+            p = np.concatenate([p, (p * ((p[-1] * bb) % mm)) % mm])
+        out.append(p[:max(n, 1)])
+    return out[0], out[1]
+
+
+def _window_hashes(
+    codes: np.ndarray, window: int, pows: np.ndarray, ipows: np.ndarray, mod: int
+) -> np.ndarray:
+    """All length-``window`` rolling hashes of ``codes`` under one modulus:
+    H_j = (P_{j+w} - P_j) * base^{-j} mod m with P the (c_k * base^k)
+    prefix sum. Returns uint64 residues < mod, length n - window + 1."""
+    mm = np.uint64(mod)
+    n = len(codes)
+    prod = (codes * pows[:n]) % mm  # < 2^31 each
+    p = np.zeros(n + 1, dtype=np.uint64)
+    np.cumsum(prod, out=p[1:])  # exact: n * 2^31 << 2^64
+    p %= mm
+    diff = (p[window:] + mm - p[:-window]) % mm
+    return (diff * ipows[: n - window + 1]) % mm
+
+
 def exact_substring_dedup(
     ds: Dataset,
     window: int = 64,
@@ -781,35 +807,46 @@ def exact_substring_dedup(
 
     Positions pack as doc_id * 2^24 + pos for the grouped min, so docs
     are capped at 16M chars (the corpus contract shared with
-    paragraph_dedup's index packing). Hash collisions (2^-61) could
-    delete a non-duplicate span; at 10^12 docs verify marked spans
-    against the keeper text via the bucket-join machinery."""
-    from clawrag_ray.stages.dedup import _MERSENNE
+    paragraph_dedup's index packing). Hash collisions (~2^-62 per pair
+    under the double 31-bit-modulus hash) could delete a non-duplicate
+    span; at 10^12 docs verify marked spans against the keeper text via
+    the bucket-join machinery.
+
+    The window hashes are computed with NUMPY modular prefix-sum algebra
+    (no per-character Python): under each modulus m < 2^31,
+    H_j = (P_{j+w} - P_j) * r^{-j} where P_i = sum_{k<i} c_k * r^k — every
+    product of two sub-2^31 residues fits uint64, prefix sums of sub-2^31
+    values stay exact below 2^33 rows, and power/inverse-power tables
+    build in O(log n) vectorized doubling steps. Two independent moduli
+    combine into one 62-bit fingerprint (equal windows hash equal under
+    any scheme, so the fingerprint choice is internal)."""
     from clawrag_ray.stages.relational import hash_partitioned_groups
 
-    mod, base = _MERSENNE, 257
-    pw = pow(base, window - 1, mod)
-
     def explode(b: pa.Table) -> pa.Table:
-        ids, poss, whs = [], [], []
-        for doc_id, text in zip(b[id_col].to_pylist(), b[text_col].to_pylist()):
-            codes = np.frombuffer((text or "").encode("utf-32-le"), dtype=np.uint32)
+        texts = b[text_col].to_pylist()
+        per_doc: list[np.ndarray] = []
+        cnts = np.zeros(len(texts), dtype=np.int64)
+        max_n = max((len(t or "") for t in texts), default=0)
+        pows1, ipows1 = _modpow_tables(_RH_B, max_n, _RH_M1)
+        pows2, ipows2 = _modpow_tables(_RH_B, max_n, _RH_M2)
+        for j, text in enumerate(texts):
+            codes = np.frombuffer((text or "").encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
             n = len(codes)
             if n < window:
                 continue
-            h = 0
-            for c in codes[:window]:
-                h = (h * base + int(c)) % mod
-            whs.append(h)
-            for i in range(window, n):
-                h = ((h - int(codes[i - window]) * pw) * base + int(codes[i])) % mod
-                whs.append(h)
-            cnt = n - window + 1
-            ids.extend([doc_id] * cnt)
-            poss.extend(range(cnt))
+            h1 = _window_hashes(codes, window, pows1, ipows1, _RH_M1)
+            h2 = _window_hashes(codes, window, pows2, ipows2, _RH_M2)
+            per_doc.append((h1 * np.uint64(_RH_M2) + h2).astype(np.int64))
+            cnts[j] = n - window + 1
+        total = int(cnts.sum())
+        idx = np.repeat(np.arange(len(texts), dtype=np.int64), cnts)
+        starts = np.concatenate([[0], np.cumsum(cnts)[:-1]])
+        poss = np.arange(total, dtype=np.int64) - np.repeat(starts, cnts)
+        ids = b[id_col].take(pa.array(idx, pa.int64()))
+        whs = np.concatenate(per_doc) if per_doc else np.empty(0, dtype=np.int64)
         return pa.table(
             {
-                id_col: pa.array(ids, b[id_col].type),
+                id_col: ids,
                 "pos": pa.array(poss, pa.int64()),
                 "wh": pa.array(whs, pa.int64()),
             }

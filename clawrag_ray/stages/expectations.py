@@ -76,12 +76,17 @@ def validate_expectations(ds: Dataset, rules: dict[str, dict]) -> Dataset:
     for col in unique_cols:
         from clawrag_ray.stages.relational import pre_aggregate
 
-        counts = pre_aggregate(ds.select_columns([col]), [col], [], count_alias="c")
-        # a null key groups with c=0 (arrow count skips nulls); drop it so
-        # uniqueness matches SQL count(col) - count(DISTINCT col) semantics
-        counts = counts.map_batches(
-            lambda b: b.filter(pc.greater(b["c"], 0)), batch_format="pyarrow", zero_copy_batch=True
-        ).materialize()
+        # drop null keys MAP-SIDE (nulls-excluded semantics, matching SQL
+        # count(col) - count(DISTINCT col)): a null group surviving into
+        # pre_aggregate would ride Ray's sort-based groupby, which cannot
+        # order NULL string keys against real ones (the same crash
+        # temperature_sample documents) — so it must never reach the shuffle
+        nonnull = ds.select_columns([col]).map_batches(
+            lambda b, c=col: b.filter(pc.is_valid(b[c])),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        counts = pre_aggregate(nonnull, [col], [], count_alias="c").materialize()
         row = counts.aggregate(Sum("c", alias_name="total"))
         # distinct = rows of the count table; total - distinct = dup rows.
         # Sum over an empty table is None (all-null column / empty input):

@@ -666,27 +666,47 @@ def asof_join(
 
 
 def grouped_quantiles(
-    ds: Dataset, keys: list[str], value_col: str, quantiles: list[float], ndigits: int = 4
+    ds: Dataset,
+    keys: list[str],
+    value_col: str,
+    quantiles: list[float],
+    ndigits: int = 4,
+    num_partitions: int = 64,
 ) -> Dataset:
     """Exact per-group quantiles (linear interpolation — numpy percentile
     and SQL quantile_cont agree). Per-group exact math needs the group's
-    values together -> one groupby shuffle; grouped_quantiles_tdigest is
-    the sketch-state swap (same output schema) for 10^12-row groups."""
+    values together -> ONE hash-partitioned shuffle (the same
+    hash_partitioned_groups shape as every other grouped op here; one
+    map_groups call per partition of whole key groups, not per key);
+    grouped_quantiles_tdigest is the sketch-state swap (same output
+    schema) for 10^12-row groups."""
     import numpy as np
 
     # round() not int(): int truncates float artifacts (q=0.29 -> 28.999 -> 'p28')
     qcols = [f"p{int(round(q * 100))}" for q in quantiles]
+    qpcts = [q * 100 for q in quantiles]
 
-    def per_group(g: pd.DataFrame) -> pd.DataFrame:
-        vals = g[value_col].to_numpy(dtype=float)
-        row = {k: [g[k].iloc[0]] for k in keys}
-        for q, name in zip(quantiles, qcols):
-            row[name] = [round(float(np.percentile(vals, q * 100)), ndigits)]
-        row["n"] = [len(vals)]
-        return pd.DataFrame(row)
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        rows: dict = {k: [] for k in keys}
+        for name in qcols:
+            rows[name] = []
+        rows["n"] = []
+        for key_vals, grp in g.groupby(keys, sort=False, dropna=False):
+            if not isinstance(key_vals, tuple):
+                key_vals = (key_vals,)
+            vals = grp[value_col].to_numpy(dtype=float)
+            pcts = np.percentile(vals, qpcts)
+            for k, kv in zip(keys, key_vals):
+                rows[k].append(kv)
+            for name, v in zip(qcols, pcts):
+                rows[name].append(round(float(v), ndigits))
+            rows["n"].append(len(vals))
+        out = pd.DataFrame(rows)
+        out["n"] = out["n"].astype("int64")
+        return out
 
-    return ds.select_columns(keys + [value_col]).groupby(keys[0] if len(keys) == 1 else keys).map_groups(
-        per_group, batch_format="pandas"
+    return hash_partitioned_groups(
+        ds.select_columns(keys + [value_col]), keys, per_part, num_partitions=num_partitions
     )
 
 
@@ -1138,7 +1158,7 @@ def grouped_running_sum(
 
     def per_part(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(list(keys) + list(order_cols), kind="mergesort")
-        g[out_col] = g.groupby(list(keys), sort=False)[value_col].cumsum()
+        g[out_col] = g.groupby(list(keys), sort=False, dropna=False)[value_col].cumsum()
         return g
 
     return hash_partitioned_groups(ds, list(keys), per_part, num_partitions=num_partitions)
@@ -1165,7 +1185,7 @@ def grouped_lag(
 
     def per_part(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(list(keys) + list(order_cols), kind="mergesort")
-        g[out_col] = g.groupby(list(keys), sort=False)[value_col].shift(shift)
+        g[out_col] = g.groupby(list(keys), sort=False, dropna=False)[value_col].shift(shift)
         return g
 
     return hash_partitioned_groups(ds, list(keys), per_part, num_partitions=num_partitions)
@@ -1219,7 +1239,7 @@ def grouped_mode(
 
     def per_part(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(list(keys) + [count_alias, value_col], ascending=[True] * len(keys) + [False, True], kind="mergesort")
-        return g.groupby(list(keys), sort=False, as_index=False).head(1)[list(keys) + [value_col, count_alias]]
+        return g.groupby(list(keys), sort=False, as_index=False, dropna=False).head(1)[list(keys) + [value_col, count_alias]]
 
     return hash_partitioned_groups(counts, list(keys), per_part)
 
@@ -1295,9 +1315,9 @@ def grouped_rolling_sum(
 
     def per_part(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(list(keys) + list(order_cols), kind="mergesort")
-        grp = g.groupby(list(keys), sort=False)[value_col]
+        grp = g.groupby(list(keys), sort=False, dropna=False)[value_col]
         run = grp.cumsum()
-        g[out_col] = run - grp.shift(frame).groupby([g[k] for k in keys], sort=False).cumsum().fillna(0)
+        g[out_col] = run - grp.shift(frame).groupby([g[k] for k in keys], sort=False, dropna=False).cumsum().fillna(0)
         return g
 
     return hash_partitioned_groups(ds, list(keys), per_part, num_partitions=num_partitions)
@@ -1429,7 +1449,7 @@ def grouped_rank(
 
     def per_part(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(list(keys) + list(order_cols), kind="mergesort")
-        grp = g.groupby(list(keys), sort=False)
+        grp = g.groupby(list(keys), sort=False, dropna=False)
         rn = grp.cumcount().to_numpy()
         if method == "row_number":
             g[out_col] = rn + 1
@@ -1477,8 +1497,10 @@ def heavy_hitters(
     key's frequency is <= N/capacity, so none can displace the top-k).
     With ``strict`` the operator raises when the certificate fails —
     resize ``capacity`` — instead of silently returning approximations.
-    N rides pass 1 as a sentinel row under the empty key ('' can never be
-    a real key for tokenized input; callers with '' keys must pre-filter).
+    N rides pass 1 as a sentinel row under the empty key; sentinel-valued
+    input keys ('' and the \\x00 truncation marker — never real tokens)
+    are dropped in block_top itself rather than trusted to a caller
+    contract, so they can neither inflate n_total nor shadow candidates.
     """
     import numpy as np
     import ray
@@ -1491,6 +1513,11 @@ def heavy_hitters(
     def block_top(b: pa.Table) -> pa.Table:
         col = b[key_col]
         col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        # enforce the sentinel contract here (see docstring): drop rows
+        # whose key IS a sentinel value instead of silently miscounting
+        bad = pc.fill_null(pc.is_in(col, value_set=pa.array([sentinel, sentinel_trunc])), False)
+        if pc.any(bad).as_py():
+            col = col.filter(pc.invert(bad))
         vc = pc.value_counts(col)
         vals, cnts = vc.field("values"), vc.field("counts").to_numpy(zero_copy_only=False)
         truncated = len(vals) > capacity
@@ -1501,7 +1528,9 @@ def heavy_hitters(
         marks = pa.table(
             {
                 key_col: pa.array([sentinel] + ([sentinel_trunc] if truncated else [])),
-                "p_cnt": pa.array([b.num_rows] + ([1] if truncated else []), pa.int64()),
+                # len(col), not b.num_rows: N must count only the rows that
+                # actually participate (sentinel-keyed rows were dropped)
+                "p_cnt": pa.array([len(col)] + ([1] if truncated else []), pa.int64()),
             }
         )
         return pa.concat_tables([out, marks])

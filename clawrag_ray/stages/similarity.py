@@ -170,22 +170,15 @@ def kmeans_centroids(
 ) -> np.ndarray:
     """Deterministic coarse k-means (the IVF quantizer trainer).
 
-    Trains on a BOUNDED driver-side sample (``limit(sample_limit)`` — never
-    the full corpus) with local numpy Lloyd iterations: the quantizer is a
-    few KB of state and a sample trains it as well as the corpus does (the
-    FAISS recipe), while distributed Lloyd costs one full dataset execution
-    per iteration (measured 9.3 s -> ~2 s end-to-end for ivf_topk).
-    Assignment of the full corpus stays distributed (ivf_assign)."""
-    sample = _stack(
-        ds.select_columns(["embedding"]).limit(sample_limit).to_pandas()["embedding"].pipe(
-            lambda s: pa.array(s.tolist())
-        )
-    )
-    # block arrival order is not deterministic across executions; sort the
-    # sample rows lexicographically so the seeded init (and therefore the
-    # whole quantizer) is a pure function of the sample SET
-    sample = sample[np.lexsort(sample.T[::-1])]
-    sample = _normalize(sample)
+    Trains on a BOUNDED driver-side sample (_bounded_sample — per-block
+    evenly-spaced picks, never the full corpus and never limit()'s
+    execution-order-dependent membership) with local numpy Lloyd
+    iterations: the quantizer is a few KB of state and a sample trains it
+    as well as the corpus does (the FAISS recipe), while distributed Lloyd
+    costs one full dataset execution per iteration (measured 9.3 s -> ~2 s
+    end-to-end for ivf_topk). Assignment of the full corpus stays
+    distributed (ivf_assign)."""
+    sample = _bounded_sample(ds, sample_limit)
     rng = np.random.RandomState(seed)
     centroids = sample[rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)]
     centroids = _normalize(centroids)
@@ -249,13 +242,32 @@ def ivf_topk(
 
 def _bounded_sample(ds: Dataset, sample_limit: int) -> np.ndarray:
     """Bounded, execution-order-independent normalized sample matrix (the
-    kmeans_centroids sampling contract, factored for PQ training)."""
+    kmeans_centroids sampling contract, factored for PQ training).
+
+    Membership comes from PER-BLOCK evenly-spaced row picks (the
+    global_prefix_sum boundaries='sampled' pattern), NOT Dataset.limit():
+    limit() reads whichever blocks execute first, so the sample SET would
+    depend on block layout — the post-hoc lexsort can only fix ordering,
+    not membership. Each block contributes <= per_block rows; the final
+    lexsort + cap makes the matrix deterministic given the corpus."""
+    per_block = max(8, sample_limit // 64)
+
+    def block_sample(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        if n == 0:
+            return b.select(["embedding"])
+        idx = np.unique(np.linspace(0, n - 1, min(per_block, n)).astype(np.int64))
+        return b.select(["embedding"]).take(pa.array(idx))
+
     sample = _stack(
-        ds.select_columns(["embedding"]).limit(sample_limit).to_pandas()["embedding"].pipe(
-            lambda s: pa.array(s.tolist())
+        pa.array(
+            ds.select_columns(["embedding"])
+            .map_batches(block_sample, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+            .to_pandas()["embedding"]
+            .tolist()
         )
     )
-    sample = sample[np.lexsort(sample.T[::-1])]
+    sample = sample[np.lexsort(sample.T[::-1])][:sample_limit]
     return _normalize(sample)
 
 
@@ -491,7 +503,8 @@ def embedding_near_dup_pairs_ivf(
     seed: int = 13,
     num_partitions: int = 64,
     concurrency=None,
-) -> pd.DataFrame:
+    as_dataset: bool = False,
+) -> "pd.DataFrame | Dataset":
     """Near-dup pairs via a DATA-DEPENDENT partitioner — the scale path for
     corpora whose embeddings are correlated (same-vocabulary documents,
     random-pair cosine ~0.57), where hyperplane LSH degenerates (measured
@@ -555,6 +568,10 @@ def embedding_near_dup_pairs_ivf(
     deduped = hash_partitioned_groups(
         pairs, ["vec_a", "vec_b"], lambda g: g.drop_duplicates(subset=["vec_a", "vec_b"]), num_partitions=num_partitions
     )
+    if as_dataset:
+        # composition path (semantic_dedup): the verified pair set stays a
+        # Dataset — at high duplication rates it is NOT driver-bounded
+        return deduped
     out = deduped.to_pandas()
     if out.empty:
         return pd.DataFrame(
@@ -701,18 +718,20 @@ def semantic_dedup(
     the item with lowest centroid similarity; min-id is the reproducible
     variant this engine standardizes on — swap the rule in the final map).
     Output: (id, cluster_id, cluster_size, keep)."""
-    import ray.data as rd
-
     from clawrag_ray.stages.dedup import label_clusters
 
-    pairs = embedding_near_dup_pairs_ivf(
+    # pairs remain a DATASET end-to-end (as_dataset=True): the verified
+    # pair set is duplication-proportional, not driver-bounded, so it must
+    # never materialize on the driver — label_clusters consumes it
+    # distributed, exactly like near_dup_clusters' MinHash pairs
+    verified = embedding_near_dup_pairs_ivf(
         ds,
         threshold=threshold,
         n_centroids=n_centroids,
         n_probe=n_probe,
         num_partitions=num_partitions,
-    )
-    verified = rd.from_pandas(pairs[["vec_a", "vec_b"]]) if len(pairs) else None
+        as_dataset=True,
+    ).select_columns(["vec_a", "vec_b"])
     labeled = label_clusters(
         ds.select_columns([id_col]),
         verified,

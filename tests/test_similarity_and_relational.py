@@ -1198,3 +1198,80 @@ class TestLabelCentroids:
             g = got[got["label"] == lab].sort_values("dim")
             assert np.allclose(g["mean_val"].to_numpy(), want, atol=1e-6)
         assert got["dim"].min() == 1 and got["dim"].max() == 8
+
+
+class TestAdviceRegressions:
+    """Round-4 advisory fixes: null partition keys through the window ops,
+    sentinel-valued keys through heavy_hitters, nullable unique columns
+    through validate_expectations, deterministic bounded sampling."""
+
+    def _events(self):
+        # user 'b' is NULL in two rows — SQL PARTITION BY groups nulls together
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "user": pa.array(["a", None, "a", None, "c"], pa.string()),
+                    "ts": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                    "v": pa.array([10.0, 20.0, 30.0, 40.0, 50.0]),
+                }
+            )
+        ).repartition(2)
+
+    def test_running_sum_null_keys(self):
+        from clawrag_ray.stages.relational import grouped_running_sum
+
+        got = grouped_running_sum(self._events(), ["user"], ["ts"], "v", out_col="run").to_pandas()
+        null_rows = got[got["user"].isna()].sort_values("ts")
+        assert null_rows["run"].tolist() == [20.0, 60.0]
+        a_rows = got[got["user"] == "a"].sort_values("ts")
+        assert a_rows["run"].tolist() == [10.0, 40.0]
+
+    def test_grouped_rank_null_keys(self):
+        from clawrag_ray.stages.relational import grouped_rank
+
+        got = grouped_rank(self._events(), ["user"], ["ts"], out_col="rnk").to_pandas()
+        assert len(got) == 5  # no rows dropped, no length-mismatch crash
+        null_rows = got[got["user"].isna()].sort_values("ts")
+        assert null_rows["rnk"].tolist() == [1, 2]
+
+    def test_grouped_lag_null_keys(self):
+        from clawrag_ray.stages.relational import grouped_lag
+
+        got = grouped_lag(self._events(), ["user"], ["ts"], "v", out_col="prev").to_pandas()
+        null_rows = got[got["user"].isna()].sort_values("ts")
+        assert null_rows["prev"].isna().tolist() == [True, False]
+        assert null_rows["prev"].tolist()[1] == 20.0
+
+    def test_heavy_hitters_sentinel_keys_excluded(self):
+        from clawrag_ray.stages.relational import heavy_hitters
+
+        keys = [""] * 50 + ["x"] * 5 + ["y"] * 3 + ["z"]
+        ds = ray.data.from_arrow(pa.table({"k": pa.array(keys, pa.string())})).repartition(3)
+        got = heavy_hitters(ds, "k", k=3, capacity=16).to_pandas()
+        # '' never appears as a result key and never inflates N
+        assert "" not in set(got["k"])
+        assert got.sort_values("n", ascending=False)["k"].tolist() == ["x", "y", "z"]
+
+    def test_expectations_unique_on_nullable_string(self):
+        from clawrag_ray.stages.expectations import validate_expectations
+
+        ds = ray.data.from_arrow(
+            pa.table({"s": pa.array(["p", None, "p", None, "q"], pa.string())})
+        ).repartition(2)
+        got = validate_expectations(ds, {"s": {"unique": True}}).to_pandas()
+        row = got[(got["col"] == "s") & (got["rule"] == "unique")].iloc[0]
+        # nulls excluded: 3 non-null values, 2 distinct -> 1 duplicate
+        assert int(row["n_violations"]) == 1 and not bool(row["passed"])
+
+    def test_bounded_sample_membership_ignores_block_order(self):
+        from clawrag_ray.stages.similarity import _bounded_sample
+
+        rng = np.random.RandomState(3)
+        vecs = rng.standard_normal((300, 8)).astype(np.float32)
+        rows = [{"embedding": v.tolist()} for v in vecs]
+        a = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(6)
+        b = ray.data.from_arrow(pa.Table.from_pylist(rows[::-1])).repartition(6)
+        sa = _bounded_sample(a, 64)
+        sb = _bounded_sample(b, 64)
+        # same corpus, reversed row order and different blocks -> same matrix
+        assert np.allclose(sa, sb)
