@@ -40,6 +40,23 @@ def md5_prefix_int(v) -> int:
     return int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16)
 
 
+def load_kernel(model_path: str, fn_name: str):
+    """Load a user-supplied model kernel from a Python file — the plug
+    point that swaps the deterministic stand-in kernels (HashEmbedder,
+    image/audio decode) for real models on clusters that have them. The
+    file must define ``fn_name``; it is imported ONCE per actor (call this
+    from __init__, never per batch). Kept stdlib-importlib-only so the
+    engine needs no model dependencies when no model is plugged."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        f"clawrag_plug_{abs(hash((model_path, fn_name)))}", model_path
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return getattr(mod, fn_name)
+
+
 def md5_prefix_ints(values) -> "np.ndarray":
     """Batched md5_prefix_int over a sequence of ids -> int64 ndarray.
     Same digits as the scalar form (first 4 digest bytes big-endian ==

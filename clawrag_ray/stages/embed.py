@@ -29,10 +29,21 @@ class HashEmbedder:
     """Deterministic feature-hash embedder (model stand-in).
 
     token -> md5 -> (bucket, sign); vector = l2-normalized signed counts.
-    Same text always embeds identically, on any worker."""
+    Same text always embeds identically, on any worker.
 
-    def __init__(self, dim: int = 64):
+    ``model_path``: plug point for a REAL encoder — a Python file defining
+    ``encode(texts: list[str]) -> (n, d) array-like``; loaded once per
+    actor (kernels.load_kernel) and used for encode()/__call__ in place of
+    the hashing trick. The stand-in stays the default so the deterministic
+    oracle suite is unaffected when no model is present."""
+
+    def __init__(self, dim: int = 64, model_path: str | None = None):
         self.dim = dim
+        self._plug = None
+        if model_path:
+            from clawrag_ray.functions.kernels import load_kernel
+
+            self._plug = load_kernel(model_path, "encode")
 
     def embed_raw(self, text: str) -> np.ndarray:
         """Signed bucket counts, UN-normalized: every component is an
@@ -53,7 +64,11 @@ class HashEmbedder:
         return v / n if n else v
 
     def encode(self, texts: list[str]) -> np.ndarray:
-        return np.stack([self.embed_one(t) for t in texts]) if texts else np.zeros((0, self.dim))
+        if not texts:
+            return np.zeros((0, self.dim))
+        if self._plug is not None:
+            return np.asarray(self._plug(texts), dtype=np.float64).reshape(len(texts), -1)
+        return np.stack([self.embed_one(t) for t in texts])
 
     def encode_raw(self, texts: list[str]) -> np.ndarray:
         return np.stack([self.embed_raw(t) for t in texts]) if texts else np.zeros((0, self.dim))
@@ -71,14 +86,16 @@ def embed_texts(
     dim: int = 64,
     concurrency=(1, 4),
     batch_size: int = 256,
+    model_path: str | None = None,
 ) -> Dataset:
     """Adds an ``embedding`` list<float32> column. Actor pool — a real
-    encoder is heavy state; batch_size sized to model throughput."""
+    encoder is heavy state; batch_size sized to model throughput.
+    ``model_path`` plugs a real encoder (see HashEmbedder)."""
     if text_col != "text":
         ds = ds.rename_columns({text_col: "text"})
     return ds.map_batches(
         HashEmbedder,
-        fn_constructor_kwargs={"dim": dim},
+        fn_constructor_kwargs={"dim": dim, "model_path": model_path},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

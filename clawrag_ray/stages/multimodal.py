@@ -469,15 +469,30 @@ class ImageFeatures:
 
     Real plumbing: constructor-held 'model' state (here a fixed projection
     matrix as the stand-in for a vision encoder), small batch sizes for
-    wide binary rows, arrow-native output."""
+    wide binary rows, arrow-native output.
 
-    def __init__(self, feat_dim: int = 16, seed: int = 3):
+    ``model_path``: plug point for a REAL vision kernel — a Python file
+    defining ``image_features(payload: bytes) -> (feature_vector,
+    mean_intensity)``; loaded once per actor. Default keeps the
+    deterministic hash-decode stand-in (no image libs in this container)."""
+
+    def __init__(self, feat_dim: int = 16, seed: int = 3, model_path: str | None = None):
         rng = np.random.RandomState(seed)
         self.proj = rng.standard_normal((64, feat_dim)).astype(np.float32)
+        self._plug = None
+        if model_path:
+            from clawrag_ray.functions.kernels import load_kernel
+
+            self._plug = load_kernel(model_path, "image_features")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         feats, means = [], []
         for payload in batch["payload"].to_pylist():
+            if self._plug is not None:
+                vec, mean = self._plug(payload or b"")
+                feats.append(np.asarray(vec, dtype=np.float32).tolist())
+                means.append(float(mean))
+                continue
             img = _decode_image_stub(payload or b"")
             flat = img.reshape(-1)
             feats.append((flat @ self.proj).tolist())
@@ -600,15 +615,26 @@ class ImageResize:
 
 
 class AudioFeatures:
-    """Actor-pool stage: binary audio -> (media_id, rms, zero_crossings)."""
+    """Actor-pool stage: binary audio -> (media_id, rms, zero_crossings).
 
-    def __init__(self, n_samples: int = 256):
+    ``model_path``: plug point for a REAL audio decoder — a Python file
+    defining ``decode_audio(payload: bytes, n_samples: int) -> float PCM
+    array``; loaded once per actor. The rms/zero-crossing math downstream
+    is decode-agnostic. Default keeps the deterministic stand-in."""
+
+    def __init__(self, n_samples: int = 256, model_path: str | None = None):
         self.n_samples = n_samples
+        self._decode = None
+        if model_path:
+            from clawrag_ray.functions.kernels import load_kernel
+
+            self._decode = load_kernel(model_path, "decode_audio")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rms, zc = [], []
+        decode = self._decode or _decode_audio_stub
         for payload in batch["payload"].to_pylist():
-            pcm = _decode_audio_stub(payload or b"", self.n_samples)
+            pcm = np.asarray(decode(payload or b"", self.n_samples), dtype=np.float32)
             rms.append(float(np.sqrt((pcm**2).mean())))
             zc.append(int(((pcm[:-1] * pcm[1:]) < 0).sum()))
         return pa.table(

@@ -118,3 +118,71 @@ class TestMultimodal:
         assert counts["m0"] == 1
         assert counts["m2"] == 7
         assert df[df["media_id"] == "m2"]["ts_ms"].max() == 6000
+
+
+class TestModelPlugPoints:
+    """model_path= constructor hooks: the deterministic stand-ins stay the
+    default (oracle suite untouched); a user-supplied kernel file swaps in
+    real models per actor."""
+
+    def _write_plug(self, tmp_path, body: str) -> str:
+        p = tmp_path / "plug_kernels.py"
+        p.write_text(body)
+        return str(p)
+
+    def test_embedder_plug_and_standin(self, tmp_path, ray_session):
+        import numpy as np
+
+        from clawrag_ray.stages.embed import HashEmbedder
+
+        path = self._write_plug(
+            tmp_path,
+            "import numpy as np\n"
+            "def encode(texts):\n"
+            "    return np.array([[float(len(t)), 1.0] for t in texts])\n",
+        )
+        plugged = HashEmbedder(model_path=path)
+        got = plugged.encode(["ab", "abcd"])
+        assert got.shape == (2, 2) and got[0, 0] == 2.0 and got[1, 0] == 4.0
+        # stand-in unchanged by the hook's existence
+        std = HashEmbedder(dim=8)
+        assert np.allclose(std.encode(["x y"]), HashEmbedder(dim=8).encode(["x y"]))
+        assert std._plug is None
+
+    def test_image_plug_and_standin(self, tmp_path, ray_session):
+        import numpy as np
+        import pyarrow as pa
+
+        from clawrag_ray.stages.multimodal import ImageFeatures
+
+        path = self._write_plug(
+            tmp_path,
+            "def image_features(payload):\n"
+            "    return [float(len(payload)), 0.5], float(len(payload)) / 2\n",
+        )
+        batch = pa.table({"media_id": ["m1"], "payload": [b"abcdef"]})
+        got = ImageFeatures(model_path=path)(batch)
+        assert got["feature"][0].as_py() == [6.0, 0.5]
+        assert got["mean_intensity"][0].as_py() == 3.0
+        std = ImageFeatures()(batch)
+        again = ImageFeatures()(batch)
+        assert std["feature"][0].as_py() == again["feature"][0].as_py()
+
+    def test_audio_plug_and_standin(self, tmp_path, ray_session):
+        import numpy as np
+        import pyarrow as pa
+
+        from clawrag_ray.stages.multimodal import AudioFeatures
+
+        path = self._write_plug(
+            tmp_path,
+            "import numpy as np\n"
+            "def decode_audio(payload, n_samples):\n"
+            "    return np.ones(n_samples, dtype=np.float32)\n",
+        )
+        batch = pa.table({"media_id": ["a1"], "payload": [b"\x00\x01"]})
+        got = AudioFeatures(n_samples=32, model_path=path)(batch)
+        assert got["rms"][0].as_py() == 1.0 and got["zero_crossings"][0].as_py() == 0
+        std = AudioFeatures(n_samples=32)(batch)
+        again = AudioFeatures(n_samples=32)(batch)
+        assert std["rms"][0].as_py() == again["rms"][0].as_py()
