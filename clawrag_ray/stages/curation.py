@@ -776,12 +776,29 @@ def _window_hashes(
     return (diff * ipows[: n - window + 1]) % mm
 
 
+def _winnow_select(h: np.ndarray, s: int) -> np.ndarray:
+    """Winnowing fingerprint selection (Schleimer et al. 2003, public):
+    for every window of ``s`` consecutive hash positions keep the position
+    of the minimal hash (leftmost on ties). Content-defined — identical
+    hash runs select identical relative positions — with >= 1 selection
+    per ``s`` consecutive offsets. Vectorized via a zero-copy sliding
+    window view."""
+    m = len(h)
+    if m == 0:
+        return np.empty(0, dtype=np.int64)
+    if m <= s:
+        return np.array([int(np.argmin(h))], dtype=np.int64)
+    sw = np.lib.stride_tricks.sliding_window_view(h, s)
+    return np.unique(sw.argmin(axis=1) + np.arange(m - s + 1, dtype=np.int64))
+
+
 def exact_substring_dedup(
     ds: Dataset,
     window: int = 64,
     id_col: str = "doc_id",
     text_col: str = "text",
     num_partitions: int = 64,
+    stride: int = 1,
 ) -> Dataset:
     """ExactSubstr dedup (Lee et al. 2021, arXiv:2107.06499, public): cut
     from every document each character covered by a ``window``-char
@@ -795,9 +812,16 @@ def exact_substring_dedup(
       1. per-doc rolling Rabin-Karp over CODEPOINTS emits one
          (wh, doc_id, pos) row per offset — O(n) per doc, ~16 bytes per
          character into the shuffle. This is the honest cost of
-         suffix-array-free ExactSubstr; production corpora prune it by
-         stride-sampling probe offsets or building distributed suffix
-         arrays (documented swap, not built).
+         suffix-array-free ExactSubstr at stride=1; ``stride>1`` switches
+         to WINNOWED probe selection (Schleimer et al. 2003, public): only
+         positions whose fingerprint is the minimum of some length-stride
+         hash window are emitted (~1/stride of the offsets, content-
+         defined, so both copies of a duplicated region select the SAME
+         relative probes). Shuffle volume drops by ~stride at the
+         documented recall cost: only duplicated regions of length >=
+         window + 2*(stride-1) are guaranteed probed in their interior,
+         and up to window + stride edge characters of each duplicate can
+         survive the cut — the production stride-sampling trade.
       2. ONE hash-partitioned pass by wh marks every occurrence that is
          not its hash's lexicographic minimum (vectorized duplicated());
          only the marked (doc_id, pos) rows — duplication-sized — leave.
@@ -829,6 +853,7 @@ def exact_substring_dedup(
         max_n = max((len(t or "") for t in texts), default=0)
         pows1, ipows1 = _modpow_tables(_RH_B, max_n, _RH_M1)
         pows2, ipows2 = _modpow_tables(_RH_B, max_n, _RH_M2)
+        per_pos: list[np.ndarray] = []
         for j, text in enumerate(texts):
             codes = np.frombuffer((text or "").encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
             n = len(codes)
@@ -836,12 +861,20 @@ def exact_substring_dedup(
                 continue
             h1 = _window_hashes(codes, window, pows1, ipows1, _RH_M1)
             h2 = _window_hashes(codes, window, pows2, ipows2, _RH_M2)
-            per_doc.append((h1 * np.uint64(_RH_M2) + h2).astype(np.int64))
-            cnts[j] = n - window + 1
+            wh = (h1 * np.uint64(_RH_M2) + h2).astype(np.int64)
+            if stride > 1:
+                sel = _winnow_select(wh, stride)
+                per_pos.append(sel)
+                wh = wh[sel]
+            per_doc.append(wh)
+            cnts[j] = len(wh)
         total = int(cnts.sum())
         idx = np.repeat(np.arange(len(texts), dtype=np.int64), cnts)
-        starts = np.concatenate([[0], np.cumsum(cnts)[:-1]])
-        poss = np.arange(total, dtype=np.int64) - np.repeat(starts, cnts)
+        if stride > 1:
+            poss = np.concatenate(per_pos) if per_pos else np.empty(0, dtype=np.int64)
+        else:
+            starts = np.concatenate([[0], np.cumsum(cnts)[:-1]])
+            poss = np.arange(total, dtype=np.int64) - np.repeat(starts, cnts)
         ids = b[id_col].take(pa.array(idx, pa.int64()))
         whs = np.concatenate(per_doc) if per_doc else np.empty(0, dtype=np.int64)
         return pa.table(

@@ -687,3 +687,58 @@ class TestBpeTrain:
         ds = ray.data.from_arrow(pa.table({"text": ["ab", "cd", "ef"]}))
         got = bpe_train(ds, n_merges=10, min_pair_freq=2)
         assert len(got) == 0  # every pair occurs once
+
+
+class TestSubstringDedupStride:
+    """Winnowed stride-sampling variant (the documented ExactSubstr scale
+    swap): ~1/stride of the probe offsets, content-defined selection."""
+
+    def _run(self, rows, window=32, stride=4):
+        from clawrag_ray.stages.curation import exact_substring_dedup
+
+        ds = ray.data.from_arrow(
+            pa.table({"doc_id": [r[0] for r in rows], "text": [r[1] for r in rows]})
+        ).repartition(3)
+        got = exact_substring_dedup(ds, window=window, stride=stride).to_pandas()
+        return dict(zip(got["doc_id"], got["text"])), dict(zip(got["doc_id"], got["n_removed"]))
+
+    def test_long_cross_doc_region_interior_cut(self, ray_session):
+        # shared region well above window + 2*(stride-1): interior of the
+        # SECOND copy must be cut; the first copy survives whole
+        import numpy as np
+
+        rng = np.random.RandomState(9)
+        shared = "".join(chr(33 + c) for c in rng.randint(0, 90, 200))  # non-periodic
+        rows = [(1, "head-A " + shared + " tail-A"), (2, "B " + shared + " longer tail B")]
+        texts, removed = self._run(rows)
+        assert texts[1] == rows[0][1]
+        assert removed[1] == 0 and removed[2] > 100
+        assert shared not in texts[2]
+
+    def test_stride_removals_subset_of_full(self, ray_session):
+        from clawrag_ray.stages.curation import exact_substring_dedup
+
+        body = "".join(chr(33 + (i * 7) % 90) for i in range(150))
+        rows = [(1, body + " xyz"), (2, "pre " + body), (3, "unrelated text entirely here")]
+        ds = ray.data.from_arrow(
+            pa.table({"doc_id": [r[0] for r in rows], "text": [r[1] for r in rows]})
+        ).repartition(2)
+        full = dict(
+            zip(*(lambda d: (d["doc_id"], d["n_removed"]))(
+                exact_substring_dedup(ds, window=32, stride=1).to_pandas()
+            ))
+        )
+        strided = dict(
+            zip(*(lambda d: (d["doc_id"], d["n_removed"]))(
+                exact_substring_dedup(ds, window=32, stride=4).to_pandas()
+            ))
+        )
+        for k in full:
+            assert strided[k] <= full[k]
+        assert strided[2] > 0  # the long duplicate is still caught
+
+    def test_short_duplicates_may_survive_but_unique_text_untouched(self, ray_session):
+        rows = [(1, "alpha bravo charlie delta echo"), (2, "zulu yankee xray whiskey victor")]
+        texts, removed = self._run(rows, window=8, stride=4)
+        assert removed[1] == 0 and removed[2] == 0
+        assert texts[1] == rows[0][1] and texts[2] == rows[1][1]
