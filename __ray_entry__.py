@@ -396,6 +396,65 @@ def _q_sequence_packing_bpe(sf_dir: str):
     return pack_sequences(toks, "doc_id", "n_tokens", budget=2048)
 
 
+def _q_user_spend_7d(sf_dir: str):
+    """TIME-window rolling aggregate (RANGE frame): each event's trailing
+    7-day spend per user — frame defined by timestamp distance with peers
+    included, unlike the ROWS-frame user_rolling_spend3. One
+    hash-partitioned shuffle; per-key frame sums are prefix-sum +
+    searchsorted (clawrag_ray/stages/relational.py grouped_range_sum)."""
+    import pyarrow.compute as pc
+
+    from clawrag_ray.stages.relational import grouped_range_sum
+
+    out = grouped_range_sum(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"]),
+        ["user_id"],
+        "ts",
+        "value",
+        preceding_us=7 * 24 * 3600 * 1_000_000,
+        out_col="spend_7d",
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "user_id": b["user_id"],
+                "spend_7d": pc.round(b["spend_7d"], ndigits=6),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_event_value_percent_rank(sf_dir: str):
+    """PERCENT_RANK() OVER (PARTITION BY event_type ORDER BY value) —
+    tie-aware min-rank normalization, deterministic without a tiebreak
+    column (grouped_rank method='percent_rank')."""
+    import pyarrow.compute as pc
+
+    from clawrag_ray.stages.relational import grouped_rank
+
+    out = grouped_rank(
+        _read(sf_dir, "events", ["event_id", "event_type", "value"]),
+        ["event_type"],
+        ["value"],
+        out_col="pct_rank",
+        method="percent_rank",
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "event_type": b["event_type"],
+                "pct_rank": pc.round(b["pct_rank"], ndigits=6),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_lang_quota_sample(sf_dir: str):
     """Data mixing: content-deterministic cap of 20 docs per language
     (md5(doc_id) order) — rebalances the skewed language mix reproducibly
@@ -1519,6 +1578,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges": _q_bpe_merges,
         "bpe_token_counts": _q_bpe_token_counts,
         "sequence_packing_bpe": _q_sequence_packing_bpe,
+        "user_spend_7d": _q_user_spend_7d,
+        "event_value_percent_rank": _q_event_value_percent_rank,
         # --- full r3 driver pass below this line ---
         "exact_dedup": _q_exact_dedup,
         "dedup_versions": _q_dedup_versions,
@@ -1926,6 +1987,14 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": _bpe_merges_sql(BPE_N_MERGES),
         "bpe_token_counts": _bpe_token_counts_sql(BPE_N_MERGES),
         "sequence_packing_bpe": _bpe_packing_sql(BPE_N_MERGES, 2048),
+        "user_spend_7d": (
+            "SELECT event_id, user_id, round(sum(value) OVER (PARTITION BY user_id ORDER BY ts "
+            "RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW), 6) AS spend_7d FROM events"
+        ),
+        "event_value_percent_rank": (
+            "SELECT event_id, event_type, round(percent_rank() OVER "
+            "(PARTITION BY event_type ORDER BY value), 6) AS pct_rank FROM events"
+        ),
         "lang_quota_sample": (
             "SELECT doc_id, lang FROM (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang "
             "ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT, doc_id) AS r "

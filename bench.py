@@ -87,6 +87,10 @@ TIMED_QUERIES = [
     "rrf_hybrid",
     "doc_embedding_near_dups",
     "extract_spans_text",
+    "bpe_token_counts",
+    "sequence_packing_bpe",
+    "user_spend_7d",
+    "event_value_percent_rank",
 ]
 
 

@@ -1454,6 +1454,18 @@ def grouped_rank(
         if method == "row_number":
             g[out_col] = rn + 1
             return g
+        if method in ("percent_rank", "cume_dist"):
+            # tie-aware, so ORDER BY a non-unique column is deterministic
+            # exactly like SQL: percent_rank = (RANK-1)/(n-1) with min-rank
+            # ties; cume_dist = peers-inclusive max-rank / n
+            c = grp[order_cols[0]].transform("size").to_numpy()
+            if method == "percent_rank":
+                rk = grp[order_cols[0]].rank(method="min").to_numpy()
+                g[out_col] = np.where(c > 1, (rk - 1) / np.maximum(c - 1, 1), 0.0)
+            else:
+                rk = grp[order_cols[0]].rank(method="max").to_numpy()
+                g[out_col] = rk / c
+            return g
         if method != "ntile":
             raise ValueError(f"unknown rank method: {method}")
         c = grp[order_cols[0]].transform("size").to_numpy()
@@ -1463,6 +1475,52 @@ def grouped_rank(
         g[out_col] = np.where(rn < cut, rn // np.maximum(q + 1, 1), r + (rn - cut) // small_q) + 1
         return g
 
+    return hash_partitioned_groups(ds, list(keys), per_part, num_partitions=num_partitions)
+
+
+def grouped_range_sum(
+    ds: Dataset,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    preceding_us: int,
+    out_col: str = "range_sum",
+    num_partitions: int = 64,
+) -> Dataset:
+    """SUM(value) OVER (PARTITION BY keys ORDER BY ts RANGE BETWEEN
+    ``preceding_us`` microseconds PRECEDING AND CURRENT ROW) — the
+    TIME-window rolling aggregate (trailing 7-day spend, rate limits),
+    distinct from the ROWS-frame grouped_rolling_sum: the frame is defined
+    by timestamp distance and includes ALL peers of the current ts.
+
+    Same one-shuffle hash-partitioned shape as the other window ops; per
+    key the frame sums are a vectorized prefix-sum + two searchsorted
+    calls (no per-row loop)."""
+    import numpy as np
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(list(keys) + [ts_col], kind="mergesort").reset_index(drop=True)
+        ts = g[ts_col].to_numpy()
+        ts = ts.astype("datetime64[us]").astype("int64") if ts.dtype.kind == "M" else ts.astype("int64")
+        vals = g[value_col].to_numpy(dtype=float)
+        out = np.empty(len(g), dtype=float)
+        # group boundaries from the sorted key columns (vectorized)
+        sizes = g.groupby(list(keys), sort=False, dropna=False)[value_col].transform("size").to_numpy()
+        start = 0
+        n = len(g)
+        while start < n:
+            end = start + int(sizes[start])
+            t = ts[start:end]
+            cum = np.concatenate([[0.0], np.cumsum(vals[start:end])])
+            lo = np.searchsorted(t, t - preceding_us, side="left")
+            hi = np.searchsorted(t, t, side="right")
+            out[start:end] = cum[hi] - cum[lo]
+            start = end
+        g[out_col] = out
+        return g
+
+    # no projection here: callers prune at the read, and carry-through
+    # columns (event ids) must survive like the other window ops
     return hash_partitioned_groups(ds, list(keys), per_part, num_partitions=num_partitions)
 
 

@@ -1275,3 +1275,45 @@ class TestAdviceRegressions:
         sb = _bounded_sample(b, 64)
         # same corpus, reversed row order and different blocks -> same matrix
         assert np.allclose(sa, sb)
+
+
+class TestRangeAndRankWindows:
+    def test_range_sum_includes_peers_and_window_edge(self, ray_session):
+        from clawrag_ray.stages.relational import grouped_range_sum
+
+        # ts in plain int64 "microseconds"; window = 10us
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "u": ["a"] * 5,
+                    "ts": pa.array([0, 5, 5, 11, 30], pa.int64()),
+                    "v": pa.array([1.0, 2.0, 3.0, 4.0, 5.0]),
+                }
+            )
+        ).repartition(2)
+        got = (
+            grouped_range_sum(ds, ["u"], "ts", "v", preceding_us=10, out_col="s")
+            .to_pandas()
+            .sort_values("ts")
+        )
+        # peers at ts=5 both see 1+2+3; ts=11 window [1,11] -> 2+3+4;
+        # ts=30 window [20,30] -> itself only
+        assert got["s"].tolist() == [1.0, 6.0, 6.0, 9.0, 5.0]
+
+    def test_cume_dist_and_percent_rank_ties(self, ray_session):
+        from clawrag_ray.stages.relational import grouped_rank
+
+        ds = ray.data.from_arrow(
+            pa.table({"k": ["x"] * 4, "v": pa.array([10.0, 20.0, 20.0, 40.0])})
+        ).repartition(2)
+        pr = grouped_rank(ds, ["k"], ["v"], out_col="r", method="percent_rank").to_pandas()
+        cd = grouped_rank(ds, ["k"], ["v"], out_col="r", method="cume_dist").to_pandas()
+        assert sorted(pr.sort_values("v")["r"].tolist()) == sorted([0.0, 1 / 3, 1 / 3, 1.0])
+        assert sorted(cd.sort_values("v")["r"].tolist()) == sorted([0.25, 0.75, 0.75, 1.0])
+
+    def test_percent_rank_single_row_group(self, ray_session):
+        from clawrag_ray.stages.relational import grouped_rank
+
+        ds = ray.data.from_arrow(pa.table({"k": ["solo"], "v": [7.0]}))
+        got = grouped_rank(ds, ["k"], ["v"], out_col="r", method="percent_rank").to_pandas()
+        assert got["r"].tolist() == [0.0]
