@@ -508,6 +508,24 @@ def _q_decontaminate(sf_dir: str):
     return decontaminate(docs, deterministic_sample(docs, "doc_id", 41, 0), shingle_k=8)
 
 
+def _q_decontaminate_distributed(sf_dir: str):
+    """Same decontamination rule with the CORPUS-SIZED eval-side path:
+    distributed shingle semi-join instead of a broadcast set — nothing
+    driver-sized (curation._decontaminate_distributed). Same oracle as
+    the broadcast path: the two must agree exactly."""
+    from clawrag_ray.stages.curation import decontaminate
+    from clawrag_ray.stages.relational import deterministic_sample
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return decontaminate(
+        docs,
+        deterministic_sample(docs, "doc_id", 41, 0),
+        shingle_k=8,
+        eval_side="distributed",
+        num_partitions=16,
+    )
+
+
 def _wrap_lines_fixture(df):
     """Shared nav/promo/footer multi-line fixture for the line-level ops
     (the flat synthetic docs carry no newlines): mirrored in SQL by
@@ -1580,6 +1598,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sequence_packing_bpe": _q_sequence_packing_bpe,
         "user_spend_7d": _q_user_spend_7d,
         "event_value_percent_rank": _q_event_value_percent_rank,
+        "decontaminate_distributed": _q_decontaminate_distributed,
         # --- full r3 driver pass below this line ---
         "exact_dedup": _q_exact_dedup,
         "dedup_versions": _q_dedup_versions,
@@ -1844,7 +1863,7 @@ _AMOUNT_RE = r"[0-9]{1,3}(?:[,.][0-9]{3})*(?:\.[0-9]{2})?\s?(?:€|\$|USD|EUR|GB
 
 def oracle_sql() -> dict[str, str]:
     step = CHUNK_SIZE - CHUNK_OVERLAP
-    return {
+    out = {
         "exact_dedup": "SELECT min(doc_id) AS keeper_doc_id, count(*) AS n_copies FROM documents GROUP BY text",
         "dedup_versions": (
             "SELECT doc_id, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS version, "
@@ -2550,3 +2569,7 @@ def oracle_sql() -> dict[str, str]:
         # replaying the HashEmbedder (md5 bucket + sign) and the canonical
         # cosine in SQL.
     }
+    # the distributed-eval path must agree exactly with the broadcast path,
+    # so it carries the SAME oracle
+    out["decontaminate_distributed"] = out["decontaminate"]
+    return out

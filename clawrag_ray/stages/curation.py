@@ -474,35 +474,54 @@ def synthesize_pii(ds: Dataset, id_col: str = "doc_id", text_col: str = "text") 
 # ---------------------------------------------------------------------------
 
 
+def _word_shingles(text: str, shingle_k: int) -> set:
+    """Distinct word-k-gram shingles; short texts fall back to the
+    whole-text shingle (shared rule with the Jaccard shingler)."""
+    words = re2_tokens((text or "").lower())
+    if len(words) < shingle_k:
+        return {" ".join(words)}
+    return {" ".join(words[i : i + shingle_k]) for i in range(len(words) - shingle_k + 1)}
+
+
 def decontaminate(
     ds: Dataset,
     eval_ds: Dataset,
     shingle_k: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    eval_side: str = "broadcast",
+    num_partitions: int = 64,
 ) -> Dataset:
     """Flag training docs that overlap an evaluation set by word-k-gram
     collision (the GPT-3 appendix-C decontamination rule, public
-    formulation; k=8 is the modern default). The eval side's distinct
-    shingles build once on the driver (eval sets are benchmark-sized —
-    thousands of docs — by construction, NOT corpus-sized) and broadcast
-    via ray.put; each training doc then counts its distinct shingles that
-    collide, all inside one map_batches pass. Output per doc:
-    n_shingles (distinct), n_contaminated, contamination_frac (round 6),
-    contaminated flag (any collision). Docs shorter than k words use the
-    whole-text fallback shingle (same rule as the Jaccard shingler).
+    formulation; k=8 is the modern default). Output per doc: n_shingles
+    (distinct), n_contaminated, contamination_frac (round 6), contaminated
+    flag (any collision). Docs shorter than k words use the whole-text
+    fallback shingle (same rule as the Jaccard shingler).
 
-    At a truly corpus-sized eval side, swap the broadcast set for the
-    distributed shingle-join the oracle mirrors (both sides explode to
-    (shingle, doc) rows, hash-join on shingle); the broadcast path is the
-    production shape for real benchmark suites."""
+    ``eval_side="broadcast"`` (default — the production shape for real
+    benchmark suites, which are thousands of docs by construction): the
+    eval side's distinct shingles build once on the driver and broadcast
+    via ray.put; each training doc counts its colliding shingles in one
+    map_batches pass.
+
+    ``eval_side="distributed"``: the corpus-sized-eval swap — NOTHING
+    driver-sized. Both sides explode to shingle rows; a distributed semi
+    join on shingle keeps the training (doc, shingle) rows that collide; a
+    grouped count per doc and a keyed left join against the per-doc totals
+    (computed map-only) produce the identical output. Use when the eval
+    side is itself a corpus (e.g. cross-corpus overlap screening)."""
     import ray
 
     def shingles(text: str) -> set:
-        words = re2_tokens((text or "").lower())
-        if len(words) < shingle_k:
-            return {" ".join(words)}
-        return {" ".join(words[i : i + shingle_k]) for i in range(len(words) - shingle_k + 1)}
+        return _word_shingles(text, shingle_k)
+
+    if eval_side == "distributed":
+        return _decontaminate_distributed(
+            ds, eval_ds, shingle_k, id_col, text_col, num_partitions
+        )
+    if eval_side != "broadcast":
+        raise ValueError(f"unknown eval_side: {eval_side}")
 
     eval_shingles: set = set()
     for b in eval_ds.select_columns([text_col]).iter_batches(batch_format="pyarrow"):
@@ -534,6 +553,86 @@ def decontaminate(
             )
 
     return ds.map_batches(Checker, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8))
+
+
+def _decontaminate_distributed(
+    ds: Dataset,
+    eval_ds: Dataset,
+    shingle_k: int,
+    id_col: str,
+    text_col: str,
+    num_partitions: int,
+) -> Dataset:
+    """Distributed-eval decontamination body (see decontaminate): shingle
+    explodes on both sides, one semi-join shuffle by shingle, one grouped
+    count by doc, one keyed left join against map-only per-doc totals."""
+    from clawrag_ray.stages.dedup import _keyed_join
+    from clawrag_ray.stages.relational import pre_aggregate, semi_join
+
+    def _hash_shingles(values: list) -> np.ndarray:
+        # 64-bit fingerprints instead of 8-word strings: ~10x less shuffle
+        # volume and int64 join keys (deterministic unsalted siphash —
+        # pd.util.hash_array; ~2^-64 collision odds per pair, the standard
+        # production trade for shingle joins)
+        return pd.util.hash_array(np.asarray(values, dtype=object)).astype(np.int64)
+
+    def explode_train(b: pa.Table) -> pa.Table:
+        ids_out, sh_out = [], []
+        for i, t in zip(b[id_col].to_pylist(), b[text_col].to_pylist()):
+            sh = _word_shingles(t, shingle_k)
+            ids_out.extend([i] * len(sh))
+            sh_out.extend(sh)
+        return pa.table(
+            {id_col: pa.array(ids_out, b[id_col].type), "sh": pa.array(_hash_shingles(sh_out), pa.int64())}
+        )
+
+    def explode_eval(b: pa.Table) -> pa.Table:
+        out: set = set()
+        for t in b[text_col].to_pylist():
+            out |= _word_shingles(t, shingle_k)
+        vals = sorted(out)
+        return pa.table({"sh": pa.array(_hash_shingles(vals), pa.int64())})
+
+    def totals_map(b: pa.Table) -> pa.Table:
+        n = [len(_word_shingles(t, shingle_k)) for t in b[text_col].to_pylist()]
+        return pa.table({id_col: b[id_col], "n_shingles": pa.array(n, pa.int64())})
+
+    train_rows = ds.select_columns([id_col, text_col]).map_batches(
+        explode_train, batch_format="pyarrow", zero_copy_batch=True
+    )
+    eval_rows = eval_ds.select_columns([text_col]).map_batches(
+        explode_eval, batch_format="pyarrow", zero_copy_batch=True
+    )
+    totals = ds.select_columns([id_col, text_col]).map_batches(
+        totals_map, batch_format="pyarrow", zero_copy_batch=True
+    )
+    hits = semi_join(train_rows, "sh", eval_rows, "sh", num_partitions=num_partitions)
+    per_doc = pre_aggregate(hits.select_columns([id_col]), [id_col], [], count_alias="n_contaminated")
+    per_doc = per_doc.map_batches(
+        lambda b: pa.table({"__d": b[id_col], "n_contaminated": pc.cast(b["n_contaminated"], pa.int64())}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    joined = _keyed_join(
+        totals, id_col, per_doc, "__d", ["n_contaminated"],
+        fill_values={"n_contaminated": 0}, num_partitions=num_partitions,
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        n_sh = b["n_shingles"].to_numpy(zero_copy_only=False)
+        n_hit = b["n_contaminated"].to_numpy(zero_copy_only=False)
+        frac = np.round(n_hit / np.maximum(n_sh, 1), 6)
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "n_shingles": b["n_shingles"],
+                "n_contaminated": b["n_contaminated"],
+                "contamination_frac": pa.array(frac, pa.float64()),
+                "contaminated": pa.array(n_hit > 0),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
 # ---------------------------------------------------------------------------

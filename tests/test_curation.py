@@ -742,3 +742,31 @@ class TestSubstringDedupStride:
         texts, removed = self._run(rows, window=8, stride=4)
         assert removed[1] == 0 and removed[2] == 0
         assert texts[1] == rows[0][1] and texts[2] == rows[1][1]
+
+
+class TestDecontaminateDistributed:
+    def test_distributed_equals_broadcast(self, ray_session):
+        from clawrag_ray.stages.curation import decontaminate
+
+        train = [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, "one two three four five six seven eight nine ten eleven"),
+            (3, "clean text with no overlap against anything evaluated today"),
+        ]
+        evals = [(100, "alpha beta gamma delta epsilon zeta eta theta extra tail")]
+        tds = ray.data.from_arrow(
+            pa.table({"doc_id": [r[0] for r in train], "text": [r[1] for r in train]})
+        ).repartition(2)
+        eds = ray.data.from_arrow(
+            pa.table({"doc_id": [r[0] for r in evals], "text": [r[1] for r in evals]})
+        )
+        a = decontaminate(tds, eds, shingle_k=8).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        b = (
+            decontaminate(tds, eds, shingle_k=8, eval_side="distributed")
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)[a.columns]
+        )
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+        assert bool(a.loc[a["doc_id"] == 1, "contaminated"].iloc[0])
+        assert not bool(a.loc[a["doc_id"] == 3, "contaminated"].iloc[0])
