@@ -508,6 +508,18 @@ def _q_decontaminate(sf_dir: str):
     return decontaminate(docs, deterministic_sample(docs, "doc_id", 41, 0), shingle_k=8)
 
 
+def _q_weighted_doc_sample(sf_dir: str):
+    """Deterministic weighted sampling without replacement (Efraimidis &
+    Spirakis): 200 docs drawn with probability proportional to n_chars —
+    the weighted data-mixing primitive. key = ln((md5(id)+1)/2^32)/w;
+    map-only keys, per-block prune, distributed sort-limit."""
+    from clawrag_ray.stages.curation import weighted_sample
+
+    return weighted_sample(
+        _read(sf_dir, "documents", ["doc_id", "n_chars"]), n=200, weight_col="n_chars"
+    )
+
+
 def _q_decontaminate_distributed(sf_dir: str):
     """Same decontamination rule with the CORPUS-SIZED eval-side path:
     distributed shingle semi-join instead of a broadcast set — nothing
@@ -1599,6 +1611,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_spend_7d": _q_user_spend_7d,
         "event_value_percent_rank": _q_event_value_percent_rank,
         "decontaminate_distributed": _q_decontaminate_distributed,
+        "weighted_doc_sample": _q_weighted_doc_sample,
         # --- full r3 driver pass below this line ---
         "exact_dedup": _q_exact_dedup,
         "dedup_versions": _q_dedup_versions,
@@ -2006,6 +2019,12 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": _bpe_merges_sql(BPE_N_MERGES),
         "bpe_token_counts": _bpe_token_counts_sql(BPE_N_MERGES),
         "sequence_packing_bpe": _bpe_packing_sql(BPE_N_MERGES, 2048),
+        "weighted_doc_sample": (
+            "SELECT doc_id, n_chars, round(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT + 1) "
+            "/ 4294967296.0) / n_chars, 6) AS es_key FROM documents WHERE n_chars > 0 "
+            "ORDER BY ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT + 1) / 4294967296.0) / n_chars DESC "
+            "LIMIT 200"
+        ),
         "user_spend_7d": (
             "SELECT event_id, user_id, round(sum(value) OVER (PARTITION BY user_id ORDER BY ts "
             "RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW), 6) AS spend_7d FROM events"

@@ -474,6 +474,57 @@ def synthesize_pii(ds: Dataset, id_col: str = "doc_id", text_col: str = "text") 
 # ---------------------------------------------------------------------------
 
 
+def weighted_sample(
+    ds: Dataset,
+    n: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    key_out: str = "es_key",
+    ndigits: int = 6,
+) -> Dataset:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006, public): each row gets key = ln(u)/w with
+    u = (md5_prefix_int(id) + 1) / 2^32 in (0, 1]; the n largest keys form
+    a weighted sample (selection probability proportional to weight,
+    exactly the E-S result with u standing in for the uniform draw). A
+    pure function of (id, weight) — reproducible across runs, cluster
+    layouts, and engines (the SQL oracle replays md5 + ln digit-for-digit).
+
+    Shape: map-only key computation (batched md5 digests), per-block
+    top-n prune (the global top-n is always inside the union of block
+    top-ns), then the distributed sort-limit over the n-x-blocks-bounded
+    candidate set. Rows with non-positive weight are excluded (E-S
+    requires w > 0; mirror with WHERE w > 0 in SQL)."""
+    import pyarrow.compute as pc_
+
+    from clawrag_ray.functions.kernels import md5_prefix_ints
+    from clawrag_ray.stages.relational import top_k
+
+    def add_key(b: pa.Table) -> pa.Table:
+        w = b[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        keep = w > 0
+        if not keep.all():
+            b = b.filter(pa.array(keep))
+            w = w[keep]
+        u = (md5_prefix_ints(b[id_col].to_pylist()).astype(np.float64) + 1.0) / 4294967296.0
+        key = np.log(u) / w
+        b = b.append_column(key_out, pa.array(key, pa.float64()))
+        if b.num_rows > n:  # block-local prune
+            idx = np.argpartition(key, -n)[-n:]
+            b = b.take(pa.array(np.sort(idx)))
+        return b
+
+    pruned = ds.map_batches(add_key, batch_format="pyarrow", zero_copy_batch=True)
+    picked = top_k(pruned, key_out, n, descending=True)
+
+    def finish(b: pa.Table) -> pa.Table:
+        return b.set_column(
+            b.schema.get_field_index(key_out), key_out, pc_.round(b[key_out], ndigits=ndigits)
+        )
+
+    return picked.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _word_shingles(text: str, shingle_k: int) -> set:
     """Distinct word-k-gram shingles; short texts fall back to the
     whole-text shingle (shared rule with the Jaccard shingler)."""

@@ -770,3 +770,27 @@ class TestDecontaminateDistributed:
         pd.testing.assert_frame_equal(a, b, check_dtype=False)
         assert bool(a.loc[a["doc_id"] == 1, "contaminated"].iloc[0])
         assert not bool(a.loc[a["doc_id"] == 3, "contaminated"].iloc[0])
+
+
+class TestWeightedSample:
+    def test_layout_invariant_and_weight_biased(self, ray_session):
+        from clawrag_ray.stages.curation import weighted_sample
+
+        # 200 light docs (w=1) + 50 heavy docs (w=100): a 50-doc sample
+        # must be dominated by heavy docs, and identical across layouts
+        ids = list(range(250))
+        w = [1] * 200 + [100] * 50
+        t = pa.table({"doc_id": pa.array(ids, pa.int64()), "w": pa.array(w, pa.int64())})
+        a = weighted_sample(ray.data.from_arrow(t).repartition(2), 50, "w").to_pandas()
+        b = weighted_sample(ray.data.from_arrow(t).repartition(7), 50, "w").to_pandas()
+        sa = set(a["doc_id"]); sb = set(b["doc_id"])
+        assert sa == sb and len(sa) == 50
+        heavy = sum(1 for d in sa if d >= 200)
+        assert heavy >= 35  # strong weight bias (deterministic given md5 keys)
+
+    def test_nonpositive_weights_excluded(self, ray_session):
+        from clawrag_ray.stages.curation import weighted_sample
+
+        t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()), "w": pa.array([0, -5, 7], pa.int64())})
+        got = weighted_sample(ray.data.from_arrow(t), 3, "w").to_pandas()
+        assert got["doc_id"].tolist() == [3]
