@@ -508,6 +508,31 @@ def _q_decontaminate(sf_dir: str):
     return decontaminate(docs, deterministic_sample(docs, "doc_id", 41, 0), shingle_k=8)
 
 
+def _q_event_value_hour_corr(sf_dir: str):
+    """Pearson correlation of event value vs UTC hour-of-day per
+    event_type — partial-aggregate shape: six numbers per key per block
+    shuffle, closed-form finish (grouped_corr). The oracle replays the
+    identical sum-of-squares formula so rounding agrees (corr()'s Welford
+    accumulation differs in low digits)."""
+    import pyarrow.compute as pc
+
+    from clawrag_ray.stages.relational import grouped_corr
+
+    def add_hour(b: pa.Table) -> pa.Table:
+        # hour-of-day = (us // 1h) % 24, spelled h - (h // 24) * 24 because
+        # pyarrow.compute has no integer modulo kernel
+        h = pc.divide(pc.cast(b["ts"], pa.int64()), pa.scalar(3_600_000_000, pa.int64()))
+        hour = pc.subtract(h, pc.multiply(pc.divide(h, pa.scalar(24, pa.int64())), pa.scalar(24, pa.int64())))
+        return pa.table(
+            {"event_type": b["event_type"], "value": b["value"], "hour": pc.cast(hour, pa.float64())}
+        )
+
+    hours = _read(sf_dir, "events", ["event_type", "ts", "value"]).map_batches(
+        add_hour, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return grouped_corr(hours, ["event_type"], "value", "hour")
+
+
 def _q_weighted_doc_sample(sf_dir: str):
     """Deterministic weighted sampling without replacement (Efraimidis &
     Spirakis): 200 docs drawn with probability proportional to n_chars —
@@ -1612,6 +1637,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_percent_rank": _q_event_value_percent_rank,
         "decontaminate_distributed": _q_decontaminate_distributed,
         "weighted_doc_sample": _q_weighted_doc_sample,
+        "event_value_hour_corr": _q_event_value_hour_corr,
         # --- full r3 driver pass below this line ---
         "exact_dedup": _q_exact_dedup,
         "dedup_versions": _q_dedup_versions,
@@ -2019,6 +2045,13 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": _bpe_merges_sql(BPE_N_MERGES),
         "bpe_token_counts": _bpe_token_counts_sql(BPE_N_MERGES),
         "sequence_packing_bpe": _bpe_packing_sql(BPE_N_MERGES, 2048),
+        "event_value_hour_corr": (
+            "WITH h AS (SELECT event_type, value AS x, extract(hour FROM ts)::DOUBLE AS y FROM events), "
+            "s AS (SELECT event_type, count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy, "
+            "sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy FROM h GROUP BY 1) "
+            "SELECT event_type, n::BIGINT AS n, round((n * sxy - sx * sy) / "
+            "(sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr FROM s"
+        ),
         "weighted_doc_sample": (
             "SELECT doc_id, n_chars, round(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT + 1) "
             "/ 4294967296.0) / n_chars, 6) AS es_key FROM documents WHERE n_chars > 0 "

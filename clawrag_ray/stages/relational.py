@@ -1524,6 +1524,75 @@ def grouped_range_sum(
     return hash_partitioned_groups(ds, list(keys), per_part, num_partitions=num_partitions)
 
 
+def grouped_corr(
+    ds: Dataset,
+    keys: list[str],
+    x_col: str,
+    y_col: str,
+    out_col: str = "corr",
+    ndigits: int = 6,
+) -> Dataset:
+    """Pearson correlation per group — the profiling aggregate under
+    feature-drift and quality dashboards. Pure partial-aggregate shape:
+    each block folds to per-key (n, Σx, Σy, Σxy, Σx², Σy²) with one Arrow
+    group_by (six numbers per key per block — the only thing that
+    shuffles), a grouped Sum reduces, and the closed form
+    (nΣxy − ΣxΣy) / √(nΣx² − (Σx)²) / √(nΣy² − (Σy)²) finishes map-side.
+    Zero-variance groups yield NULL (SQL corr() semantics). Oracles should
+    replay the identical sum-of-squares formula (not corr(), whose
+    Welford-style accumulation differs in low digits)."""
+    import numpy as np
+
+    def partial(b: pa.Table) -> pa.Table:
+        x = pc.cast(b[x_col], pa.float64())
+        y = pc.cast(b[y_col], pa.float64())
+        t = pa.table(
+            {
+                **{k: b[k] for k in keys},
+                "x": x,
+                "y": y,
+                "xy": pc.multiply(x, y),
+                "xx": pc.multiply(x, x),
+                "yy": pc.multiply(y, y),
+            }
+        )
+        g = t.group_by(keys).aggregate(
+            [("x", "sum"), ("y", "sum"), ("xy", "sum"), ("xx", "sum"), ("yy", "sum"), ("x", "count")]
+        )
+        return g.rename_columns(list(keys) + ["sx", "sy", "sxy", "sxx", "syy", "pn"])
+
+    partials = ds.select_columns(list(keys) + [x_col, y_col]).map_batches(
+        partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+    agg = partials.groupby(keys[0] if len(keys) == 1 else list(keys)).aggregate(
+        Sum("sx", alias_name="sx"),
+        Sum("sy", alias_name="sy"),
+        Sum("sxy", alias_name="sxy"),
+        Sum("sxx", alias_name="sxx"),
+        Sum("syy", alias_name="syy"),
+        Sum("pn", alias_name="n"),
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = b["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = b["sx"].to_numpy(zero_copy_only=False)
+        sy = b["sy"].to_numpy(zero_copy_only=False)
+        sxy = b["sxy"].to_numpy(zero_copy_only=False)
+        sxx = b["sxx"].to_numpy(zero_copy_only=False)
+        syy = b["syy"].to_numpy(zero_copy_only=False)
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        ok = (vx > 0) & (vy > 0)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            r = np.where(ok, (n * sxy - sx * sy) / (np.sqrt(vx) * np.sqrt(vy)), np.nan)
+        cols = {k: b[k] for k in keys}
+        cols["n"] = pc.cast(b["n"], pa.int64())
+        cols[out_col] = pa.array(np.round(r, ndigits), pa.float64(), from_pandas=True)
+        return pa.table(cols)
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def heavy_hitters(
     ds: Dataset,
     key_col: str,

@@ -1317,3 +1317,31 @@ class TestRangeAndRankWindows:
         ds = ray.data.from_arrow(pa.table({"k": ["solo"], "v": [7.0]}))
         got = grouped_rank(ds, ["k"], ["v"], out_col="r", method="percent_rank").to_pandas()
         assert got["r"].tolist() == [0.0]
+
+
+class TestGroupedCorr:
+    def test_matches_numpy_corrcoef(self, ray_session):
+        from clawrag_ray.stages.relational import grouped_corr
+
+        rng = np.random.RandomState(11)
+        x = rng.standard_normal(400)
+        y = 0.6 * x + 0.4 * rng.standard_normal(400)
+        t = pa.table(
+            {
+                "k": pa.array(["a"] * 200 + ["b"] * 200),
+                "x": pa.array(np.concatenate([x[:200], x[200:]])),
+                "y": pa.array(np.concatenate([y[:200], -y[200:]])),
+            }
+        )
+        got = grouped_corr(ray.data.from_arrow(t).repartition(4), ["k"], "x", "y").to_pandas()
+        ra = np.corrcoef(x[:200], y[:200])[0, 1]
+        rb = np.corrcoef(x[200:], -y[200:])[0, 1]
+        assert abs(got.set_index("k").loc["a", "corr"] - round(ra, 6)) < 2e-6
+        assert abs(got.set_index("k").loc["b", "corr"] - round(rb, 6)) < 2e-6
+
+    def test_zero_variance_is_null(self, ray_session):
+        from clawrag_ray.stages.relational import grouped_corr
+
+        t = pa.table({"k": ["c"] * 3, "x": [1.0, 1.0, 1.0], "y": [1.0, 2.0, 3.0]})
+        got = grouped_corr(ray.data.from_arrow(t), ["k"], "x", "y").to_pandas()
+        assert got["corr"].isna().all()
