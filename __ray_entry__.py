@@ -533,6 +533,16 @@ def _q_event_value_hour_corr(sf_dir: str):
     return grouped_corr(hours, ["event_type"], "value", "hour")
 
 
+def _q_tfidf_topk(sf_dir: str):
+    """TF-IDF (ltc) cosine retrieval top-10 for the shared lexical query —
+    the second lexical ranker next to BM25 (true vector cosine vs BM25's
+    dl/avgdl saturation). One tokenize pass; idf joins back via the
+    distributed keyed join; norms/dots are grouped sums (bm25.tfidf_topk)."""
+    from clawrag_ray.stages.bm25 import tfidf_topk
+
+    return tfidf_topk(_read(sf_dir, "documents", ["doc_id", "text"]), BM25_QUERY, k=10)
+
+
 def _q_weighted_doc_sample(sf_dir: str):
     """Deterministic weighted sampling without replacement (Efraimidis &
     Spirakis): 200 docs drawn with probability proportional to n_chars —
@@ -1638,6 +1648,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_distributed": _q_decontaminate_distributed,
         "weighted_doc_sample": _q_weighted_doc_sample,
         "event_value_hour_corr": _q_event_value_hour_corr,
+        "tfidf_topk": _q_tfidf_topk,
         # --- full r3 driver pass below this line ---
         "exact_dedup": _q_exact_dedup,
         "dedup_versions": _q_dedup_versions,
@@ -2045,6 +2056,22 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": _bpe_merges_sql(BPE_N_MERGES),
         "bpe_token_counts": _bpe_token_counts_sql(BPE_N_MERGES),
         "sequence_packing_bpe": _bpe_packing_sql(BPE_N_MERGES, 2048),
+        "tfidf_topk": (
+            "WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS t FROM documents), "
+            "tf AS (SELECT doc_id, t, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2), "
+            "df AS (SELECT t, count(*)::DOUBLE AS df FROM tf GROUP BY 1), "
+            "nn AS (SELECT count(*)::DOUBLE AS n FROM documents), "
+            "comp AS (SELECT tf.doc_id, tf.t, (1 + ln(tf.tf)) * ln(nn.n / df.df) AS c "
+            "FROM tf JOIN df USING (t) CROSS JOIN nn), "
+            "nrm AS (SELECT doc_id, sqrt(sum(c * c)) AS nrm FROM comp GROUP BY 1), "
+            f"q AS (SELECT DISTINCT unnest({BM25_QUERY.split()!r}) AS t), "
+            "qw AS (SELECT q.t, ln(nn.n / df.df) AS w FROM q JOIN df USING (t) CROSS JOIN nn), "
+            "qn AS (SELECT sqrt(sum(w * w)) AS qn FROM qw), "
+            "dot AS (SELECT comp.doc_id, sum(comp.c * qw.w) AS dot FROM comp JOIN qw USING (t) GROUP BY 1) "
+            "SELECT dot.doc_id, round(dot.dot / (nrm.nrm * qn.qn), 6) AS score "
+            "FROM dot JOIN nrm USING (doc_id) CROSS JOIN qn "
+            "ORDER BY dot.dot / (nrm.nrm * qn.qn) DESC, dot.doc_id LIMIT 10"
+        ),
         "event_value_hour_corr": (
             "WITH h AS (SELECT event_type, value AS x, extract(hour FROM ts)::DOUBLE AS y FROM events), "
             "s AS (SELECT event_type, count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy, "

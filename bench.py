@@ -91,6 +91,10 @@ TIMED_QUERIES = [
     "sequence_packing_bpe",
     "user_spend_7d",
     "event_value_percent_rank",
+    "tfidf_topk",
+    "weighted_doc_sample",
+    "event_value_hour_corr",
+    "decontaminate_distributed",
 ]
 
 

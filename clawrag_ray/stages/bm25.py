@@ -298,3 +298,96 @@ def inverted_index(ds: Dataset, id_col: str = "doc_id", text_col: str = "text", 
         )
 
     return hash_partitioned_groups(tok, ["token"], per_part, num_partitions=num_partitions)
+
+
+def tfidf_topk(
+    ds: Dataset,
+    query: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pd.DataFrame:
+    """TF-IDF cosine retrieval (the classic ltc weighting — Salton &
+    Buckley 1988, public): doc component c(t,d) = (1 + ln tf) * ln(N/df),
+    doc norm = sqrt(sum c^2) over ALL its terms, query weight = ln(N/df)
+    per distinct query token, score = dot / (|d| * |q|). The second
+    lexical ranker next to BM25 (true vector cosine vs BM25's dl/avgdl
+    saturation).
+
+    Distributed shape (the bm25_topk layout): document frequencies are ONE
+    vocabulary-sized two-level aggregate whose result broadcasts via
+    ray.put (vocab state, like the BM25 IDF table — fine up to ~10^7-token
+    vocabularies; beyond that swap the broadcast for a keyed join by
+    token, trading one corpus shuffle for the vocab memory). Scoring is
+    then MAP-ONLY: docs arrive whole per row, so per-doc tf, component
+    vector, norm, and query dot all compute inside the batch; each block
+    emits only its local top-k and the final sort-limit reduces the
+    k-x-blocks candidate set. Two shuffles total (df aggregate + top-k)."""
+    import ray
+
+    import pyarrow.compute as pc
+    from clawrag_ray.stages.relational import pre_aggregate
+
+    n_docs = ds.count()
+
+    def presence(b: pa.Table) -> pa.Table:
+        # distinct (doc, token) presence partials for DF
+        lst = pc.split_pattern_regex(pc.utf8_lower(b[text_col]), pattern=r"\s+")
+        lst = lst.combine_chunks() if isinstance(lst, pa.ChunkedArray) else lst
+        idx = pc.list_parent_indices(lst)
+        t = pa.table({"__i": idx, "token": lst.values})
+        t = t.filter(pc.not_equal(t["token"], ""))
+        g = t.group_by(["__i", "token"]).aggregate([]).group_by("token").aggregate([("__i", "count")])
+        return g.rename_columns(["token", "p"])
+
+    df = (
+        ds.select_columns([text_col])
+        .map_batches(presence, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+        .groupby("token")
+        .aggregate(Sum("p", alias_name="df"))
+        .to_pandas()
+    )  # vocabulary-sized, the bm25_idf_table precedent
+    idf = dict(zip(df["token"], np.log(float(n_docs) / df["df"].to_numpy(dtype=np.float64))))
+    q_tokens = sorted({t for t in re.split(r"\s+", query.lower()) if t})
+    q_w = {t: idf[t] for t in q_tokens if t in idf}
+    q_norm = float(np.sqrt(sum(w * w for w in q_w.values()))) or 1.0
+    idf_ref = ray.put(idf)
+    qw_ref = ray.put(q_w)
+
+    class Scorer:
+        def __init__(self):
+            self.idf = ray.get(idf_ref)
+            self.qw = ray.get(qw_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            ids_out, scores = [], []
+            for did, text in zip(b[id_col].to_pylist(), b[text_col].to_pylist()):
+                counts: dict[str, int] = {}
+                for t in (text or "").lower().split():
+                    counts[t] = counts.get(t, 0) + 1
+                if not counts:
+                    continue
+                norm2 = dot = 0.0
+                for t, tf_ in counts.items():
+                    c = (1.0 + math.log(tf_)) * self.idf[t]
+                    norm2 += c * c
+                    w = self.qw.get(t)
+                    if w is not None:
+                        dot += c * w
+                if dot > 0 and norm2 > 0:
+                    ids_out.append(did)
+                    scores.append(dot / (math.sqrt(norm2) * q_norm))
+            t = pa.table({id_col: pa.array(ids_out, b[id_col].type), "score": pa.array(scores, pa.float64())})
+            if t.num_rows > k:  # block-local prune
+                arr = np.asarray(scores)
+                keep = np.argpartition(arr, -k)[-k:]
+                t = t.take(pa.array(np.sort(keep)))
+            return t
+
+    cands = ds.select_columns([id_col, text_col]).map_batches(
+        Scorer, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8)
+    )
+    out = cands.to_pandas()
+    out = out.sort_values(["score", id_col], ascending=[False, True], kind="mergesort").head(k)
+    out["score"] = np.round(out["score"], 6)
+    return out.reset_index(drop=True)

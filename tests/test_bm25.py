@@ -115,3 +115,49 @@ class TestInvertedIndex:
         assert got.loc["alpha", "postings"] == "2,3" and got.loc["alpha", "df"] == 2
         assert got.loc["beta", "postings"] == "1,3"  # tf>1 still one posting
         assert got.loc["gamma", "postings"] == "1" and got.loc["gamma", "df"] == 1
+
+
+class TestTfIdfTopK:
+    def test_matches_local_ltc_cosine(self, ray_session):
+        import math
+
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from clawrag_ray.stages.bm25 import tfidf_topk
+
+        docs = [
+            (1, "spark merge window value spark"),
+            (2, "merge value value other words here"),
+            (3, "completely unrelated text body"),
+            (4, "window window window spark"),
+        ]
+        ds = ray.data.from_arrow(
+            pa.table({"doc_id": [d[0] for d in docs], "text": [d[1] for d in docs]})
+        ).repartition(2)
+        got = tfidf_topk(ds, "spark merge window value", k=3)
+        # local replay
+        tf = {d: {} for d, _ in docs}
+        for d, t in docs:
+            for w in t.split():
+                tf[d][w] = tf[d].get(w, 0) + 1
+        df = {}
+        for d, _ in docs:
+            for w in tf[d]:
+                df[w] = df.get(w, 0) + 1
+        n = len(docs)
+        idf = {w: math.log(n / c) for w, c in df.items()}
+        q = ["merge", "spark", "value", "window"]
+        qw = {w: idf[w] for w in q if w in idf}
+        qn = math.sqrt(sum(v * v for v in qw.values()))
+        want = []
+        for d, _ in docs:
+            comp = {w: (1 + math.log(c)) * idf[w] for w, c in tf[d].items()}
+            nrm = math.sqrt(sum(v * v for v in comp.values()))
+            dot = sum(comp.get(w, 0.0) * qw[w] for w in qw)
+            if dot > 0:
+                want.append((d, round(dot / (nrm * qn), 6)))
+        want.sort(key=lambda x: (-x[1], x[0]))
+        got_pairs = list(zip(got["doc_id"], got["score"]))
+        assert got_pairs == want[:3]
