@@ -668,9 +668,57 @@ def embedding_near_dup_pairs_lsh(
         .groupby(["vec_a", "vec_b"])
         .aggregate(Count(alias_name="_n"))
         .drop_columns(["_n"])
-        .to_pandas()
     )
-    if pairs.empty:
+    # DISTRIBUTED exact verify: the candidate pair set is NOT
+    # driver-bounded (a short band on a correlated corpus can emit near-n^2
+    # candidates), so each leg's vector rides a keyed join instead of a
+    # driver dict; the cosine is a vectorized row-wise dot per partition.
+    from clawrag_ray.stages.dedup import _keyed_join
+
+    # vectors ride the join as packed float64 BYTES: binary scalars survive
+    # the join's pandas round-trip losslessly (list/tensor columns do not —
+    # empty partitions re-infer their type) and decode with one frombuffer
+    def _packed(key_out: str, emb_out: str):
+        def pack(b: pa.Table) -> pa.Table:
+            packed = [
+                np.asarray(v, dtype=np.float64).tobytes() for v in b["embedding"].to_pylist()
+            ]
+            return pa.table({key_out: b["vec_id"], emb_out: pa.array(packed, pa.binary())})
+
+        return pack
+
+    vec_a_side = ds.select_columns(["vec_id", "embedding"]).map_batches(
+        _packed("__va", "emb_a"), batch_format="pyarrow", zero_copy_batch=True
+    )
+    vec_b_side = ds.select_columns(["vec_id", "embedding"]).map_batches(
+        _packed("__vb", "emb_b"), batch_format="pyarrow", zero_copy_batch=True
+    )
+    joined = _keyed_join(pairs, "vec_a", vec_a_side, "__va", ["emb_a"])
+    joined = _keyed_join(joined, "vec_b", vec_b_side, "__vb", ["emb_b"])
+
+    def verify(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "vec_a": pa.array([], pa.int64()),
+                    "vec_b": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
+        ma = _normalize(np.stack([np.frombuffer(x, dtype=np.float64) for x in b["emb_a"].to_pylist()]))
+        mb = _normalize(np.stack([np.frombuffer(x, dtype=np.float64) for x in b["emb_b"].to_pylist()]))
+        cos = np.round((ma * mb).sum(axis=1), 6)
+        keep = cos >= threshold
+        return pa.table(
+            {
+                "vec_a": pa.array(b["vec_a"].to_numpy(zero_copy_only=False)[keep].astype(np.int64)),
+                "vec_b": pa.array(b["vec_b"].to_numpy(zero_copy_only=False)[keep].astype(np.int64)),
+                "cosine": pa.array(cos[keep], pa.float64()),
+            }
+        )
+
+    out = joined.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    if out.empty:
         return pd.DataFrame(
             {
                 "vec_a": pd.Series([], dtype="int64"),
@@ -678,22 +726,6 @@ def embedding_near_dup_pairs_lsh(
                 "cosine": pd.Series([], dtype="float64"),
             }
         )
-    cand_ids = set(pairs["vec_a"]) | set(pairs["vec_b"])
-
-    def vecs_of(batch: pa.Table) -> pa.Table:
-        mask = pa.compute.is_in(batch["vec_id"], value_set=pa.array(list(cand_ids), pa.int64()))
-        return batch.filter(mask)
-
-    cand = (
-        ds.select_columns(["vec_id", "embedding"])
-        .map_batches(vecs_of, batch_format="pyarrow", zero_copy_batch=True)
-        .to_pandas()
-    )
-    lookup = dict(zip(cand["vec_id"], (np.asarray(v, dtype=np.float64) for v in cand["embedding"])))
-    norm = {k: v / (np.linalg.norm(v) or 1.0) for k, v in lookup.items()}
-    cos = np.array([float(norm[a] @ norm[b]) for a, b in zip(pairs["vec_a"], pairs["vec_b"])])
-    pairs = pairs.assign(cosine=np.round(cos, 6))
-    out = pairs[pairs["cosine"] >= threshold]
     return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
 
 
