@@ -533,6 +533,20 @@ def _q_event_value_hour_corr(sf_dir: str):
     return grouped_corr(hours, ["event_type"], "value", "hour")
 
 
+def _q_reranked_topk(sf_dir: str):
+    """Two-stage retrieval (the reference's reranker slot,
+    backend/src/core/retrievers/reranker.py:18): BM25 top-50 candidates
+    reranked by the deterministic HashEmbedder cosine stand-in (canonical
+    dot/(|a||q|) over integer raw counts — exactly SQL-replayable), top-10
+    out. model_path= plugs a real cross-encoder per actor."""
+    from clawrag_ray.stages.bm25 import bm25_topk
+    from clawrag_ray.stages.retrieval import rerank_topk
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    cands = bm25_topk(docs, BM25_QUERY, k=50)
+    return rerank_topk(docs, cands["doc_id"].tolist(), BM25_QUERY, k=10)
+
+
 def _q_tfidf_topk(sf_dir: str):
     """TF-IDF (ltc) cosine retrieval top-10 for the shared lexical query —
     the second lexical ranker next to BM25 (true vector cosine vs BM25's
@@ -1649,6 +1663,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_doc_sample": _q_weighted_doc_sample,
         "event_value_hour_corr": _q_event_value_hour_corr,
         "tfidf_topk": _q_tfidf_topk,
+        "reranked_topk": _q_reranked_topk,
         # --- full r3 driver pass below this line ---
         "exact_dedup": _q_exact_dedup,
         "dedup_versions": _q_dedup_versions,
@@ -2056,6 +2071,23 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": _bpe_merges_sql(BPE_N_MERGES),
         "bpe_token_counts": _bpe_token_counts_sql(BPE_N_MERGES),
         "sequence_packing_bpe": _bpe_packing_sql(BPE_N_MERGES, 2048),
+        "reranked_topk": (
+            _BM25_SCORE_CTE + ", "
+            "cand AS (SELECT doc_id FROM sc QUALIFY row_number() OVER (ORDER BY score DESC, doc_id) <= 50), "
+            "dtok AS (SELECT d.doc_id, unnest(regexp_extract_all(lower(d.text), '\\S+')) AS t "
+            "FROM documents d JOIN cand USING (doc_id)), "
+            "dvec AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::UBIGINT % 64 AS bucket, sum(CASE WHEN ('0x' || substr(md5(t), 9, 2))::UBIGINT & 1 = 1 THEN 1.0 ELSE -1.0 END) AS sval FROM dtok GROUP BY 1, 2), "
+            "dn AS (SELECT doc_id, sqrt(sum(sval * sval)) AS n FROM dvec GROUP BY 1), "
+            f"qtok AS (SELECT unnest(regexp_extract_all(lower('{BM25_QUERY}'), '\\S+')) AS t), "
+            "qvec AS (SELECT ('0x' || substr(md5(t), 1, 8))::UBIGINT % 64 AS bucket, sum(CASE WHEN ('0x' || substr(md5(t), 9, 2))::UBIGINT & 1 = 1 THEN 1.0 ELSE -1.0 END) AS sval FROM qtok GROUP BY 1), "
+            "qn AS (SELECT sqrt(sum(sval * sval)) AS n FROM qvec), "
+            "dotp AS (SELECT dv.doc_id, sum(dv.sval * qv.sval) AS dot FROM dvec dv JOIN qvec qv USING (bucket) GROUP BY 1), "
+            "scored AS (SELECT c.doc_id, round(CASE WHEN coalesce(dn.n, 0) = 0 OR qn.n = 0 THEN 0.0 "
+            "ELSE coalesce(dotp.dot, 0) / (dn.n * qn.n) END, 6) AS rerank_score "
+            "FROM cand c LEFT JOIN dn USING (doc_id) LEFT JOIN dotp USING (doc_id) CROSS JOIN qn) "
+            "SELECT doc_id, rerank_score FROM scored "
+            "QUALIFY row_number() OVER (ORDER BY rerank_score DESC, doc_id) <= 10"
+        ),
         "tfidf_topk": (
             "WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS t FROM documents), "
             "tf AS (SELECT doc_id, t, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2), "

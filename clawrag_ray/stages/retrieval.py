@@ -70,3 +70,78 @@ def weighted_fuse(
         norm = pd.Series(1.0, index=s.index) if hi == lo else (s - lo) / (hi - lo)
         parts.append(pd.DataFrame({"doc_id": r["doc_id"], "c": w * norm}))
     return _fuse(parts, "fused_score", top)
+
+
+def rerank_topk(
+    ds,
+    candidate_ids,
+    query: str,
+    k: int = 10,
+    dim: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    model_path: str | None = None,
+    ndigits: int = 6,
+) -> pd.DataFrame:
+    """Second-stage reranker over a BOUNDED candidate list (the reference's
+    reranker slot, backend/src/core/retrievers/reranker.py:18 — its model
+    call is non-deterministic, so the engine ships a deterministic
+    HashEmbedder-cosine stand-in with a ``model_path`` plug point: a Python
+    file defining ``rerank_scores(query: str, texts: list[str]) ->
+    array-like`` swaps in a real cross-encoder per actor).
+
+    Stand-in scoring mirrors reference/chunkers.semantic_split's canonical
+    cosine: dot/(|a|·|q|) over INTEGER-valued raw hash-bucket counts — every
+    dot and norm exact in float64, so the DuckDB oracle replays it
+    digit-for-digit. Zero-norm sides score 0.0.
+
+    Shape: candidates are top-k output (k rows by construction), so the
+    candidate filter broadcasts the id set into one map pass over the
+    corpus; scoring runs in the same actor pool (embedder state in
+    __init__); only candidate rows come back. Returns (doc_id, rerank_score)
+    sorted by (score desc, doc_id asc), head(k)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from clawrag_ray.stages.embed import HashEmbedder
+
+    ids_ref = ray.put(pa.array(sorted(int(i) for i in candidate_ids), pa.int64()))
+
+    class Rerank:
+        def __init__(self):
+            self.ids = ray.get(ids_ref)
+            self.plug = None
+            if model_path:
+                from clawrag_ray.functions.kernels import load_kernel
+
+                self.plug = load_kernel(model_path, "rerank_scores")
+            self.emb = HashEmbedder(dim=dim)
+            self.q_raw = self.emb.embed_raw(query)
+            self.q_norm = float(np.linalg.norm(self.q_raw))
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            b = b.filter(pc.is_in(b[id_col], value_set=self.ids))
+            texts = [t or "" for t in b[text_col].to_pylist()]
+            if self.plug is not None:
+                scores = np.asarray(self.plug(query, texts), dtype=np.float64)
+            else:
+                scores = np.empty(len(texts))
+                for i, t in enumerate(texts):
+                    d = self.emb.embed_raw(t)
+                    dn = float(np.linalg.norm(d))
+                    scores[i] = (
+                        float(d @ self.q_raw) / (dn * self.q_norm) if dn and self.q_norm else 0.0
+                    )
+            return pa.table(
+                {id_col: b[id_col], "rerank_score": pa.array(np.round(scores, ndigits), pa.float64())}
+            )
+
+    out = (
+        ds.select_columns([id_col, text_col])
+        .map_batches(Rerank, batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 8))
+        .to_pandas()
+    )
+    out = out.sort_values(["rerank_score", id_col], ascending=[False, True], kind="mergesort")
+    return out.head(k).reset_index(drop=True)

@@ -161,3 +161,43 @@ class TestTfIdfTopK:
         want.sort(key=lambda x: (-x[1], x[0]))
         got_pairs = list(zip(got["doc_id"], got["score"]))
         assert got_pairs == want[:3]
+
+
+class TestRerankTopK:
+    def test_standin_cosine_and_plug(self, ray_session, tmp_path):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from clawrag_ray.stages.embed import HashEmbedder
+        from clawrag_ray.stages.retrieval import rerank_topk
+
+        docs = [
+            (1, "spark merge window value"),
+            (2, "value value value other"),
+            (3, "nothing shared at all"),
+        ]
+        ds = ray.data.from_arrow(
+            pa.table({"doc_id": [d[0] for d in docs], "text": [d[1] for d in docs]})
+        ).repartition(2)
+        got = rerank_topk(ds, [1, 2, 3], "spark merge window value", k=3)
+        emb = HashEmbedder()
+        q = emb.embed_raw("spark merge window value")
+        want = []
+        for d, t in docs:
+            v = emb.embed_raw(t)
+            dn, qn = np.linalg.norm(v), np.linalg.norm(q)
+            want.append((d, round(float(v @ q) / (dn * qn) if dn and qn else 0.0, 6)))
+        want.sort(key=lambda x: (-x[1], x[0]))
+        assert list(zip(got["doc_id"], got["rerank_score"])) == want
+        assert got["doc_id"].iloc[0] == 1  # exact query text ranks first
+
+        plug = tmp_path / "ce.py"
+        plug.write_text(
+            "def rerank_scores(query, texts):\n"
+            "    return [float(len(t)) for t in texts]\n"
+        )
+        got2 = rerank_topk(ds, [1, 2, 3], "q", k=1, model_path=str(plug))
+        assert got2["doc_id"].iloc[0] == 1 and got2["rerank_score"].iloc[0] == float(
+            len("spark merge window value")
+        )
