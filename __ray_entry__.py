@@ -533,6 +533,32 @@ def _q_event_value_hour_corr(sf_dir: str):
     return grouped_corr(hours, ["event_type"], "value", "hour")
 
 
+def _q_embedding_cov8(sf_dir: str):
+    """Covariance of the first 8 embedding dimensions as a LONG upper-
+    triangle (i, j, cov) table — the partial-aggregate building block
+    under distributed PCA/whitening (similarity.embedding_covariance:
+    each block ships only (n, sums, outer-product sums); the reduce is
+    d^2-sized)."""
+    import ray.data as rd
+
+    from clawrag_ray.stages.similarity import embedding_covariance
+
+    return rd.from_pandas(
+        embedding_covariance(_read(sf_dir, "embeddings", ["vec_id", "embedding"]), dims=8)
+    )
+
+
+def _q_user_event_entropy(sf_dir: str):
+    """Shannon entropy (nats) of each user's event-type mix — the
+    behavioral-diversity profile (relational.grouped_entropy): distinct
+    (user, type) counts shuffle once, per-key fold is vectorized."""
+    from clawrag_ray.stages.relational import grouped_entropy
+
+    return grouped_entropy(
+        _read(sf_dir, "events", ["user_id", "event_type"]), ["user_id"], "event_type"
+    )
+
+
 def _q_reranked_topk(sf_dir: str):
     """Two-stage retrieval (the reference's reranker slot,
     backend/src/core/retrievers/reranker.py:18): BM25 top-50 candidates
@@ -1664,6 +1690,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_hour_corr": _q_event_value_hour_corr,
         "tfidf_topk": _q_tfidf_topk,
         "reranked_topk": _q_reranked_topk,
+        "embedding_cov8": _q_embedding_cov8,
+        "user_event_entropy": _q_user_event_entropy,
         # --- full r3 driver pass below this line ---
         "exact_dedup": _q_exact_dedup,
         "dedup_versions": _q_dedup_versions,
@@ -2071,6 +2099,23 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": _bpe_merges_sql(BPE_N_MERGES),
         "bpe_token_counts": _bpe_token_counts_sql(BPE_N_MERGES),
         "sequence_packing_bpe": _bpe_packing_sql(BPE_N_MERGES, 2048),
+        "embedding_cov8": (
+            "WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings), "
+            "x AS (SELECT rowid AS rid, g.i AS i, v[g.i + 1] AS xi FROM "
+            "(SELECT row_number() OVER () AS rowid, v FROM e), generate_series(0, 7) AS g(i)), "
+            "p AS (SELECT a.i AS i, b.i AS j, sum(a.xi * b.xi) AS sxy FROM x a JOIN x b USING (rid) "
+            "WHERE a.i <= b.i GROUP BY 1, 2), "
+            "m AS (SELECT i, sum(xi) AS sx FROM x GROUP BY 1), "
+            "nn AS (SELECT count(*)::DOUBLE AS n FROM e) "
+            "SELECT p.i::BIGINT AS i, p.j::BIGINT AS j, "
+            "round(p.sxy / nn.n - (ma.sx / nn.n) * (mb.sx / nn.n), 6) AS cov "
+            "FROM p JOIN m ma ON ma.i = p.i JOIN m mb ON mb.i = p.j CROSS JOIN nn"
+        ),
+        "user_event_entropy": (
+            "WITH c AS (SELECT user_id, event_type, count(*)::DOUBLE AS c FROM events GROUP BY 1, 2), "
+            "a AS (SELECT user_id, sum(c) AS n, sum(c * ln(c)) AS s FROM c GROUP BY 1) "
+            "SELECT user_id, n::BIGINT AS n, round(ln(n) - s / n, 6) AS entropy FROM a"
+        ),
         "reranked_topk": (
             _BM25_SCORE_CTE + ", "
             "cand AS (SELECT doc_id FROM sc QUALIFY row_number() OVER (ORDER BY score DESC, doc_id) <= 50), "

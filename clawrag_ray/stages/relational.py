@@ -1782,3 +1782,34 @@ def grouping_sets_aggregate(
     for k in keys:
         out[k] = out[k].astype(object).where(out[k].notna(), None)
     return rd.from_pandas(out)
+
+
+def grouped_entropy(
+    ds: Dataset,
+    keys: list[str],
+    value_col: str,
+    out_col: str = "entropy",
+    ndigits: int = 6,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Shannon entropy (nats) of the ``value_col`` distribution per key —
+    the behavioral-diversity profile (event-mix per user, token-mix per
+    source). Two-level shape: distinct (key, value) counts via
+    pre_aggregate (the only corpus shuffle), then one hash-partitioned
+    pass folds each key's distribution: H = ln(n) − Σ c·ln(c) / n."""
+    import numpy as np
+
+    counts = pre_aggregate(ds.select_columns(list(keys) + [value_col]), list(keys) + [value_col], [], count_alias="c")
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        c = g["c"].to_numpy(dtype=np.float64)
+        g = g.assign(__clc=c * np.log(c))
+        agg = g.groupby(list(keys), sort=False, dropna=False).agg(
+            n=("c", "sum"), s=("__clc", "sum")
+        ).reset_index()
+        n = agg["n"].to_numpy(dtype=np.float64)
+        agg[out_col] = np.round(np.log(n) - agg["s"].to_numpy() / n, ndigits)
+        agg["n"] = agg["n"].astype("int64")
+        return agg.drop(columns="s")
+
+    return hash_partitioned_groups(counts, list(keys), per_part, num_partitions=num_partitions)

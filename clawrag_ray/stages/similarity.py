@@ -826,3 +826,90 @@ def label_centroids(ds: Dataset, label_col: str = "label", ndigits: int = 6) -> 
             }
         )
     )
+
+
+def embedding_covariance(
+    ds: Dataset, dims: int | None = None, id_col: str = "vec_id", ndigits: int = 6
+) -> "pd.DataFrame":
+    """Population covariance of embedding dimensions as a LONG
+    (i, j, cov) upper-triangle table — the building block under
+    distributed PCA / whitening / drift monitors. Pure partial-aggregate
+    shape: every block folds its vectors into (n, Σx, Σxxᵀ) with one
+    matmul (d + d² numbers per block — the only thing leaving workers);
+    the driver reduce is d²-sized. cov_ij = Σx_i x_j / n − x̄_i x̄_j.
+
+    ``dims`` restricts to the first ``dims`` components (oracle-friendly
+    scoping); None uses the full dimension."""
+    import ray
+
+    def partial(b: pa.Table) -> pa.Table:
+        vm = _stack(b["embedding"]).astype(np.float64)
+        if dims is not None:
+            vm = vm[:, :dims]
+        s = vm.sum(axis=0)
+        ss = vm.T @ vm
+        return pa.table(
+            {
+                "n": pa.array([vm.shape[0]], pa.int64()),
+                "s": pa.array([s.tolist()], pa.list_(pa.float64())),
+                "ss": pa.array([ss.reshape(-1).tolist()], pa.list_(pa.float64())),
+            }
+        )
+
+    parts = ds.select_columns(["embedding"]).map_batches(
+        partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).to_pandas()  # one row per block: d²-sized, never corpus-sized
+    n = int(parts["n"].sum())
+    d = len(parts["s"].iloc[0])
+    s = np.sum(np.stack([np.asarray(v) for v in parts["s"]]), axis=0)
+    ss = np.sum(np.stack([np.asarray(v) for v in parts["ss"]]), axis=0).reshape(d, d)
+    mean = s / n
+    cov = ss / n - np.outer(mean, mean)
+    iu, ju = np.triu_indices(d)
+    return pd.DataFrame(
+        {
+            "i": pd.array(iu, dtype="int64"),
+            "j": pd.array(ju, dtype="int64"),
+            "cov": np.round(cov[iu, ju], ndigits),
+        }
+    )
+
+
+def pca_project(
+    ds: Dataset, k: int = 8, id_col: str = "vec_id", concurrency=(1, 8)
+) -> Dataset:
+    """Distributed PCA projection: train the k principal axes from the
+    covariance partials (driver-side eigh of the d×d matrix — d² state,
+    never corpus-sized), then project every vector with one broadcast
+    matmul map. Deterministic: eigenvectors sign-fixed so the largest-
+    magnitude component of each axis is positive. Output:
+    (id, pca: list<float64> length k)."""
+    import ray
+
+    cov_long = embedding_covariance(ds, ndigits=12)
+    d = int(cov_long["i"].max()) + 1
+    cov = np.zeros((d, d))
+    cov[cov_long["i"], cov_long["j"]] = cov_long["cov"]
+    cov = cov + np.triu(cov, 1).T
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:k]
+    axes = v[:, order]
+    # deterministic sign: flip each axis so its max-|component| entry > 0
+    flip = np.sign(axes[np.abs(axes).argmax(axis=0), np.arange(axes.shape[1])])
+    axes = axes * np.where(flip == 0, 1.0, flip)
+    aref = ray.put(axes)
+
+    class Project:
+        def __init__(self):
+            self.axes = ray.get(aref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            vm = _stack(b["embedding"]).astype(np.float64)
+            proj = vm @ self.axes
+            return pa.table(
+                {id_col: b[id_col], "pca": pa.array([r.tolist() for r in proj], pa.list_(pa.float64()))}
+            )
+
+    return ds.select_columns([id_col, "embedding"]).map_batches(
+        Project, batch_format="pyarrow", zero_copy_batch=True, concurrency=concurrency
+    )

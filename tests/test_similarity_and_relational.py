@@ -1345,3 +1345,47 @@ class TestGroupedCorr:
         t = pa.table({"k": ["c"] * 3, "x": [1.0, 1.0, 1.0], "y": [1.0, 2.0, 3.0]})
         got = grouped_corr(ray.data.from_arrow(t), ["k"], "x", "y").to_pandas()
         assert got["corr"].isna().all()
+
+
+class TestCovarianceAndPCA:
+    def test_covariance_matches_numpy(self, ray_session):
+        from clawrag_ray.stages.similarity import embedding_covariance
+
+        rng = np.random.RandomState(5)
+        vm = rng.standard_normal((300, 8))
+        rows = [{"vec_id": i, "embedding": vm[i].tolist()} for i in range(300)]
+        ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(5)
+        got = embedding_covariance(ds)
+        want = np.cov(vm, rowvar=False, bias=True)
+        for i, j, c in zip(got["i"], got["j"], got["cov"]):
+            assert abs(c - round(want[i, j], 6)) < 2e-6
+
+    def test_pca_projection_matches_local(self, ray_session):
+        from clawrag_ray.stages.similarity import pca_project
+
+        rng = np.random.RandomState(7)
+        base = rng.standard_normal((200, 2)) @ rng.standard_normal((2, 8)) * 3
+        vm = base + 0.01 * rng.standard_normal((200, 8))
+        rows = [{"vec_id": i, "embedding": vm[i].tolist()} for i in range(200)]
+        ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(4)
+        got = pca_project(ds, k=2).to_pandas().sort_values("vec_id")
+        proj = np.stack([np.asarray(p) for p in got["pca"]])
+        # top-2 axes capture nearly all variance of the rank-2 data
+        total_var = vm.var(axis=0, ddof=0).sum()
+        centered = proj - proj.mean(axis=0)
+        assert centered.var(axis=0, ddof=0).sum() / total_var > 0.99
+        # deterministic across layouts
+        got2 = pca_project(ds.repartition(9), k=2).to_pandas().sort_values("vec_id")
+        proj2 = np.stack([np.asarray(p) for p in got2["pca"]])
+        assert np.allclose(proj, proj2, atol=1e-9)
+
+    def test_entropy_uniform_and_point_mass(self, ray_session):
+        from clawrag_ray.stages.relational import grouped_entropy
+
+        rows = [("u1", t) for t in ["a", "b", "c", "d"]] + [("u2", "a")] * 5
+        ds = ray.data.from_arrow(
+            pa.table({"u": [r[0] for r in rows], "t": [r[1] for r in rows]})
+        ).repartition(2)
+        got = grouped_entropy(ds, ["u"], "t").to_pandas().set_index("u")
+        assert abs(got.loc["u1", "entropy"] - round(np.log(4), 6)) < 1e-9
+        assert got.loc["u2", "entropy"] == 0.0
