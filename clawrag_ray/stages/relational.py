@@ -226,60 +226,52 @@ def sessionize_bucketed(
         add_bucket, batch_format="pyarrow", zero_copy_batch=True
     )
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        ts = g[ts_col].sort_values().reset_index(drop=True)
-        sid = (ts.diff() > gap).cumsum()
-        sizes = sid.value_counts().sort_index()
-        z = sizes.to_numpy()
-        mid_max = int(z[1:-1].max()) if len(z) > 2 else 0
+    def per_bucket_part(g: pd.DataFrame) -> pd.DataFrame:
+        # one call per hash partition of whole (user, bucket) groups — the
+        # hash_partitioned_groups shape, not one fn call per group
+        rows = []
+        for (u, bk), grp in g.groupby([user_col, "__bucket"], sort=False, dropna=False):
+            ts = grp[ts_col].sort_values().reset_index(drop=True)
+            sid = (ts.diff() > gap).cumsum()
+            sizes = sid.value_counts().sort_index()
+            z = sizes.to_numpy()
+            mid_max = int(z[1:-1].max()) if len(z) > 2 else 0
+            rows.append((u, bk, ts.iloc[0], ts.iloc[-1], len(ts), len(z), int(z[0]), int(z[-1]), mid_max))
         return pd.DataFrame(
-            {
-                user_col: [g[user_col].iloc[0]],
-                "__bucket": [g["__bucket"].iloc[0]],
-                "first_ts": [ts.iloc[0]],
-                "last_ts": [ts.iloc[-1]],
-                "n_events": [len(ts)],
-                "m": [len(z)],
-                "z_first": [int(z[0])],
-                "z_last": [int(z[-1])],
-                "mid_max": [mid_max],
-            }
+            rows,
+            columns=[user_col, "__bucket", "first_ts", "last_ts", "n_events", "m", "z_first", "z_last", "mid_max"],
         )
 
-    summaries = bucketed.groupby([user_col, "__bucket"]).map_groups(per_bucket, batch_format="pandas")
+    summaries = hash_partitioned_groups(bucketed, [user_col, "__bucket"], per_bucket_part)
 
-    def merge_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("__bucket").reset_index(drop=True)
-        total = 0
-        longest = 0
-        open_size = None
-        prev_last_ts = None
-        for row in g.itertuples(index=False):
-            merging = open_size is not None and (row.first_ts - prev_last_ts) <= gap
-            f = (open_size + row.z_first) if merging else row.z_first
-            if open_size is not None and not merging:
+    def merge_part(g: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for u, gu in g.groupby(user_col, sort=False, dropna=False):
+            gu = gu.sort_values("__bucket").reset_index(drop=True)
+            total = 0
+            longest = 0
+            open_size = None
+            prev_last_ts = None
+            for row in gu.itertuples(index=False):
+                merging = open_size is not None and (row.first_ts - prev_last_ts) <= gap
+                f = (open_size + row.z_first) if merging else row.z_first
+                if open_size is not None and not merging:
+                    total += 1
+                    longest = max(longest, open_size)
+                if row.m == 1:
+                    open_size = f
+                else:
+                    total += 1 + (row.m - 2)
+                    longest = max(longest, f, row.mid_max)
+                    open_size = row.z_last
+                prev_last_ts = row.last_ts
+            if open_size is not None:
                 total += 1
                 longest = max(longest, open_size)
-            if row.m == 1:
-                open_size = f
-            else:
-                total += 1 + (row.m - 2)
-                longest = max(longest, f, row.mid_max)
-                open_size = row.z_last
-            prev_last_ts = row.last_ts
-        if open_size is not None:
-            total += 1
-            longest = max(longest, open_size)
-        return pd.DataFrame(
-            {
-                user_col: [g[user_col].iloc[0]],
-                "n_sessions": [total],
-                "n_events": [int(g["n_events"].sum())],
-                "longest_session_events": [longest],
-            }
-        )
+            out.append((u, total, int(gu["n_events"].sum()), longest))
+        return pd.DataFrame(out, columns=[user_col, "n_sessions", "n_events", "longest_session_events"])
 
-    return summaries.groupby(user_col).map_groups(merge_user, batch_format="pandas")
+    return hash_partitioned_groups(summaries, [user_col], merge_part)
 
 
 def top_k(ds: Dataset, by: str, k: int, descending: bool = True) -> Dataset:
