@@ -533,6 +533,16 @@ def _q_event_value_hour_corr(sf_dir: str):
     return grouped_corr(hours, ["event_type"], "value", "hour")
 
 
+def _q_source_overlap(sf_dir: str):
+    """Cross-source contamination matrix: distinct 8-gram shingles shared
+    by every source pair (curation.source_overlap_matrix — distinct
+    (source, fingerprint) partials, one fingerprint-partitioned
+    self-merge; pair-count-sized output)."""
+    from clawrag_ray.stages.curation import source_overlap_matrix
+
+    return source_overlap_matrix(_read(sf_dir, "documents", ["source", "text"]))
+
+
 def _q_embedding_cov8(sf_dir: str):
     """Covariance of the first 8 embedding dimensions as a LONG upper-
     triangle (i, j, cov) table — the partial-aggregate building block
@@ -1691,6 +1701,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_topk": _q_tfidf_topk,
         "reranked_topk": _q_reranked_topk,
         "embedding_cov8": _q_embedding_cov8,
+        "source_overlap_matrix": _q_source_overlap,
         "user_event_entropy": _q_user_event_entropy,
         # --- full r3 driver pass below this line ---
         "exact_dedup": _q_exact_dedup,
@@ -2099,6 +2110,14 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": _bpe_merges_sql(BPE_N_MERGES),
         "bpe_token_counts": _bpe_token_counts_sql(BPE_N_MERGES),
         "sequence_packing_bpe": _bpe_packing_sql(BPE_N_MERGES, 2048),
+        "source_overlap_matrix": (
+            "WITH w AS (SELECT source, regexp_extract_all(lower(text), '\\S+') AS ws FROM documents), "
+            "sh0 AS (SELECT source, CASE WHEN len(ws) < 8 THEN [array_to_string(ws, ' ')] "
+            "ELSE [array_to_string(ws[i:i+7], ' ') FOR i IN range(1, len(ws) - 6)] END AS gs FROM w), "
+            "sh AS (SELECT DISTINCT source, unnest(gs) AS g FROM sh0) "
+            "SELECT a.source AS source_a, b.source AS source_b, count(*)::BIGINT AS n_shared "
+            "FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source GROUP BY 1, 2"
+        ),
         "embedding_cov8": (
             "WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings), "
             "x AS (SELECT rowid AS rid, g.i AS i, v[g.i + 1] AS xi FROM "

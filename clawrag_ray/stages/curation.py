@@ -1247,3 +1247,70 @@ def perplexity_filter(
         )
 
     return scored.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def source_overlap_matrix(
+    ds: Dataset,
+    group_col: str = "source",
+    shingle_k: int = 8,
+    text_col: str = "text",
+    num_partitions: int = 64,
+) -> Dataset:
+    """Cross-corpus contamination profile: for every pair of sources, the
+    number of DISTINCT word-k-gram shingles they share — the matrix a
+    curation run consults before mixing corpora (high overlap = duplicated
+    upstream crawl or licensing leak). Shape: per-block distinct
+    (source, shingle-fingerprint) partials collapse through one
+    pre_aggregate (the only corpus-proportional shuffle), then a
+    hash-partitioned self-merge by fingerprint emits per-pair counts —
+    rows leaving the fingerprint pass are pair-count-sized. Uses the same
+    64-bit shingle fingerprints as the distributed decontaminate
+    (collision odds ~2^-64 per pair)."""
+    from clawrag_ray.stages.relational import hash_partitioned_groups, pre_aggregate
+
+    def explode(b: pa.Table) -> pa.Table:
+        srcs, hs = [], []
+        for s, t in zip(b[group_col].to_pylist(), b[text_col].to_pylist()):
+            sh = sorted(_word_shingles(t, shingle_k))
+            srcs.extend([s] * len(sh))
+            hs.append(pd.util.hash_array(np.asarray(sh, dtype=object)).astype(np.int64))
+        h = np.concatenate(hs) if hs else np.empty(0, dtype=np.int64)
+        return pa.table({group_col: pa.array(srcs, b[group_col].type), "h": pa.array(h, pa.int64())})
+
+    rows = ds.select_columns([group_col, text_col]).map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True
+    )
+    distinct = pre_aggregate(rows, [group_col, "h"], [], count_alias="__c")
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out: dict = {}
+        for _, grp in g.groupby("h", sort=False):
+            ss = sorted(set(grp[group_col]))
+            for i in range(len(ss)):
+                for j in range(i + 1, len(ss)):
+                    out[(ss[i], ss[j])] = out.get((ss[i], ss[j]), 0) + 1
+        if not out:
+            return pd.DataFrame({"source_a": [], "source_b": [], "p": []}).astype(
+                {"source_a": str, "source_b": str, "p": "int64"}
+            )
+        ks = list(out)
+        return pd.DataFrame(
+            {
+                "source_a": [k[0] for k in ks],
+                "source_b": [k[1] for k in ks],
+                "p": pd.array(list(out.values()), dtype="int64"),
+            }
+        )
+
+    per_fp = hash_partitioned_groups(distinct, ["h"], pairs, num_partitions=num_partitions)
+    return pre_aggregate(per_fp, ["source_a", "source_b"], ["p"]).map_batches(
+        lambda b: pa.table(
+            {
+                "source_a": b["source_a"],
+                "source_b": b["source_b"],
+                "n_shared": pc.cast(b["sum_p"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

@@ -794,3 +794,22 @@ class TestWeightedSample:
         t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()), "w": pa.array([0, -5, 7], pa.int64())})
         got = weighted_sample(ray.data.from_arrow(t), 3, "w").to_pandas()
         assert got["doc_id"].tolist() == [3]
+
+
+class TestSourceOverlapMatrix:
+    def test_counts_distinct_shared_shingles(self, ray_session):
+        from clawrag_ray.stages.curation import source_overlap_matrix
+
+        shared = "alpha beta gamma delta epsilon zeta eta theta"  # exactly 8 words
+        rows = [
+            ("s1", shared + " one two"),
+            ("s2", shared + " three four"),
+            ("s3", "totally different text with no gram overlap at all here"),
+        ]
+        ds = ray.data.from_arrow(
+            pa.table({"source": [r[0] for r in rows], "text": [r[1] for r in rows]})
+        ).repartition(2)
+        got = source_overlap_matrix(ds).to_pandas()
+        got = {(a, b): n for a, b, n in zip(got["source_a"], got["source_b"], got["n_shared"])}
+        assert got.get(("s1", "s2")) == 1  # only the exact 8-word shingle is shared
+        assert ("s1", "s3") not in got and ("s2", "s3") not in got
