@@ -533,6 +533,57 @@ def _q_event_value_hour_corr(sf_dir: str):
     return grouped_corr(hours, ["event_type"], "value", "hour")
 
 
+KMEANS_K, KMEANS_ITERS, EMB_DIM = 4, 3, 64
+
+
+def _q_kmeans_fit(sf_dir: str):
+    """TRUE distributed Lloyd k-means (similarity.kmeans_fit): every
+    iteration broadcasts the k x d centroids, assigns the full corpus
+    map-only and reduces per-block (sum, count) partials — the canonical
+    iterative-state operator. Oracle unrolls the 3 iterations as
+    MATERIALIZED CTE stages (argmin by list_distance with lowest-cluster
+    tie-break; measured assignment margins ~1e-4, far above cross-engine
+    float noise)."""
+    import ray.data as rd
+
+    from clawrag_ray.stages.similarity import kmeans_fit
+
+    return rd.from_pandas(
+        kmeans_fit(_read(sf_dir, "embeddings", ["vec_id", "embedding"]), k=KMEANS_K, n_iters=KMEANS_ITERS)
+    )
+
+
+def _kmeans_oracle_sql(k: int, iters: int, d: int) -> str:
+    parts = [
+        "e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"c0 AS MATERIALIZED (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, v AS c FROM e "
+        f"QUALIFY row_number() OVER (ORDER BY vec_id) <= {k})",
+    ]
+    for i in range(1, iters + 1):
+        pr = i - 1
+        parts.append(
+            f"a{i} AS MATERIALIZED (SELECT vec_id, v, cl FROM ("
+            f"SELECT e.vec_id, e.v, c{pr}.cl, row_number() OVER (PARTITION BY e.vec_id "
+            f"ORDER BY list_distance(e.v, c{pr}.c), c{pr}.cl) AS r FROM e CROSS JOIN c{pr}) WHERE r = 1)"
+        )
+        parts.append(
+            f"m{i} AS MATERIALIZED (SELECT cl, g.i AS i, avg(v[g.i]) AS m FROM a{i}, "
+            f"generate_series(1, {d}) AS g(i) GROUP BY 1, 2)"
+        )
+        parts.append(f"n{i} AS MATERIALIZED (SELECT cl, count(*)::BIGINT AS n FROM a{i} GROUP BY 1)")
+        parts.append(
+            f"c{i} AS MATERIALIZED (SELECT c{pr}.cl, CASE WHEN n{i}.n IS NULL THEN c{pr}.c "
+            f"ELSE (SELECT list(m ORDER BY i) FROM m{i} WHERE m{i}.cl = c{pr}.cl) END AS c "
+            f"FROM c{pr} LEFT JOIN n{i} USING (cl))"
+        )
+    tail = (
+        f"SELECT c.cl AS cluster, coalesce(nn.n, 0)::BIGINT AS n, g.i::BIGINT AS dim, "
+        f"round(c.c[g.i], 6) AS mean_val "
+        f"FROM c{iters} c LEFT JOIN n{iters} nn USING (cl), generate_series(1, {d}) AS g(i)"
+    )
+    return "WITH " + ", ".join(parts) + " " + tail
+
+
 def _q_source_overlap(sf_dir: str):
     """Cross-source contamination matrix: distinct 8-gram shingles shared
     by every source pair (curation.source_overlap_matrix — distinct
@@ -1702,6 +1753,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reranked_topk": _q_reranked_topk,
         "embedding_cov8": _q_embedding_cov8,
         "source_overlap_matrix": _q_source_overlap,
+        "kmeans_fit": _q_kmeans_fit,
         "user_event_entropy": _q_user_event_entropy,
         # --- full r3 driver pass below this line ---
         "exact_dedup": _q_exact_dedup,
@@ -2110,6 +2162,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": _bpe_merges_sql(BPE_N_MERGES),
         "bpe_token_counts": _bpe_token_counts_sql(BPE_N_MERGES),
         "sequence_packing_bpe": _bpe_packing_sql(BPE_N_MERGES, 2048),
+        "kmeans_fit": _kmeans_oracle_sql(KMEANS_K, KMEANS_ITERS, EMB_DIM),
         "source_overlap_matrix": (
             "WITH w AS (SELECT source, regexp_extract_all(lower(text), '\\S+') AS ws FROM documents), "
             "sh0 AS (SELECT source, CASE WHEN len(ws) < 8 THEN [array_to_string(ws, ' ')] "

@@ -913,3 +913,72 @@ def pca_project(
     return ds.select_columns([id_col, "embedding"]).map_batches(
         Project, batch_format="pyarrow", zero_copy_batch=True, concurrency=concurrency
     )
+
+
+def kmeans_fit(
+    ds: Dataset,
+    k: int = 4,
+    n_iters: int = 3,
+    id_col: str = "vec_id",
+    ndigits: int = 6,
+) -> "pd.DataFrame":
+    """TRUE distributed Lloyd k-means (unlike kmeans_centroids' bounded-
+    sample trainer, every iteration scans the full corpus): init = the k
+    vectors with the smallest ids (deterministic, SQL-mirrorable); each
+    iteration broadcasts the k×d centroid matrix, assigns every vector
+    map-only (argmin squared distance, ties to the lowest cluster id) and
+    folds per-block (sum-vector, count) partials — k×d numbers per block,
+    the only shuffle traffic — reduced driver-side to the next centroids.
+    Empty clusters keep their previous centroid. Returns the long
+    (cluster, n, dim, mean_val) table after ``n_iters``."""
+    import ray
+
+    init = (
+        ds.select_columns([id_col, "embedding"]).sort(id_col).limit(k).to_pandas()
+    )
+    centroids = np.stack([np.asarray(v, dtype=np.float64) for v in init["embedding"]])
+    counts = np.zeros(len(centroids), dtype=np.int64)
+
+    for _ in range(n_iters):
+        cref = ray.put(centroids)
+
+        def partial(b: pa.Table, _cref=cref) -> pa.Table:
+            c = ray.get(_cref)
+            vm = _stack(b["embedding"]).astype(np.float64)
+            # squared distance: argmin equals sqrt-distance argmin
+            d2 = ((vm[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)  # numpy picks the FIRST (lowest id) on ties
+            sums = np.zeros_like(c)
+            np.add.at(sums, assign, vm)
+            cnt = np.bincount(assign, minlength=len(c)).astype(np.int64)
+            return pa.table(
+                {
+                    "cl": pa.array(np.arange(len(c)), pa.int64()),
+                    "s": pa.array([r.tolist() for r in sums], pa.list_(pa.float64())),
+                    "n": pa.array(cnt, pa.int64()),
+                }
+            )
+
+        parts = (
+            ds.select_columns(["embedding"])
+            .map_batches(partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+            .to_pandas()
+        )  # k rows per block
+        sums = np.zeros_like(centroids)
+        counts = np.zeros(len(centroids), dtype=np.int64)
+        for cl, s, n in zip(parts["cl"], parts["s"], parts["n"]):
+            sums[cl] += np.asarray(s)
+            counts[cl] += int(n)
+        nonempty = counts > 0
+        centroids[nonempty] = sums[nonempty] / counts[nonempty, None]
+
+    iu = np.repeat(np.arange(k), centroids.shape[1])
+    dims = np.tile(np.arange(1, centroids.shape[1] + 1), k)
+    return pd.DataFrame(
+        {
+            "cluster": pd.array(iu, dtype="int64"),
+            "n": pd.array(counts[iu], dtype="int64"),
+            "dim": pd.array(dims, dtype="int64"),
+            "mean_val": np.round(centroids.reshape(-1), ndigits),
+        }
+    )

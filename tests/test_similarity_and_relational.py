@@ -1389,3 +1389,29 @@ class TestCovarianceAndPCA:
         got = grouped_entropy(ds, ["u"], "t").to_pandas().set_index("u")
         assert abs(got.loc["u1", "entropy"] - round(np.log(4), 6)) < 1e-9
         assert got.loc["u2", "entropy"] == 0.0
+
+
+class TestKMeansFit:
+    def test_matches_local_lloyd_and_layout_invariant(self, ray_session):
+        from clawrag_ray.stages.similarity import kmeans_fit
+
+        rng = np.random.RandomState(13)
+        vm = np.concatenate(
+            [rng.standard_normal((60, 6)) + off for off in (0.0, 4.0, -4.0)]
+        )
+        rows = [{"vec_id": i, "embedding": vm[i].tolist()} for i in range(len(vm))]
+        ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(4)
+        got = kmeans_fit(ds, k=3, n_iters=4)
+        # local replay
+        cents = vm[:3].copy()
+        for _ in range(4):
+            d2 = ((vm[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            a = np.argmin(d2, axis=1)
+            for c in range(3):
+                m = vm[a == c]
+                if len(m):
+                    cents[c] = m.mean(axis=0)
+        want = np.round(cents.reshape(-1), 6)
+        assert np.array_equal(got.sort_values(["cluster", "dim"])["mean_val"].to_numpy(), want)
+        got2 = kmeans_fit(ds.repartition(9), k=3, n_iters=4)
+        assert got.equals(got2)
