@@ -95,6 +95,8 @@ TIMED_QUERIES = [
     "weighted_doc_sample",
     "event_value_hour_corr",
     "decontaminate_distributed",
+    "reranked_topk",
+    "kmeans_fit",
 ]
 
 
