@@ -644,18 +644,24 @@ def _decontaminate_distributed(
         vals = sorted(out)
         return pa.table({"sh": pa.array(_hash_shingles(vals), pa.int64())})
 
-    def totals_map(b: pa.Table) -> pa.Table:
-        n = [len(_word_shingles(t, shingle_k)) for t in b[text_col].to_pylist()]
-        return pa.table({id_col: b[id_col], "n_shingles": pa.array(n, pa.int64())})
-
+    # ONE tokenize/shingle pass: the fingerprint rows are consumed by both
+    # the semi-join and the per-doc totals, and a lazy diamond would
+    # re-execute the explode per consumer — materialize once (object-store
+    # blocks, spillable; the bm25_topk row-table precedent). Totals derive
+    # from the rows themselves (explode emits DISTINCT shingles per doc,
+    # and every doc emits >= 1 row via the whole-text fallback).
     train_rows = ds.select_columns([id_col, text_col]).map_batches(
         explode_train, batch_format="pyarrow", zero_copy_batch=True
-    )
+    ).materialize()
     eval_rows = eval_ds.select_columns([text_col]).map_batches(
         explode_eval, batch_format="pyarrow", zero_copy_batch=True
     )
-    totals = ds.select_columns([id_col, text_col]).map_batches(
-        totals_map, batch_format="pyarrow", zero_copy_batch=True
+    totals = pre_aggregate(
+        train_rows.select_columns([id_col]), [id_col], [], count_alias="n_shingles"
+    ).map_batches(
+        lambda b: pa.table({id_col: b[id_col], "n_shingles": pc.cast(b["n_shingles"], pa.int64())}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
     hits = semi_join(train_rows, "sh", eval_rows, "sh", num_partitions=num_partitions)
     per_doc = pre_aggregate(hits.select_columns([id_col]), [id_col], [], count_alias="n_contaminated")
