@@ -762,6 +762,41 @@ def _q_repetition_filter(sf_dir: str):
     return repetition_metrics(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def _q_refined_docs(sf_dir: str):
+    """Rule-based markdown/OCR refinement (the deterministic analog of the
+    reference's LLM refine pass, docling_service.py:228-262 — hyphenated
+    line-wrap joins, blank-line-run collapse, U+FFFD strip, head-window
+    only; model_path= plugs a real refiner). The synthetic corpus has no
+    such artifacts, so a deterministic id-derived artifact tail is
+    appended first (mirrored by the oracle) so every rule demonstrably
+    fires on every row."""
+    import pyarrow.compute as pc
+
+    from clawrag_ray.stages.text_analysis import refine_markdown
+
+    def inject(b: pa.Table) -> pa.Table:
+        mod7 = pc.subtract(b["doc_id"], pc.multiply(pc.divide(b["doc_id"], 7), 7))
+        tail = pc.binary_join_element_wise(
+            pa.array(["\nsec-\ntion "] * b.num_rows),
+            pc.cast(mod7, pa.string()),
+            pa.array(["\ufffd\n\n\n\nend."] * b.num_rows),
+            "",
+        )
+        return pa.table(
+            {"doc_id": b["doc_id"], "text": pc.binary_join_element_wise(b["text"], tail, "")}
+        )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        inject, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = refine_markdown(docs)
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": b["doc_id"], "refined": b["refined"]})
+
+    return out.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_pii_scrub(sf_dir: str):
     """PII redaction (emails / IPv4 / phone numbers) with per-doc counts,
     fully vectorized Arrow RE2. The synthetic corpus contains no PII, so a
@@ -1755,6 +1790,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_overlap_matrix": _q_source_overlap,
         "kmeans_fit": _q_kmeans_fit,
         "user_event_entropy": _q_user_event_entropy,
+        "refined_docs": _q_refined_docs,
         # --- full r3 driver pass below this line ---
         "exact_dedup": _q_exact_dedup,
         "dedup_versions": _q_dedup_versions,
@@ -2163,6 +2199,13 @@ def oracle_sql() -> dict[str, str]:
         "bpe_token_counts": _bpe_token_counts_sql(BPE_N_MERGES),
         "sequence_packing_bpe": _bpe_packing_sql(BPE_N_MERGES, 2048),
         "kmeans_fit": _kmeans_oracle_sql(KMEANS_K, KMEANS_ITERS, EMB_DIM),
+        "refined_docs": (
+            "WITH inj AS (SELECT doc_id, text || E'\\nsec-\\ntion ' || CAST(doc_id % 7 AS VARCHAR) "
+            "|| chr(65533) || E'\\n\\n\\n\\nend.' AS t FROM documents) "
+            "SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(t, "
+            "'-\\n([a-z])', '\\1', 'g'), '\\n{3,}', E'\\n\\n', 'g'), chr(65533), '', 'g') AS refined "
+            "FROM inj"
+        ),
         "source_overlap_matrix": (
             "WITH w AS (SELECT source, regexp_extract_all(lower(text), '\\S+') AS ws FROM documents), "
             "sh0 AS (SELECT source, CASE WHEN len(ws) < 8 THEN [array_to_string(ws, ' ')] "

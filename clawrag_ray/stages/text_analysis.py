@@ -361,3 +361,59 @@ def bpe_apply(seq: tuple, merges) -> tuple:
                 i += 1
         seq = tuple(out)
     return seq
+
+
+def refine_markdown(
+    ds,
+    text_col: str = "text",
+    out_col: str = "refined",
+    head_chars: int = 15000,
+    model_path: str | None = None,
+    concurrency=(1, 8),
+):
+    """Deterministic markdown/OCR refinement — the rule-based analog of
+    the reference's LLM refine pass (docling_service.py:228-262: fix
+    hyphenation, tidy structure, strip OCR artifacts, applied to the
+    FIRST 15000 chars only with the tail passing through untouched). The
+    LLM itself is non-deterministic and stays off by default; a
+    ``model_path`` file defining ``refine_texts(texts: list[str]) ->
+    list[str]`` plugs a real model in per actor (the head-window split is
+    applied around it identically).
+
+    Stand-in rules, all vectorized Arrow RE2 (mirrored digit-for-digit by
+    the SQL oracle):
+      1. join hyphenated line wraps: '-\\n' + lowercase letter
+      2. collapse runs of 3+ newlines to one blank line
+      3. strip U+FFFD replacement characters
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data import Dataset  # noqa: F401
+
+    if model_path:
+        from clawrag_ray.functions.kernels import load_kernel
+
+        class PluggedRefine:
+            def __init__(self):
+                self.fn = load_kernel(model_path, "refine_texts")
+
+            def __call__(self, b: pa.Table) -> pa.Table:
+                texts = [t or "" for t in b[text_col].to_pylist()]
+                heads = [t[:head_chars] for t in texts]
+                tails = [t[head_chars:] for t in texts]
+                refined = [h + t for h, t in zip(self.fn(heads), tails)]
+                return b.append_column(out_col, pa.array(refined, pa.string()))
+
+        return ds.map_batches(
+            PluggedRefine, batch_format="pyarrow", zero_copy_batch=True, concurrency=concurrency
+        )
+
+    def refine(b: pa.Table) -> pa.Table:
+        head = pc.utf8_slice_codeunits(b[text_col], 0, head_chars)
+        tail = pc.utf8_slice_codeunits(b[text_col], head_chars, 2**31 - 1)
+        h = pc.replace_substring_regex(head, pattern=r"-\n([a-z])", replacement=r"\1")
+        h = pc.replace_substring_regex(h, pattern=r"\n{3,}", replacement="\n\n")
+        h = pc.replace_substring_regex(h, pattern="�", replacement="")
+        return b.append_column(out_col, pc.binary_join_element_wise(h, tail, ""))
+
+    return ds.map_batches(refine, batch_format="pyarrow", zero_copy_batch=True)

@@ -186,3 +186,32 @@ class TestModelPlugPoints:
         std = AudioFeatures(n_samples=32)(batch)
         again = AudioFeatures(n_samples=32)(batch)
         assert std["rms"][0].as_py() == again["rms"][0].as_py()
+
+
+class TestRefineMarkdown:
+    def test_rules_and_head_window(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from clawrag_ray.stages.text_analysis import refine_markdown
+
+        text = "pad " * 10 + "exam-\nple\n\n\n\nA�B" + " tail-\nx�"
+        head = len("pad " * 10 + "exam-\nple\n\n\n\nA�B")
+        ds = ray.data.from_arrow(pa.table({"text": [text]}))
+        got = refine_markdown(ds, head_chars=head).to_pandas()["refined"].iloc[0]
+        # head rules applied; tail untouched (still hyphenated, still FFFD)
+        assert "example" in got and "\n\n\n" not in got[:head]
+        assert got.endswith(" tail-\nx�")
+        assert "�" not in got[: len(got) - 10]
+
+    def test_plug_mode(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import ray.data
+
+        from clawrag_ray.stages.text_analysis import refine_markdown
+
+        plug = tmp_path / "refine.py"
+        plug.write_text("def refine_texts(texts):\n    return [t.upper() for t in texts]\n")
+        ds = ray.data.from_arrow(pa.table({"text": ["abcdef"]}))
+        got = refine_markdown(ds, head_chars=3, model_path=str(plug)).to_pandas()["refined"].iloc[0]
+        assert got == "ABCdef"  # head refined by the plug, tail untouched
