@@ -762,6 +762,44 @@ def _q_repetition_filter(sf_dir: str):
     return repetition_metrics(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def _q_hourly_top_event(sf_dir: str):
+    """Per-hour most frequent event type (ties to the lexicographically
+    smallest type) — the windowed-top-k composition: map-only hour-floor,
+    two-level (window, type) counts, one hash-partitioned per-window
+    argmax."""
+    import pyarrow.compute as pc
+
+    from clawrag_ray.stages.relational import hash_partitioned_groups, pre_aggregate
+
+    def floor_hour(b: pa.Table) -> pa.Table:
+        us = pc.cast(b["ts"], pa.int64())
+        h = pc.multiply(pc.divide(us, pa.scalar(3_600_000_000, pa.int64())), pa.scalar(3_600_000_000, pa.int64()))
+        return pa.table({"window_start": pc.cast(h, pa.timestamp("us")), "event_type": b["event_type"]})
+
+    hours = _read(sf_dir, "events", ["ts", "event_type"]).map_batches(
+        floor_hour, batch_format="pyarrow", zero_copy_batch=True
+    )
+    counts = pre_aggregate(hours, ["window_start", "event_type"], [], count_alias="n")
+
+    def argmax(g):
+        g = g.sort_values(["n", "event_type"], ascending=[False, True], kind="mergesort")
+        out = g.groupby("window_start", sort=False, as_index=False, dropna=False).head(1)
+        return out[["window_start", "event_type", "n"]]
+
+    out = hash_partitioned_groups(counts, ["window_start"], argmax)
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "window_start": b["window_start"],
+                "top_event_type": b["event_type"],
+                "n": pc.cast(b["n"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def _q_refined_docs(sf_dir: str):
     """Rule-based markdown/OCR refinement (the deterministic analog of the
     reference's LLM refine pass, docling_service.py:228-262 — hyphenated
@@ -1791,6 +1829,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_fit": _q_kmeans_fit,
         "user_event_entropy": _q_user_event_entropy,
         "refined_docs": _q_refined_docs,
+        "hourly_top_event": _q_hourly_top_event,
         # --- full r3 driver pass below this line ---
         "exact_dedup": _q_exact_dedup,
         "dedup_versions": _q_dedup_versions,
@@ -2199,6 +2238,12 @@ def oracle_sql() -> dict[str, str]:
         "bpe_token_counts": _bpe_token_counts_sql(BPE_N_MERGES),
         "sequence_packing_bpe": _bpe_packing_sql(BPE_N_MERGES, 2048),
         "kmeans_fit": _kmeans_oracle_sql(KMEANS_K, KMEANS_ITERS, EMB_DIM),
+        "hourly_top_event": (
+            "SELECT window_start, event_type AS top_event_type, n FROM ("
+            "SELECT date_trunc('hour', ts) AS window_start, event_type, count(*)::BIGINT AS n, "
+            "row_number() OVER (PARTITION BY date_trunc('hour', ts) "
+            "ORDER BY count(*) DESC, event_type) AS r FROM events GROUP BY 1, 2) WHERE r = 1"
+        ),
         "refined_docs": (
             "WITH inj AS (SELECT doc_id, text || E'\\nsec-\\ntion ' || CAST(doc_id % 7 AS VARCHAR) "
             "|| chr(65533) || E'\\n\\n\\n\\nend.' AS t FROM documents) "
