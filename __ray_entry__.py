@@ -762,6 +762,47 @@ def _q_repetition_filter(sf_dir: str):
     return repetition_metrics(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def _q_urgent_revenue_by_cust(sf_dir: str):
+    """Top-20 customers by URGENT-order lineitem revenue — a SELECTIVE
+    big-big join run through the runtime-filter join (the urgent order
+    keys fold into a Bloom that prunes lineitem map-side before the
+    shuffle; exact hash join removes Bloom false positives, so the result
+    equals the plain join row-for-row)."""
+    import pyarrow.compute as pc
+
+    from clawrag_ray.stages.relational import pre_aggregate, runtime_filtered_join
+
+    urgent = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderpriority"]).map_batches(
+        lambda b: b.filter(pc.equal(b["o_orderpriority"], "1-URGENT")).select(
+            ["o_orderkey", "o_custkey"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    j = runtime_filtered_join(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]),
+        urgent,
+        on="l_orderkey",
+        right_on="o_orderkey",
+        num_partitions=8,
+    )
+
+    def derive(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "rev", pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        )
+
+    agg = pre_aggregate(j.map_batches(derive, batch_format="pyarrow"), ["o_custkey"], ["rev"], "n_items")
+    top = (
+        agg.to_pandas()
+        .sort_values(["sum_rev", "o_custkey"], ascending=[False, True], kind="mergesort")
+        .head(20)
+        .reset_index(drop=True)
+    )
+    top["revenue"] = top["sum_rev"].round(2)
+    return top[["o_custkey", "revenue"]]
+
+
 def _q_hourly_top_event(sf_dir: str):
     """Per-hour most frequent event type (ties to the lexicographically
     smallest type) — the windowed-top-k composition: map-only hour-floor,
@@ -1830,6 +1871,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_entropy": _q_user_event_entropy,
         "refined_docs": _q_refined_docs,
         "hourly_top_event": _q_hourly_top_event,
+        "urgent_revenue_by_cust": _q_urgent_revenue_by_cust,
         # --- full r3 driver pass below this line ---
         "exact_dedup": _q_exact_dedup,
         "dedup_versions": _q_dedup_versions,
@@ -2238,6 +2280,12 @@ def oracle_sql() -> dict[str, str]:
         "bpe_token_counts": _bpe_token_counts_sql(BPE_N_MERGES),
         "sequence_packing_bpe": _bpe_packing_sql(BPE_N_MERGES, 2048),
         "kmeans_fit": _kmeans_oracle_sql(KMEANS_K, KMEANS_ITERS, EMB_DIM),
+        "urgent_revenue_by_cust": (
+            "SELECT o_custkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE o_orderpriority = '1-URGENT' GROUP BY 1 "
+            "ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, o_custkey LIMIT 20"
+        ),
         "hourly_top_event": (
             "SELECT window_start, event_type AS top_event_type, n FROM ("
             "SELECT date_trunc('hour', ts) AS window_start, event_type, count(*)::BIGINT AS n, "

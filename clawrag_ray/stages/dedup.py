@@ -109,6 +109,58 @@ def _bloom_positions(keys: np.ndarray, n_bits: int, n_hashes: int) -> np.ndarray
     return ((h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(n_bits)).astype(np.int64)
 
 
+def build_bloom_ref(ds: Dataset, key_col: str, n_bits: int, n_hashes: int, fan_in: int = 16):
+    """Fold a Dataset's key column into one packed-uint64 Bloom filter and
+    ray.put it (returns the ObjectRef of the bytes): map-only per-block
+    partials, two fixed-fan-in distributed OR-reduce levels, one
+    n_bits/8-byte array on the driver. Shared by bloom_anti_join and
+    runtime_filtered_join."""
+    import ray
+
+    n_words = (n_bits + 63) // 64
+
+    def _keys_np(b: pa.Table) -> np.ndarray:
+        col = b[key_col]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        return col.to_numpy(zero_copy_only=False)
+
+    def block_bloom(b: pa.Table) -> pa.Table:
+        words = np.zeros(n_words, dtype=np.uint64)
+        if b.num_rows:
+            pos = _bloom_positions(_keys_np(b), n_bits, n_hashes).ravel()
+            np.bitwise_or.at(words, pos >> 6, np.uint64(1) << (pos.astype(np.uint64) & np.uint64(63)))
+        return pa.table({"bloom": pa.array([words.tobytes()], pa.large_binary())})
+
+    def or_partials(b: pa.Table) -> pa.Table:
+        acc = np.zeros(n_words, dtype=np.uint64)
+        for buf in b["bloom"].to_pylist():
+            acc |= np.frombuffer(buf, dtype=np.uint64)
+        return pa.table({"bloom": pa.array([acc.tobytes()], pa.large_binary())})
+
+    partials = ds.map_batches(block_bloom, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    reduced = partials.repartition(fan_in).map_batches(or_partials, batch_format="pyarrow", batch_size=None)
+    final = reduced.repartition(1).map_batches(or_partials, batch_format="pyarrow", batch_size=None)
+    rows = final.take_all()  # n_bits/8 bytes, once (empty input -> zero filter)
+    return ray.put(rows[0]["bloom"] if rows else np.zeros(n_words, dtype=np.uint64).tobytes())
+
+
+def bloom_test_mask(b: pa.Table, key_col: str, bloom_ref, n_bits: int, n_hashes: int) -> np.ndarray:
+    """Vectorized membership test of a batch's keys against a broadcast
+    Bloom (True = possibly present; False = provably absent)."""
+    import ray
+
+    col = b[key_col]
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    keys = col.to_numpy(zero_copy_only=False)
+    words = np.frombuffer(ray.get(bloom_ref), dtype=np.uint64)
+    pos = _bloom_positions(keys, n_bits, n_hashes)
+    hit = np.ones(len(keys), dtype=bool)
+    for j in range(n_hashes):
+        p = pos[:, j]
+        hit &= (words[p >> 6] >> (p.astype(np.uint64) & np.uint64(63))).astype(np.uint64) & np.uint64(1) != 0
+    return hit
+
+
 def bloom_anti_join(
     new: Dataset,
     seen: Dataset,
@@ -146,37 +198,14 @@ def bloom_anti_join(
         col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
         return col.to_numpy(zero_copy_only=False)
 
-    n_words = (n_bits + 63) // 64
-
-    def block_bloom(b: pa.Table) -> pa.Table:
-        words = np.zeros(n_words, dtype=np.uint64)
-        if b.num_rows:
-            pos = _bloom_positions(_keys_np(b), n_bits, n_hashes).ravel()
-            np.bitwise_or.at(words, pos >> 6, np.uint64(1) << (pos.astype(np.uint64) & np.uint64(63)))
-        return pa.table({"bloom": pa.array([words.tobytes()], pa.large_binary())})
-
-    def or_partials(b: pa.Table) -> pa.Table:
-        acc = np.zeros(n_words, dtype=np.uint64)
-        for buf in b["bloom"].to_pylist():
-            acc |= np.frombuffer(buf, dtype=np.uint64)
-        return pa.table({"bloom": pa.array([acc.tobytes()], pa.large_binary())})
-
-    partials = seen.map_batches(block_bloom, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
-    reduced = partials.repartition(fan_in).map_batches(or_partials, batch_format="pyarrow", batch_size=None)
-    final = reduced.repartition(1).map_batches(or_partials, batch_format="pyarrow", batch_size=None)
-    rows = final.take_all()  # n_bits/8 bytes, once (empty seen -> zero filter)
-    bloom_ref = ray.put(rows[0]["bloom"] if rows else np.zeros(n_words, dtype=np.uint64).tobytes())
+    bloom_ref = build_bloom_ref(seen, key_col, n_bits, n_hashes, fan_in)
 
     def split_hits(b: pa.Table) -> pa.Table:
         if not b.num_rows:
             return b.append_column("__hit", pa.array([], pa.bool_()))
-        words = np.frombuffer(ray.get(bloom_ref), dtype=np.uint64)
-        pos = _bloom_positions(_keys_np(b), n_bits, n_hashes)
-        hit = np.ones(b.num_rows, dtype=bool)
-        for j in range(n_hashes):
-            p = pos[:, j]
-            hit &= (words[p >> 6] >> (p.astype(np.uint64) & np.uint64(63))).astype(np.uint64) & np.uint64(1) != 0
-        return b.append_column("__hit", pa.array(hit))
+        return b.append_column(
+            "__hit", pa.array(bloom_test_mask(b, key_col, bloom_ref, n_bits, n_hashes))
+        )
 
     def keep_side(want_hit: bool):
         def f(b: pa.Table) -> pa.Table:

@@ -1415,3 +1415,29 @@ class TestKMeansFit:
         assert np.array_equal(got.sort_values(["cluster", "dim"])["mean_val"].to_numpy(), want)
         got2 = kmeans_fit(ds.repartition(9), k=3, n_iters=4)
         assert got.equals(got2)
+
+
+class TestRuntimeFilteredJoin:
+    def test_equals_plain_hash_join(self, ray_session):
+        from clawrag_ray.stages.relational import hash_join, runtime_filtered_join
+
+        left = ray.data.from_arrow(
+            pa.table({"k": pa.array(list(range(200)), pa.int64()), "v": pa.array(range(200))})
+        ).repartition(4)
+        right = ray.data.from_arrow(
+            pa.table({"rk": pa.array([5, 17, 42, 99, 150], pa.int64()), "w": pa.array([1, 2, 3, 4, 5])})
+        )
+        a = (
+            runtime_filtered_join(left, right, on="k", right_on="rk", num_partitions=4)
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        b = (
+            hash_join(left, right, on="k", right_on="rk", num_partitions=4)
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)[a.columns]
+        )
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+        assert set(a["k"]) == {5, 17, 42, 99, 150}
