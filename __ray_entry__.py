@@ -803,6 +803,44 @@ def _q_urgent_revenue_by_cust(sf_dir: str):
     return top[["o_custkey", "revenue"]]
 
 
+def _q_order_priority_revenue_salted(sf_dir: str):
+    """The order-priority revenue join run through the hot-key SALTED join
+    (relational.salted_join): explicit hot keys exercise the
+    scatter/replicate machinery; output must equal the plain join — same
+    oracle as order_priority_revenue."""
+    import pyarrow.compute as pc
+
+    from clawrag_ray.stages.relational import pre_aggregate, salted_join
+
+    j = salted_join(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]),
+        _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]),
+        on="l_orderkey",
+        right_on="o_orderkey",
+        hot_keys=[1, 7, 32, 33],
+        salt=4,
+        num_partitions=8,
+    )
+
+    def derive(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "rev", pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        )
+
+    agg = pre_aggregate(j.map_batches(derive, batch_format="pyarrow"), ["o_orderpriority"], ["rev"], "n_items")
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": b["o_orderpriority"],
+                "n_items": b["n_items"],
+                "revenue": pc.round(b["sum_rev"], ndigits=2),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def _q_hourly_top_event(sf_dir: str):
     """Per-hour most frequent event type (ties to the lexicographically
     smallest type) — the windowed-top-k composition: map-only hour-floor,
@@ -1872,6 +1910,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "refined_docs": _q_refined_docs,
         "hourly_top_event": _q_hourly_top_event,
         "urgent_revenue_by_cust": _q_urgent_revenue_by_cust,
+        "order_priority_revenue_salted": _q_order_priority_revenue_salted,
         # --- full r3 driver pass below this line ---
         "exact_dedup": _q_exact_dedup,
         "dedup_versions": _q_dedup_versions,
@@ -2936,4 +2975,6 @@ def oracle_sql() -> dict[str, str]:
     # the distributed-eval path must agree exactly with the broadcast path,
     # so it carries the SAME oracle
     out["decontaminate_distributed"] = out["decontaminate"]
+    # the salted join must agree exactly with the plain join
+    out["order_priority_revenue_salted"] = out["order_priority_revenue"]
     return out

@@ -389,6 +389,92 @@ def runtime_filtered_join(
     return hash_join(filtered, right, on, right_on, "inner", num_partitions)
 
 
+def salted_join(
+    left: Dataset,
+    right: Dataset,
+    on: str,
+    right_on: str | None = None,
+    hot_keys=None,
+    salt: int = 8,
+    num_partitions: int = 16,
+) -> Dataset:
+    """Big-big INNER join with HOT-KEY salting — the skew fix for joins
+    where one key holds a large fraction of the left side (the web-scale
+    'one domain is 10% of the crawl' case): a hot key's left rows scatter
+    round-robin across ``salt`` sub-keys and its right rows replicate
+    ``salt`` times, turning one straggler partition into ``salt`` balanced
+    ones. Non-hot keys ride sub-key 0 untouched. Sub-key placement varies
+    with block layout (only balance depends on it); the OUTPUT equals
+    hash_join(..., 'inner') row-for-row regardless, because every left row
+    meets exactly the replica carrying its own sub-key.
+
+    ``hot_keys``: explicit list, or None to auto-detect via the
+    heavy-hitter candidate pass (keys holding > left_rows/capacity).
+    Right-side replication cost = salt x |right rows with hot keys| —
+    bounded by construction since hot keys are few."""
+    import numpy as np
+
+    rkey = right_on or on
+
+    if hot_keys is None:
+        # dtype-generic hot-key sniff (heavy_hitters' sentinel scheme is
+        # string-keyed): per-block top-``capacity`` value counts summed —
+        # a LOWER bound per key, so a key flagged hot truly is; a key whose
+        # mass hides below per-block truncation merely stays unsalted
+        # (balance heuristic only; correctness never depends on detection)
+        capacity = 64
+
+        def block_top(b: pa.Table) -> pa.Table:
+            col = b[on].combine_chunks() if isinstance(b[on], pa.ChunkedArray) else b[on]
+            vc = pc.value_counts(col)
+            vals, cnts = vc.field("values"), vc.field("counts").to_numpy(zero_copy_only=False)
+            if len(vals) > capacity:
+                keep = np.argpartition(cnts, -capacity)[-capacity:]
+                vals, cnts = vals.take(pa.array(keep)), cnts[keep]
+            return pa.table({on: vals, "p": pa.array(cnts, pa.int64())})
+
+        cand = pre_aggregate(
+            left.select_columns([on]).map_batches(
+                block_top, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+            ),
+            [on],
+            ["p"],
+        ).to_pandas()
+        n_left = left.count()
+        hot_keys = [k for k, c in zip(cand[on], cand["sum_p"]) if c * 16 > n_left]
+    hot = set(hot_keys)
+    if not hot:
+        return hash_join(left, right, on, right_on, "inner", num_partitions)
+
+    def salt_left(b: pa.Table) -> pa.Table:
+        keys = b[on].to_numpy(zero_copy_only=False)
+        ishot = np.isin(keys, np.asarray(list(hot)))
+        sub = np.where(ishot, np.arange(len(keys), dtype=np.int64) % salt, 0)
+        return b.append_column("__sk", pa.array(sub, pa.int64()))
+
+    def replicate_right(b: pa.Table) -> pa.Table:
+        keys = b[rkey].to_numpy(zero_copy_only=False)
+        ishot = np.isin(keys, np.asarray(list(hot)))
+        reps = np.where(ishot, salt, 1)
+        idx = np.repeat(np.arange(len(keys), dtype=np.int64), reps)
+        out = b.take(pa.array(idx))
+        # sub-key sequence: 0..salt-1 for hot rows, 0 for the rest
+        starts = np.concatenate([[0], np.cumsum(reps)[:-1]])
+        sub = np.arange(int(reps.sum()), dtype=np.int64) - np.repeat(starts, reps)
+        return out.append_column("__sk", pa.array(sub, pa.int64()))
+
+    lsalted = left.map_batches(salt_left, batch_format="pyarrow", zero_copy_batch=True)
+    rsalted = right.map_batches(replicate_right, batch_format="pyarrow", zero_copy_batch=True)
+    joined = lsalted.join(
+        rsalted,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=(on, "__sk"),
+        right_on=(rkey, "__sk") if rkey != on else None,
+    )
+    return joined.drop_columns(["__sk"])
+
+
 def semi_join(
     left: Dataset, on: str, right: Dataset, right_on: str | None = None, num_partitions: int = 64
 ) -> Dataset:

@@ -1441,3 +1441,55 @@ class TestRuntimeFilteredJoin:
         )
         pd.testing.assert_frame_equal(a, b, check_dtype=False)
         assert set(a["k"]) == {5, 17, 42, 99, 150}
+
+
+class TestSaltedJoin:
+    def _data(self):
+        # key 7 holds 60% of the left side (the skew case)
+        lk = [7] * 120 + list(range(100, 180))
+        left = ray.data.from_arrow(
+            pa.table({"k": pa.array(lk, pa.int64()), "v": pa.array(range(len(lk)))})
+        ).repartition(5)
+        right = ray.data.from_arrow(
+            pa.table(
+                {"rk": pa.array([7, 100, 150, 999], pa.int64()), "w": pa.array([10, 20, 30, 40])}
+            )
+        )
+        return left, right
+
+    def test_explicit_hot_keys_equal_plain_join(self, ray_session):
+        from clawrag_ray.stages.relational import hash_join, salted_join
+
+        left, right = self._data()
+        a = (
+            salted_join(left, right, on="k", right_on="rk", hot_keys=[7], salt=4)
+            .to_pandas()
+            .sort_values(["k", "v"])
+            .reset_index(drop=True)
+        )
+        b = (
+            hash_join(left, right, on="k", right_on="rk")
+            .to_pandas()
+            .sort_values(["k", "v"])
+            .reset_index(drop=True)[a.columns]
+        )
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+        assert (a["k"] == 7).sum() == 120  # hot key joined exactly once per left row
+
+    def test_auto_detect_hot_keys(self, ray_session):
+        from clawrag_ray.stages.relational import hash_join, salted_join
+
+        left, right = self._data()
+        a = (
+            salted_join(left, right, on="k", right_on="rk", salt=4)
+            .to_pandas()
+            .sort_values(["k", "v"])
+            .reset_index(drop=True)
+        )
+        b = (
+            hash_join(left, right, on="k", right_on="rk")
+            .to_pandas()
+            .sort_values(["k", "v"])
+            .reset_index(drop=True)[a.columns]
+        )
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
