@@ -1850,12 +1850,126 @@ def _q_extract_spans_dedup_text(sf_dir: str):
     return _flatten_spans(extract_spans_dedup(_docs_as_raw(sf_dir), concurrency=(1, 4), batch_size=64))
 
 
+def _q_order_value_dense_rank(sf_dir: str):
+    """DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+    DESC) — tie-aware per-customer order-value ranking with no gaps; one
+    hash-partitioned shuffle (grouped_rank method='dense_rank',
+    ascending=False)."""
+    from clawrag_ray.stages.relational import grouped_rank
+
+    out = grouped_rank(
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]),
+        ["o_custkey"],
+        ["o_totalprice"],
+        out_col="dr",
+        method="dense_rank",
+        ascending=False,
+    )
+    return out.select_columns(["o_orderkey", "o_custkey", "dr"])
+
+
+def _q_user_first_last_event(sf_dir: str):
+    """FIRST_VALUE / LAST_VALUE per user (entry/exit profile): first and
+    latest event type ordered by (ts, event_id) plus the activity count.
+    Map-side combiner ships <= 2 candidate rows + 1 count per (user,
+    block); one hash-partitioned reduce (relational.grouped_first_last)."""
+    from clawrag_ray.stages.relational import grouped_first_last
+
+    return grouped_first_last(
+        _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"]),
+        ["user_id"],
+        ["ts", "event_id"],
+        "event_type",
+    )
+
+
+def _q_user_event_path(sf_dir: str):
+    """Ordered STRING_AGG with a head limit: each user's first-8 event
+    types joined '>' in (ts, event_id) order — the clickstream-journey
+    aggregate. The limit enables a map-side prune (<= 8 rows per (user,
+    block) shuffle) before the one hash-partitioned concat pass."""
+    from clawrag_ray.stages.relational import grouped_ordered_concat
+
+    return grouped_ordered_concat(
+        _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"]),
+        ["user_id"],
+        ["ts", "event_id"],
+        "event_type",
+        sep=">",
+        limit=8,
+    )
+
+
+def _q_event_type_counts_cms(sf_dir: str):
+    """Count-Min sketch frequency estimates for the event types —
+    bounded-memory counting whose reduced state (depth x width counters)
+    is independent of corpus size. EXACT-REGIME oracle (the HLL/t-digest
+    pattern): 5 distinct keys vs width 4096 makes collisions vanish and
+    the estimates equal exact GROUP BY counts; the sketch regime's
+    overcount bound is pinned in pytest."""
+    from clawrag_ray.stages.relational import cms_counts
+
+    return cms_counts(_read(sf_dir, "events", ["event_type"]), "event_type", width=4096, depth=4)
+
+
+def _q_rich_inactive_customers(sf_dir: str):
+    """TPC-H Q22 shape: customers above the average positive account
+    balance with no order since 2000-06-01 (churned), counted per market
+    segment — scalar-subquery broadcast (one tiny aggregate, threshold
+    rounded to cents so both engines compare against the identical
+    double) + NOT EXISTS anti-join (right side date-filtered map-side) +
+    grouped aggregate."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    from clawrag_ray.stages.relational import anti_join, pre_aggregate
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment", "c_acctbal"])
+    pos = cust.map_batches(
+        lambda b: b.filter(pc.greater(b["c_acctbal"], 0.0)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    agg = pos.aggregate(Sum("c_acctbal"), Count())
+    thr = round(agg["sum(c_acctbal)"] / agg["count()"], 2)
+
+    rich = cust.map_batches(
+        lambda b, t=thr: b.filter(pc.greater(b["c_acctbal"], t)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    cutoff = pa.scalar(__import__("datetime").datetime(2000, 6, 1), pa.timestamp("us"))
+    recent = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]).map_batches(
+        lambda b, c=cutoff: b.filter(pc.greater_equal(b["o_orderdate"], c)).select(["o_custkey"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    inactive = anti_join(rich, "c_custkey", recent, "o_custkey")
+    out = pre_aggregate(inactive, ["c_mktsegment"], ["c_acctbal"], count_alias="n_cust")
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_mktsegment": b["c_mktsegment"],
+                "n_cust": b["n_cust"],
+                "total_bal": pc.round(b["sum_c_acctbal"], ndigits=6),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Ordered so queries WITHOUT a round-3 driver verdict run first: the r3
     # gate stopped after the first 50 dict entries, so whatever bound it
     # enforces (count or time), the union of per-round gates covers every
     # query fastest when the least-recently-verified ones lead.
     return {
+        "order_value_dense_rank": _q_order_value_dense_rank,
+        "user_first_last_event": _q_user_first_last_event,
+        "user_event_path": _q_user_event_path,
+        "event_type_counts_cms": _q_event_type_counts_cms,
+        "rich_inactive_customers": _q_rich_inactive_customers,
         "extract_spans_text": _q_extract_spans_text,
         "extract_spans_dedup_text": _q_extract_spans_dedup_text,
         "bm25_idf": _q_bm25_idf,
@@ -2176,6 +2290,36 @@ _AMOUNT_RE = r"[0-9]{1,3}(?:[,.][0-9]{3})*(?:\.[0-9]{2})?\s?(?:€|\$|USD|EUR|GB
 def oracle_sql() -> dict[str, str]:
     step = CHUNK_SIZE - CHUNK_OVERLAP
     out = {
+        "order_value_dense_rank": (
+            "SELECT o_orderkey, o_custkey, dense_rank() OVER "
+            "(PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS dr FROM orders"
+        ),
+        "user_first_last_event": (
+            "SELECT DISTINCT user_id, "
+            "first_value(event_type) OVER w AS first_event_type, "
+            "last_value(event_type) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_event_type, "
+            "count(*) OVER (PARTITION BY user_id) AS n FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+        ),
+        "user_event_path": (
+            "WITH r AS (SELECT user_id, event_type, row_number() OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS rn FROM events) "
+            "SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path FROM r "
+            "WHERE rn <= 8 GROUP BY user_id"
+        ),
+        # exact-regime contract: 5 distinct keys vs width-4096 sketch rows
+        # (collision-free), so the CMS estimates ARE the exact counts
+        "event_type_counts_cms": ("SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type"),
+        "rich_inactive_customers": (
+            "WITH thr AS (SELECT round(sum(c_acctbal) / count(*), 2) AS t FROM customer WHERE c_acctbal > 0.0) "
+            "SELECT c_mktsegment, count(*) AS n_cust, round(sum(c_acctbal), 6) AS total_bal "
+            "FROM customer, thr WHERE c_acctbal > thr.t "
+            "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+            "AND o_orderdate >= TIMESTAMP '2000-06-01') "
+            "GROUP BY c_mktsegment"
+        ),
         "exact_dedup": "SELECT min(doc_id) AS keeper_doc_id, count(*) AS n_copies FROM documents GROUP BY text",
         "dedup_versions": (
             "SELECT doc_id, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS version, "

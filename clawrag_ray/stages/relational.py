@@ -1545,25 +1545,37 @@ def grouped_rank(
     out_col: str = "rnk",
     method: str = "row_number",
     n_tiles: int = 4,
+    ascending: bool = True,
     num_partitions: int = 64,
 ) -> Dataset:
-    """ROW_NUMBER() / NTILE(n) OVER (PARTITION BY keys ORDER BY
-    order_cols) — per-key dense ordering and equal-depth bucketing (the
-    quantile-bin feature / per-group position window). Same one-shuffle
-    hash-partitioned shape as grouped_running_sum; ranks are a vectorized
-    grouped cumcount per partition. NTILE follows SQL semantics exactly:
-    with c rows and n tiles the first c % n tiles hold ceil(c/n) rows.
-    Ties rank by position after the mergesort on order_cols — pass a
-    unique final order column for deterministic output (the SQL oracle
-    needs the same tiebreak)."""
+    """ROW_NUMBER() / DENSE_RANK() / NTILE(n) OVER (PARTITION BY keys
+    ORDER BY order_cols) — per-key dense ordering and equal-depth
+    bucketing (the quantile-bin feature / per-group position window).
+    Same one-shuffle hash-partitioned shape as grouped_running_sum; ranks
+    are a vectorized grouped cumcount per partition. NTILE follows SQL
+    semantics exactly: with c rows and n tiles the first c % n tiles hold
+    ceil(c/n) rows. row_number/ntile ties rank by position after the
+    mergesort on order_cols — pass a unique final order column for
+    deterministic output (the SQL oracle needs the same tiebreak);
+    dense_rank/percent_rank/cume_dist are tie-aware and deterministic
+    without one. ``ascending=False`` ranks descending (ORDER BY ... DESC)
+    on the order columns."""
     import numpy as np
 
     def per_part(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(list(keys) + list(order_cols), kind="mergesort")
+        g = g.sort_values(
+            list(keys) + list(order_cols),
+            kind="mergesort",
+            ascending=[True] * len(keys) + [ascending] * len(order_cols),
+        )
         grp = g.groupby(list(keys), sort=False, dropna=False)
         rn = grp.cumcount().to_numpy()
         if method == "row_number":
             g[out_col] = rn + 1
+            return g
+        if method == "dense_rank":
+            # tie-aware: equal order values share a rank and no gaps follow
+            g[out_col] = grp[order_cols[0]].rank(method="dense", ascending=ascending).astype("int64").to_numpy()
             return g
         if method in ("percent_rank", "cume_dist"):
             # tie-aware, so ORDER BY a non-unique column is deterministic
@@ -1571,10 +1583,10 @@ def grouped_rank(
             # ties; cume_dist = peers-inclusive max-rank / n
             c = grp[order_cols[0]].transform("size").to_numpy()
             if method == "percent_rank":
-                rk = grp[order_cols[0]].rank(method="min").to_numpy()
+                rk = grp[order_cols[0]].rank(method="min", ascending=ascending).to_numpy()
                 g[out_col] = np.where(c > 1, (rk - 1) / np.maximum(c - 1, 1), 0.0)
             else:
-                rk = grp[order_cols[0]].rank(method="max").to_numpy()
+                rk = grp[order_cols[0]].rank(method="max", ascending=ascending).to_numpy()
                 g[out_col] = rk / c
             return g
         if method != "ntile":
@@ -1924,3 +1936,182 @@ def grouped_entropy(
         return agg.drop(columns="s")
 
     return hash_partitioned_groups(counts, list(keys), per_part, num_partitions=num_partitions)
+
+
+def grouped_first_last(
+    ds: Dataset,
+    keys: list[str],
+    order_cols: list[str],
+    value_col: str,
+    num_partitions: int = 64,
+) -> Dataset:
+    """FIRST_VALUE / LAST_VALUE OVER (PARTITION BY keys ORDER BY
+    order_cols) collapsed to one row per key: keys + first_<v> + last_<v>
+    + n (the per-entity entry/exit profile — first touchpoint, latest
+    state, activity count).
+
+    Scale shape: a map-side COMBINER keeps only each key's first and last
+    row PER BLOCK (plus a per-block count), so the shuffle moves <= 2 rows
+    + 1 count per (key, block) instead of the raw table; one
+    hash-partitioned pass then reduces block candidates to the global
+    first/last per key. Ties on order_cols resolve by position after a
+    stable mergesort — pass a unique final order column (the SQL oracle
+    needs the same tiebreak)."""
+
+    cols = list(keys) + list(order_cols) + [value_col]
+
+    def partial(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(list(order_cols), kind="mergesort")
+        grp = g.groupby(list(keys), sort=False, dropna=False)
+        firsts = grp.head(1)[cols].copy()
+        firsts["__end"] = 0
+        # per-block count rides the first-candidate rows only (no double count)
+        firsts = firsts.merge(grp.size().reset_index(name="__n"), on=list(keys))
+        lasts = grp.tail(1)[cols].copy()
+        lasts["__end"] = 1
+        lasts["__n"] = 0
+        return pd.concat([firsts, lasts], ignore_index=True)
+
+    partials = ds.select_columns(cols).map_batches(partial, batch_format="pandas", batch_size=None)
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(list(order_cols), kind="mergesort")
+        f = g[g["__end"] == 0]
+        fgrp = f.groupby(list(keys), sort=False, dropna=False)
+        first = fgrp.head(1)[list(keys) + [value_col]].rename(columns={value_col: f"first_{value_col}"})
+        last = (
+            g[g["__end"] == 1]
+            .groupby(list(keys), sort=False, dropna=False)
+            .tail(1)[list(keys) + [value_col]]
+            .rename(columns={value_col: f"last_{value_col}"})
+        )
+        n = fgrp["__n"].sum().reset_index().rename(columns={"__n": "n"})
+        out = first.merge(last, on=list(keys)).merge(n, on=list(keys))
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    return hash_partitioned_groups(partials, list(keys), finish, num_partitions=num_partitions)
+
+
+def grouped_ordered_concat(
+    ds: Dataset,
+    keys: list[str],
+    order_cols: list[str],
+    value_col: str,
+    sep: str = ">",
+    limit: int | None = None,
+    out_col: str = "path",
+    num_partitions: int = 64,
+) -> Dataset:
+    """Ordered STRING_AGG per key: keys + the sep-joined value sequence in
+    order_cols order (the per-user event-path / clickstream-journey
+    aggregate). With ``limit=k`` only the first k values per key join —
+    and a map-side prune keeps at most k rows per (key, block) before the
+    shuffle, so hot keys ship k rows per block instead of their whole
+    history. Without a limit every row of a key must co-locate (honest
+    all-rows shuffle — the SQL STRING_AGG contract). Ties on order_cols
+    resolve by position after a stable mergesort — pass a unique final
+    order column for deterministic output."""
+
+    cols = list(keys) + list(order_cols) + [value_col]
+    work = ds.select_columns(cols)
+
+    if limit is not None:
+
+        def prune(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(list(order_cols), kind="mergesort")
+            return g.groupby(list(keys), sort=False, dropna=False).head(limit)
+
+        work = work.map_batches(prune, batch_format="pandas", batch_size=None)
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(list(order_cols), kind="mergesort")
+        grp = g.groupby(list(keys), sort=False, dropna=False)
+        if limit is not None:
+            g = grp.head(limit)
+            grp = g.groupby(list(keys), sort=False, dropna=False)
+        out = grp[value_col].agg(lambda s: sep.join(s.astype(str))).reset_index()
+        return out.rename(columns={value_col: out_col})
+
+    return hash_partitioned_groups(work, list(keys), per_part, num_partitions=num_partitions)
+
+
+def cms_counts(
+    ds: Dataset,
+    key_col: str,
+    width: int = 4096,
+    depth: int = 4,
+    query_keys: Dataset | None = None,
+    out_col: str = "cnt",
+) -> Dataset:
+    """Count-Min sketch frequency estimates — the bounded-memory
+    heavy-traffic counter (Cormode & Muthukrishnan 2005). Each block folds
+    into a local depth x width int64 counter grid (hash row d uses a
+    splitmix64-mixed second hash, Kirsch-Mitzenmacher style); block
+    partials SUM-reduce in one bounded pass (the reduced state is
+    depth*width counters, independent of corpus size), and the final grid
+    broadcasts once to answer point queries map-side:
+    est(k) = min_d grid[d][h_d(k)].
+
+    Estimates never undercount; overcount <= 2N/width with prob
+    1 - (1/2)^depth per query (pinned in pytest). EXACT-REGIME CONTRACT
+    (the t-digest/HLL pattern): when the distinct-key count is far below
+    ``width`` the collision probability is ~(n_distinct/width)^depth and
+    the estimates equal exact GROUP BY counts — the regime the driver
+    oracle pins; the sketch regime is covered by error-bound tests.
+
+    ``query_keys``: bounded Dataset of keys to answer (defaults to the
+    distinct keys of ``ds`` — only sensible when that set is small);
+    output = one row (key, est) per query key."""
+    import numpy as np
+
+    seeds = np.arange(1, depth + 1, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+
+    def _rows(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+        arr = (col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col).to_numpy(
+            zero_copy_only=False
+        )
+        h1 = pd.util.hash_array(arr)
+        # depth x n matrix of column indices, one mixed hash family per row
+        from clawrag_ray.stages.dedup import _splitmix64
+
+        return np.stack([_splitmix64(h1 ^ s) % np.uint64(width) for s in seeds])
+
+    def partial(b: pa.Table) -> pa.Table:
+        grid = np.zeros((depth, width), dtype=np.int64)
+        idx = _rows(b[key_col])
+        for d in range(depth):
+            np.add.at(grid[d], idx[d], 1)
+        return pa.table({"g": pa.array([grid.tobytes()], pa.binary())})
+
+    def combine(b: pa.Table) -> pa.Table:
+        acc = np.zeros(depth * width, dtype=np.int64)
+        for buf in b["g"].to_pylist():
+            acc += np.frombuffer(buf, dtype=np.int64)
+        return pa.table({"g": pa.array([acc.tobytes()], pa.binary())})
+
+    partials = ds.select_columns([key_col]).map_batches(
+        partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+    # fixed fan-in reduce: block partials -> per-task partials -> one grid
+    reduced = partials.map_batches(combine, batch_format="pyarrow", batch_size=64)
+    final = np.zeros(depth * width, dtype=np.int64)
+    for row in reduced.take_all():  # bounded: one row per reduce task
+        final += np.frombuffer(row["g"], dtype=np.int64)
+    grid_ref = ray.put(final.reshape(depth, width))
+
+    if query_keys is None:
+        query_keys = ds.select_columns([key_col]).map_batches(
+            lambda b: pa.table({key_col: b[key_col].combine_chunks().drop_null().unique()}),
+            batch_format="pyarrow",
+            batch_size=None,
+            zero_copy_batch=True,
+        ).groupby(key_col).count().drop_columns(["count()"])
+
+    def estimate(b: pa.Table) -> pa.Table:
+        grid = ray.get(grid_ref)
+        idx = _rows(b[key_col])
+        est = np.min(np.stack([grid[d][idx[d]] for d in range(depth)]), axis=0)
+        return pa.table({key_col: b[key_col], out_col: pa.array(est, pa.int64())})
+
+    return query_keys.map_batches(estimate, batch_format="pyarrow", zero_copy_batch=True)

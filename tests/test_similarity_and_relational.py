@@ -1493,3 +1493,163 @@ class TestSaltedJoin:
             .reset_index(drop=True)[a.columns]
         )
         pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+class TestFirstLastAndConcat:
+    def _events(self):
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        n = 4000
+        return pd.DataFrame(
+            {
+                "user_id": rng.integers(0, 60, n),
+                "ts": rng.integers(0, 10**9, n),
+                "event_id": np.arange(n, dtype=np.int64),
+                "event_type": rng.choice(list("abcde"), n),
+            }
+        )
+
+    def test_first_last_matches_pandas(self, ray_session):
+        import ray.data as rd
+
+        from clawrag_ray.stages.relational import grouped_first_last
+
+        df = self._events()
+        out = (
+            grouped_first_last(rd.from_pandas(df).repartition(9), ["user_id"], ["ts", "event_id"], "event_type")
+            .to_pandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        s = df.sort_values(["ts", "event_id"], kind="mergesort")
+        exp = (
+            s.groupby("user_id")
+            .agg(
+                first_event_type=("event_type", "first"),
+                last_event_type=("event_type", "last"),
+                n=("event_type", "size"),
+            )
+            .reset_index()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(out[exp.columns.tolist()], exp, check_dtype=False)
+
+    def test_single_row_groups(self, ray_session):
+        import ray.data as rd
+
+        from clawrag_ray.stages.relational import grouped_first_last
+
+        df = pd.DataFrame({"k": [1, 2], "o": [5, 3], "v": ["x", "y"]})
+        out = grouped_first_last(rd.from_pandas(df).repartition(2), ["k"], ["o"], "v").to_pandas()
+        out = out.sort_values("k").reset_index(drop=True)
+        assert out["first_v"].tolist() == ["x", "y"]
+        assert out["last_v"].tolist() == ["x", "y"]
+        assert out["n"].tolist() == [1, 1]
+
+    def test_ordered_concat_limit_equals_unlimited_head(self, ray_session):
+        import ray.data as rd
+
+        from clawrag_ray.stages.relational import grouped_ordered_concat
+
+        df = self._events()
+        out = (
+            grouped_ordered_concat(
+                rd.from_pandas(df).repartition(9), ["user_id"], ["ts", "event_id"], "event_type", sep=">", limit=6
+            )
+            .to_pandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        s = df.sort_values(["ts", "event_id"], kind="mergesort")
+        exp = (
+            s.groupby("user_id")["event_type"]
+            .apply(lambda x: ">".join(x.head(6)))
+            .reset_index(name="path")
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(out[["user_id", "path"]], exp, check_dtype=False)
+
+    def test_ordered_concat_full(self, ray_session):
+        import ray.data as rd
+
+        from clawrag_ray.stages.relational import grouped_ordered_concat
+
+        df = self._events().head(300)
+        out = (
+            grouped_ordered_concat(rd.from_pandas(df).repartition(4), ["user_id"], ["ts", "event_id"], "event_type")
+            .to_pandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        s = df.sort_values(["ts", "event_id"], kind="mergesort")
+        exp = (
+            s.groupby("user_id")["event_type"]
+            .apply(lambda x: ">".join(x))
+            .reset_index(name="path")
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(out[["user_id", "path"]], exp, check_dtype=False)
+
+
+class TestDenseRank:
+    def test_matches_pandas_desc_with_ties(self, ray_session):
+        import numpy as np
+        import ray.data as rd
+
+        from clawrag_ray.stages.relational import grouped_rank
+
+        rng = np.random.default_rng(3)
+        df = pd.DataFrame(
+            {
+                "k": rng.integers(0, 20, 2000),
+                "v": rng.integers(0, 15, 2000).astype(float),  # heavy ties
+                "id": np.arange(2000, dtype=np.int64),
+            }
+        )
+        out = (
+            grouped_rank(rd.from_pandas(df).repartition(7), ["k"], ["v"], out_col="dr", method="dense_rank", ascending=False)
+            .to_pandas()
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+        exp = df.copy()
+        exp["dr"] = exp.groupby("k")["v"].rank(method="dense", ascending=False).astype("int64")
+        assert out.set_index("id")["dr"].equals(exp.set_index("id")["dr"])
+
+
+class TestCmsCounts:
+    def test_exact_regime(self, ray_session):
+        import numpy as np
+        import ray.data as rd
+
+        from clawrag_ray.stages.relational import cms_counts
+
+        rng = np.random.default_rng(11)
+        df = pd.DataFrame({"t": rng.choice(["a", "b", "c", "d", "e"], 5000)})
+        out = cms_counts(rd.from_pandas(df).repartition(8), "t", width=2048, depth=4).to_pandas()
+        exp = df.groupby("t").size().reset_index(name="cnt")
+        merged = out.merge(exp, on="t", suffixes=("_est", "_true"))
+        assert (merged["cnt_est"] == merged["cnt_true"]).all()
+
+    def test_sketch_regime_overcount_bound(self, ray_session):
+        import numpy as np
+        import ray.data as rd
+
+        from clawrag_ray.stages.relational import cms_counts
+
+        rng = np.random.default_rng(5)
+        n, width = 20000, 64
+        df = pd.DataFrame({"t": rng.integers(0, 2000, n).astype(str)})  # distinct >> width
+        out = cms_counts(rd.from_pandas(df).repartition(8), "t", width=width, depth=4).to_pandas()
+        exp = df.groupby("t").size().reset_index(name="true")
+        merged = out.merge(exp, on="t")
+        # CMS never undercounts
+        assert (merged["cnt"] >= merged["true"]).all()
+        # standard guarantee: err <= 2N/width with prob 1-2^-depth per key;
+        # assert the 99th percentile of errors stays under that epsilon
+        err = (merged["cnt"] - merged["true"]).to_numpy()
+        assert np.quantile(err, 0.99) <= 2 * n / width
