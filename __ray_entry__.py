@@ -1959,12 +1959,107 @@ def _q_rich_inactive_customers(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_user_type_pivot(sf_dir: str):
+    """Long-to-wide PIVOT: per-user event-type count columns (the
+    fixed-schema feature table). One pre-aggregated shuffle + a
+    hash-partitioned spread; the column list is the explicit SQL
+    PIVOT ... IN (...) contract."""
+    from clawrag_ray.stages.relational import pivot_counts
+
+    return pivot_counts(
+        _read(sf_dir, "events", ["user_id", "event_type"]),
+        ["user_id"],
+        "event_type",
+        ["click", "error", "purchase", "signup", "view"],
+    )
+
+
+def _q_lineitem_melt(sf_dir: str):
+    """Wide-to-long UNPIVOT (map-only, no shuffle): first-line lineitem
+    measures melt to (order, metric, value) rows — the normalization step
+    feeding metric-keyed aggregates."""
+    import pyarrow.compute as pc
+
+    from clawrag_ray.stages.relational import melt
+
+    first_lines = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"]
+    ).map_batches(
+        lambda b: b.filter(pc.equal(b["l_linenumber"], 1)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    out = melt(first_lines, ["l_orderkey"], ["l_quantity", "l_extendedprice", "l_discount"])
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_orderkey": b["l_orderkey"],
+                "metric": b["metric"],
+                "value": pc.round(b["value"], ndigits=6),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_clickers_never_big_purchase(sf_dir: str):
+    """SQL EXCEPT: distinct users who clicked but never made a >150
+    purchase — distinct-keys pre-aggregate + the one-pass distributed
+    anti-join (both predicates prune map-side before any shuffle)."""
+    import pyarrow.compute as pc
+
+    from clawrag_ray.stages.relational import except_distinct
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+    clicks = ev.map_batches(
+        lambda b: b.filter(pc.equal(b["event_type"], "click")).select(["user_id"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    big = ev.map_batches(
+        lambda b: b.filter(
+            pc.and_(pc.equal(b["event_type"], "purchase"), pc.greater(b["value"], 150.0))
+        ).select(["user_id"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return except_distinct(clicks, "user_id", big)
+
+
+def _q_clickers_with_big_purchase(sf_dir: str):
+    """SQL INTERSECT: distinct users who clicked AND made a >150 purchase
+    — the semi-join finish of the same set-op composition."""
+    import pyarrow.compute as pc
+
+    from clawrag_ray.stages.relational import intersect_distinct
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+    clicks = ev.map_batches(
+        lambda b: b.filter(pc.equal(b["event_type"], "click")).select(["user_id"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    big = ev.map_batches(
+        lambda b: b.filter(
+            pc.and_(pc.equal(b["event_type"], "purchase"), pc.greater(b["value"], 150.0))
+        ).select(["user_id"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return intersect_distinct(clicks, "user_id", big)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Ordered so queries WITHOUT a round-3 driver verdict run first: the r3
     # gate stopped after the first 50 dict entries, so whatever bound it
     # enforces (count or time), the union of per-round gates covers every
     # query fastest when the least-recently-verified ones lead.
     return {
+        "user_type_pivot": _q_user_type_pivot,
+        "lineitem_melt": _q_lineitem_melt,
+        "clickers_never_big_purchase": _q_clickers_never_big_purchase,
+        "clickers_with_big_purchase": _q_clickers_with_big_purchase,
         "order_value_dense_rank": _q_order_value_dense_rank,
         "user_first_last_event": _q_user_first_last_event,
         "user_event_path": _q_user_event_path,
@@ -2290,6 +2385,29 @@ _AMOUNT_RE = r"[0-9]{1,3}(?:[,.][0-9]{3})*(?:\.[0-9]{2})?\s?(?:€|\$|USD|EUR|GB
 def oracle_sql() -> dict[str, str]:
     step = CHUNK_SIZE - CHUNK_OVERLAP
     out = {
+        "user_type_pivot": (
+            "SELECT user_id, "
+            "count(*) FILTER (WHERE event_type = 'click') AS n_click, "
+            "count(*) FILTER (WHERE event_type = 'error') AS n_error, "
+            "count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase, "
+            "count(*) FILTER (WHERE event_type = 'signup') AS n_signup, "
+            "count(*) FILTER (WHERE event_type = 'view') AS n_view "
+            "FROM events GROUP BY user_id"
+        ),
+        "lineitem_melt": (
+            "WITH f AS (SELECT * FROM lineitem WHERE l_linenumber = 1) "
+            "SELECT l_orderkey, 'l_quantity' AS metric, round(l_quantity, 6) AS value FROM f "
+            "UNION ALL SELECT l_orderkey, 'l_extendedprice', round(l_extendedprice, 6) FROM f "
+            "UNION ALL SELECT l_orderkey, 'l_discount', round(l_discount, 6) FROM f"
+        ),
+        "clickers_never_big_purchase": (
+            "SELECT DISTINCT user_id FROM events WHERE event_type = 'click' "
+            "EXCEPT SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase' AND value > 150.0"
+        ),
+        "clickers_with_big_purchase": (
+            "SELECT DISTINCT user_id FROM events WHERE event_type = 'click' "
+            "INTERSECT SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase' AND value > 150.0"
+        ),
         "order_value_dense_rank": (
             "SELECT o_orderkey, o_custkey, dense_rank() OVER "
             "(PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS dr FROM orders"

@@ -97,6 +97,11 @@ TIMED_QUERIES = [
     "decontaminate_distributed",
     "reranked_topk",
     "kmeans_fit",
+    "order_value_dense_rank",
+    "user_first_last_event",
+    "user_event_path",
+    "event_type_counts_cms",
+    "rich_inactive_customers",
 ]
 
 

@@ -2115,3 +2115,90 @@ def cms_counts(
         return pa.table({key_col: b[key_col], out_col: pa.array(est, pa.int64())})
 
     return query_keys.map_batches(estimate, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pivot_counts(
+    ds: Dataset,
+    keys: list[str],
+    pivot_col: str,
+    pivot_values: list[str],
+    value_col: str | None = None,
+    prefix: str = "n_",
+    num_partitions: int = 64,
+) -> Dataset:
+    """Long-to-wide PIVOT: one row per key with one column per
+    ``pivot_values`` entry holding the count (or SUM of ``value_col``) of
+    matching rows — the fixed-schema feature-table transform (per-entity
+    event-type mix, per-doc token-class counts).
+
+    ``pivot_values`` must be the explicit column list (a distributed
+    engine cannot discover output schema from data without an extra
+    pass — same contract as SQL PIVOT ... IN (...)). Shape: one
+    pre-aggregated (keys + pivot) shuffle — partial rows, never the raw
+    table — then a hash-partitioned per-key spread; unlisted pivot values
+    are dropped, absent combinations fill 0."""
+    import numpy as np
+
+    sums = [value_col] if value_col else []
+    agg = pre_aggregate(ds.select_columns(list(keys) + [pivot_col] + sums), list(keys) + [pivot_col], sums)
+    src = f"sum_{value_col}" if value_col else "n"
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[g[pivot_col].isin(pivot_values)]
+        wide = g.pivot_table(index=list(keys), columns=pivot_col, values=src, aggfunc="sum", fill_value=0)
+        wide = wide.reindex(columns=list(pivot_values), fill_value=0).reset_index()
+        wide.columns = list(keys) + [f"{prefix}{v}" for v in pivot_values]
+        for v in pivot_values:
+            wide[f"{prefix}{v}"] = wide[f"{prefix}{v}"].astype("float64" if value_col else "int64")
+        return wide
+
+    return hash_partitioned_groups(agg, list(keys), per_part, num_partitions=num_partitions)
+
+
+def melt(
+    ds: Dataset,
+    id_cols: list[str],
+    value_cols: list[str],
+    var_name: str = "metric",
+    value_name: str = "value",
+) -> Dataset:
+    """Wide-to-long UNPIVOT: each input row emits one (id_cols, metric,
+    value) row per entry of ``value_cols`` — the inverse of pivot_counts
+    and the normalization step feeding metric-keyed aggregates. Pure
+    map-side Arrow (concat of per-metric projections inside each block);
+    no shuffle, output rows = n x len(value_cols)."""
+
+    def explode(b: pa.Table) -> pa.Table:
+        parts = []
+        for c in value_cols:
+            cols = {k: b[k] for k in id_cols}
+            cols[var_name] = pa.array([c] * b.num_rows, pa.string())
+            cols[value_name] = b[c].cast(pa.float64())
+            parts.append(pa.table(cols))
+        return pa.concat_tables(parts)
+
+    return ds.select_columns(list(id_cols) + list(value_cols)).map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def except_distinct(
+    left: Dataset, on: str, right: Dataset, right_on: str | None = None, num_partitions: int = 64
+) -> Dataset:
+    """SQL EXCEPT (set difference, distinct): keys present in ``left``
+    and absent from ``right``. Composition of tested primitives: a
+    distinct-keys pre-aggregate on the left (partial rows shuffle, not
+    the raw table) followed by the one-pass distributed anti-join (right
+    side ships per-batch-deduplicated keys only)."""
+    lk = pre_aggregate(left.select_columns([on]), [on], [], count_alias="__n").drop_columns(["__n"])
+    return anti_join(lk, on, right.select_columns([right_on or on]), right_on, num_partitions=num_partitions)
+
+
+def intersect_distinct(
+    left: Dataset, on: str, right: Dataset, right_on: str | None = None, num_partitions: int = 64
+) -> Dataset:
+    """SQL INTERSECT (set intersection, distinct): keys present in both
+    sides. Same two-pass composition as except_distinct with the
+    semi-join finish."""
+    lk = pre_aggregate(left.select_columns([on]), [on], [], count_alias="__n").drop_columns(["__n"])
+    return semi_join(lk, on, right.select_columns([right_on or on]), right_on, num_partitions=num_partitions)

@@ -1653,3 +1653,78 @@ class TestCmsCounts:
         # assert the 99th percentile of errors stays under that epsilon
         err = (merged["cnt"] - merged["true"]).to_numpy()
         assert np.quantile(err, 0.99) <= 2 * n / width
+
+
+class TestPivotMeltSetOps:
+    def test_pivot_counts_matches_pandas(self, ray_session):
+        import numpy as np
+        import ray.data as rd
+
+        from clawrag_ray.stages.relational import pivot_counts
+
+        rng = np.random.default_rng(2)
+        df = pd.DataFrame({"k": rng.integers(0, 30, 3000), "t": rng.choice(list("abcd"), 3000)})
+        out = (
+            pivot_counts(rd.from_pandas(df).repartition(7), ["k"], "t", ["a", "b", "c"])
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        exp = (
+            df[df["t"].isin(["a", "b", "c"])]
+            .pivot_table(index="k", columns="t", values="t", aggfunc="size", fill_value=0)
+            .reindex(columns=["a", "b", "c"], fill_value=0)
+            .reset_index()
+        )
+        exp.columns = ["k", "n_a", "n_b", "n_c"]
+        pd.testing.assert_frame_equal(out, exp.sort_values("k").reset_index(drop=True), check_dtype=False)
+
+    def test_pivot_sum_values(self, ray_session):
+        import ray.data as rd
+
+        from clawrag_ray.stages.relational import pivot_counts
+
+        df = pd.DataFrame({"k": [1, 1, 2], "t": ["a", "b", "a"], "v": [2.0, 3.0, 5.0]})
+        out = (
+            pivot_counts(rd.from_pandas(df).repartition(2), ["k"], "t", ["a", "b"], value_col="v", prefix="sum_")
+            .to_pandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+        assert out["sum_a"].tolist() == [2.0, 5.0]
+        assert out["sum_b"].tolist() == [3.0, 0.0]
+
+    def test_melt_roundtrip_shape(self, ray_session):
+        import ray.data as rd
+
+        from clawrag_ray.stages.relational import melt
+
+        df = pd.DataFrame({"id": [1, 2], "x": [1.5, 2.5], "y": [3.0, 4.0]})
+        out = melt(rd.from_pandas(df), ["id"], ["x", "y"]).to_pandas()
+        exp = df.melt(id_vars="id", value_vars=["x", "y"], var_name="metric", value_name="value")
+        out = out.sort_values(["id", "metric"]).reset_index(drop=True)
+        exp = exp.sort_values(["id", "metric"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(out[exp.columns.tolist()], exp, check_dtype=False)
+
+    def test_except_and_intersect_distinct(self, ray_session):
+        import ray.data as rd
+
+        from clawrag_ray.stages.relational import except_distinct, intersect_distinct
+
+        left = rd.from_pandas(pd.DataFrame({"k": [1, 1, 2, 3, 4, 4]})).repartition(3)
+        right = rd.from_pandas(pd.DataFrame({"r": [2, 4, 5]})).repartition(2)
+        ex = sorted(except_distinct(left, "k", right, "r").to_pandas()["k"].tolist())
+        assert ex == [1, 3]
+        it = sorted(intersect_distinct(left, "k", right, "r").to_pandas()["k"].tolist())
+        assert it == [2, 4]
+
+    def test_except_empty_result_keeps_schema(self, ray_session):
+        import ray.data as rd
+
+        from clawrag_ray.stages.relational import except_distinct
+
+        left = rd.from_pandas(pd.DataFrame({"k": [1, 2]}))
+        right = rd.from_pandas(pd.DataFrame({"k": [1, 2, 3]}))
+        out = except_distinct(left, "k", right)
+        assert out.count() == 0
+        assert "k" in [f for f in out.schema().names]
