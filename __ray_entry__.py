@@ -2050,12 +2050,145 @@ def _q_clickers_with_big_purchase(sf_dir: str):
     return intersect_distinct(clicks, "user_id", big)
 
 
+def _q_event_transition_matrix(sf_dir: str):
+    """First-order Markov transition counts over per-user event streams:
+    LAG window (one hash-partitioned shuffle) -> drop stream heads ->
+    pre-aggregated (prev, next) counts — the behavioral-model input
+    table."""
+    import pyarrow.compute as pc
+
+    from clawrag_ray.stages.relational import grouped_lag, pre_aggregate
+
+    lagged = grouped_lag(
+        _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"]),
+        ["user_id"],
+        ["ts", "event_id"],
+        "event_type",
+        out_col="prev_type",
+    )
+    pairs = lagged.map_batches(
+        lambda b: b.filter(pc.is_valid(b["prev_type"])).select(["prev_type", "event_type"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    out = pre_aggregate(pairs, ["prev_type", "event_type"], [], count_alias="n")
+    return out.map_batches(
+        lambda b: pa.table({"prev_type": b["prev_type"], "next_type": b["event_type"], "n": b["n"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def _q_event_value_robust_z(sf_dir: str):
+    """Robust z-scores via median/MAD (outlier-resistant normalization):
+    two exact grouped-quantile passes (median, then median absolute
+    deviation) broadcast their 5-row results; the per-event normalize is
+    map-only. Both engines divide by the same 4-digit-rounded med/MAD, so
+    the 6-digit z-scores agree bit-for-bit."""
+    import pyarrow.compute as pc
+
+    from clawrag_ray.stages.relational import grouped_quantiles
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    med = {
+        r["event_type"]: r["p50"]
+        for r in grouped_quantiles(ev, ["event_type"], "value", [0.5]).take_all()
+    }
+
+    def absdev(b: pa.Table) -> pa.Table:
+        m = pa.array([med[t] for t in b["event_type"].to_pylist()], pa.float64())
+        return b.append_column("absdev", pc.abs(pc.subtract(b["value"], m)))
+
+    devs = ev.map_batches(absdev, batch_format="pyarrow", zero_copy_batch=True)
+    mad = {
+        r["event_type"]: r["p50"]
+        for r in grouped_quantiles(devs, ["event_type"], "absdev", [0.5]).take_all()
+    }
+
+    def finish(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        t = b["event_type"].to_pylist()
+        m = np.array([med[x] for x in t])
+        d = np.array([mad[x] for x in t])
+        v = b["value"].to_numpy(zero_copy_only=False)
+        z = np.round((v - m) / (1.4826 * d), 6)
+        return pa.table({"event_id": b["event_id"], "event_type": b["event_type"], "robust_z": pa.array(z)})
+
+    return ev.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_doc_length_deciles(sf_dir: str):
+    """GLOBAL NTILE(10) over the whole corpus by length — equal-depth
+    population bins WITHOUT a single-node sort: the two-phase
+    global_rank prefix-sum scan assigns ranks, the SQL NTILE split
+    (first n%k tiles take one extra row) maps rank -> decile, and a tiny
+    10-group aggregate profiles each bin."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Min, Sum
+
+    from clawrag_ray.stages.curation import global_rank
+
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    n = docs.count()
+    k = 10
+    q, r = n // k, n % k
+    cut = r * (q + 1)
+
+    def pack(b: pa.Table) -> pa.Table:
+        packed = pc.add(pc.multiply(pc.cast(b["n_chars"], pa.int64()), 2**32), b["doc_id"])
+        return b.append_column("__ord", packed)
+
+    ranked = global_rank(docs.map_batches(pack, batch_format="pyarrow", zero_copy_batch=True), "__ord")
+
+    def tile(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        rk = b["rnk"].to_numpy(zero_copy_only=False)
+        dec = np.where(rk <= cut, (rk - 1) // max(q + 1, 1), r + (rk - cut - 1) // max(q, 1)) + 1
+        one = np.ones(len(rk), dtype=np.int64)
+        return pa.table(
+            {
+                "decile": pa.array(dec.astype(np.int64)),
+                "n_chars": b["n_chars"],
+                "__one": pa.array(one),
+            }
+        )
+
+    binned = ranked.map_batches(tile, batch_format="pyarrow", zero_copy_batch=True)
+    # per-block partials, then a 10-group reduce
+    partial = binned.map_batches(
+        lambda b: b.group_by(["decile"]).aggregate(
+            [("__one", "sum"), ("n_chars", "min"), ("n_chars", "max")]
+        ).rename_columns(["decile", "pn", "pmin", "pmax"]),
+        batch_format="pyarrow",
+        batch_size=None,
+        zero_copy_batch=True,
+    )
+    out = partial.groupby("decile").aggregate(Sum("pn"), Min("pmin"), Max("pmax"))
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "decile": b["decile"],
+                "n_docs": b["sum(pn)"],
+                "min_chars": b["min(pmin)"],
+                "max_chars": b["max(pmax)"],
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Ordered so queries WITHOUT a round-3 driver verdict run first: the r3
     # gate stopped after the first 50 dict entries, so whatever bound it
     # enforces (count or time), the union of per-round gates covers every
     # query fastest when the least-recently-verified ones lead.
     return {
+        "event_transition_matrix": _q_event_transition_matrix,
+        "event_value_robust_z": _q_event_value_robust_z,
+        "doc_length_deciles": _q_doc_length_deciles,
         "user_type_pivot": _q_user_type_pivot,
         "lineitem_melt": _q_lineitem_melt,
         "clickers_never_big_purchase": _q_clickers_never_big_purchase,
@@ -2385,6 +2518,27 @@ _AMOUNT_RE = r"[0-9]{1,3}(?:[,.][0-9]{3})*(?:\.[0-9]{2})?\s?(?:€|\$|USD|EUR|GB
 def oracle_sql() -> dict[str, str]:
     step = CHUNK_SIZE - CHUNK_OVERLAP
     out = {
+        "event_transition_matrix": (
+            "WITH l AS (SELECT event_type, lag(event_type) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events) "
+            "SELECT prev AS prev_type, event_type AS next_type, count(*) AS n "
+            "FROM l WHERE prev IS NOT NULL GROUP BY 1, 2"
+        ),
+        # med/MAD round to 4 digits on BOTH sides before the divide, so the
+        # 6-digit z-scores are bit-identical (same doubles, same ops)
+        "event_value_robust_z": (
+            "WITH m AS (SELECT event_type, round(quantile_cont(value, 0.5), 4) AS med "
+            "FROM events GROUP BY 1), "
+            "d AS (SELECT e.event_type, round(quantile_cont(abs(e.value - m.med), 0.5), 4) AS mad "
+            "FROM events e JOIN m USING (event_type) GROUP BY 1) "
+            "SELECT event_id, e.event_type, round((e.value - m.med) / (1.4826 * d.mad), 6) AS robust_z "
+            "FROM events e JOIN m USING (event_type) JOIN d USING (event_type)"
+        ),
+        "doc_length_deciles": (
+            "WITH t AS (SELECT n_chars, ntile(10) OVER (ORDER BY n_chars, doc_id) AS decile FROM documents) "
+            "SELECT decile, count(*) AS n_docs, min(n_chars) AS min_chars, max(n_chars) AS max_chars "
+            "FROM t GROUP BY decile"
+        ),
         "user_type_pivot": (
             "SELECT user_id, "
             "count(*) FILTER (WHERE event_type = 'click') AS n_click, "

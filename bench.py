@@ -102,6 +102,9 @@ TIMED_QUERIES = [
     "user_event_path",
     "event_type_counts_cms",
     "rich_inactive_customers",
+    "event_transition_matrix",
+    "event_value_robust_z",
+    "doc_length_deciles",
 ]
 
 
