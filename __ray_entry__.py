@@ -2180,12 +2180,45 @@ def _q_doc_length_deciles(sf_dir: str):
     )
 
 
+def _q_cust_recent_order_counts(sf_dir: str):
+    """LEFT OUTER big-big join: every customer with their count of
+    orders placed since 2001-06-01 — zero-order customers survive the
+    join with NULL-filled counts (the outer-join contract an inner join
+    loses). The order side pre-aggregates to one partial row per
+    (custkey, block) before the shuffle."""
+    import pyarrow.compute as pc
+
+    from clawrag_ray.stages.relational import hash_join, pre_aggregate
+
+    cutoff = pa.scalar(__import__("datetime").datetime(2001, 6, 1), pa.timestamp("us"))
+    recent = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]).map_batches(
+        lambda b, c=cutoff: b.filter(pc.greater_equal(b["o_orderdate"], c)).select(["o_custkey"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    counts = pre_aggregate(recent, ["o_custkey"], [], count_alias="n_recent")
+    joined = hash_join(
+        _read(sf_dir, "customer", ["c_custkey"]), counts, "c_custkey", "o_custkey", join_type="left_outer"
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": b["c_custkey"],
+                "n_recent": pc.fill_null(b["n_recent"], 0),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Ordered so queries WITHOUT a round-3 driver verdict run first: the r3
     # gate stopped after the first 50 dict entries, so whatever bound it
     # enforces (count or time), the union of per-round gates covers every
     # query fastest when the least-recently-verified ones lead.
     return {
+        "cust_recent_order_counts": _q_cust_recent_order_counts,
         "event_transition_matrix": _q_event_transition_matrix,
         "event_value_robust_z": _q_event_value_robust_z,
         "doc_length_deciles": _q_doc_length_deciles,
@@ -2518,6 +2551,11 @@ _AMOUNT_RE = r"[0-9]{1,3}(?:[,.][0-9]{3})*(?:\.[0-9]{2})?\s?(?:€|\$|USD|EUR|GB
 def oracle_sql() -> dict[str, str]:
     step = CHUNK_SIZE - CHUNK_OVERLAP
     out = {
+        "cust_recent_order_counts": (
+            "SELECT c_custkey, count(o_orderkey) AS n_recent FROM customer "
+            "LEFT JOIN orders ON o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2001-06-01' "
+            "GROUP BY c_custkey"
+        ),
         "event_transition_matrix": (
             "WITH l AS (SELECT event_type, lag(event_type) OVER "
             "(PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events) "
