@@ -2212,12 +2212,87 @@ def _q_cust_recent_order_counts(sf_dir: str):
     return joined.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_corpus_shuffle(sf_dir: str):
+    """Deterministic corpus shuffle for training order: every doc gets a
+    content-derived position (md5 order, doc_id tiebreak packed into one
+    int64) materialized by the two-phase global-rank scan — reproducible
+    across runs, cluster layouts and corpus repartitioning, unlike
+    Dataset.random_shuffle whose order depends on block layout."""
+    from clawrag_ray.functions.kernels import md5_prefix_ints
+    from clawrag_ray.stages.curation import global_rank
+
+    def key(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_pylist()
+        packed = md5_prefix_ints(ids) * (1 << 20) + np.asarray(ids, dtype=np.int64)
+        return b.append_column("__ord", pa.array(packed, pa.int64()))
+
+    ranked = global_rank(
+        _read(sf_dir, "documents", ["doc_id"]).map_batches(key, batch_format="pyarrow", zero_copy_batch=True),
+        "__ord",
+        out_col="shuffle_pos",
+    )
+    return ranked.select_columns(["doc_id", "shuffle_pos"])
+
+
+def _q_user_hourly_value_ffill(sf_dir: str):
+    """Time-series resample + forward fill (gap filling): each user's
+    value at every hour of 2024-01-02, carried forward from their latest
+    event at or before the grid point — a generated per-user hourly grid
+    as-of joined (backward) against the event stream; users with no
+    earlier event keep NULL."""
+    import datetime
+
+    import pyarrow.compute as pc
+
+    from clawrag_ray.stages.relational import asof_join, pre_aggregate
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+    users = pre_aggregate(ev.select_columns(["user_id"]), ["user_id"], [], count_alias="__n").drop_columns(
+        ["__n"]
+    )
+    hours = [datetime.datetime(2024, 1, 2, h) for h in range(24)]
+
+    def grid(b: pa.Table) -> pa.Table:
+        ids = b["user_id"].to_pylist()
+        return pa.table(
+            {
+                "user_id": pa.array([u for u in ids for _ in hours], pa.int64()),
+                "grid_ts": pa.array([h for _ in ids for h in hours], pa.timestamp("us")),
+            }
+        )
+
+    g = users.map_batches(grid, batch_format="pyarrow", zero_copy_batch=True)
+    out = asof_join(
+        g,
+        ev.select_columns(["user_id", "ts", "event_id", "value"]),
+        by="user_id",
+        right_by="user_id",
+        left_ts="grid_ts",
+        right_ts="ts",
+        right_value_cols=["value"],
+        right_tiebreak="event_id",
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "grid_ts": b["grid_ts"],
+                "value": pc.round(b["value"], ndigits=6),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Ordered so queries WITHOUT a round-3 driver verdict run first: the r3
     # gate stopped after the first 50 dict entries, so whatever bound it
     # enforces (count or time), the union of per-round gates covers every
     # query fastest when the least-recently-verified ones lead.
     return {
+        "corpus_shuffle": _q_corpus_shuffle,
+        "user_hourly_value_ffill": _q_user_hourly_value_ffill,
         "cust_recent_order_counts": _q_cust_recent_order_counts,
         "event_transition_matrix": _q_event_transition_matrix,
         "event_value_robust_z": _q_event_value_robust_z,
@@ -2551,6 +2626,22 @@ _AMOUNT_RE = r"[0-9]{1,3}(?:[,.][0-9]{3})*(?:\.[0-9]{2})?\s?(?:€|\$|USD|EUR|GB
 def oracle_sql() -> dict[str, str]:
     step = CHUNK_SIZE - CHUNK_OVERLAP
     out = {
+        "corpus_shuffle": (
+            "SELECT doc_id, row_number() OVER (ORDER BY "
+            "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT * 1048576 + doc_id) "
+            "AS shuffle_pos FROM documents"
+        ),
+        "user_hourly_value_ffill": (
+            "WITH u AS (SELECT DISTINCT user_id FROM events), "
+            "g AS (SELECT user_id, unnest(generate_series(TIMESTAMP '2024-01-02 00:00:00', "
+            "TIMESTAMP '2024-01-02 23:00:00', INTERVAL 1 HOUR)) AS grid_ts FROM u), "
+            # right side pre-deduped to one row per (key, ts) — greatest
+            # event_id wins, matching asof_join(right_tiebreak="event_id")
+            "e1 AS (SELECT * FROM events QUALIFY row_number() OVER "
+            "(PARTITION BY user_id, ts ORDER BY event_id DESC) = 1) "
+            "SELECT g.user_id, g.grid_ts, round(e.value, 6) AS value FROM g "
+            "ASOF LEFT JOIN e1 e ON g.user_id = e.user_id AND g.grid_ts >= e.ts"
+        ),
         "cust_recent_order_counts": (
             "SELECT c_custkey, count(o_orderkey) AS n_recent FROM customer "
             "LEFT JOIN orders ON o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '2001-06-01' "

@@ -105,6 +105,9 @@ TIMED_QUERIES = [
     "event_transition_matrix",
     "event_value_robust_z",
     "doc_length_deciles",
+    "cust_recent_order_counts",
+    "corpus_shuffle",
+    "user_hourly_value_ffill",
 ]
 
 
