@@ -108,6 +108,8 @@ TIMED_QUERIES = [
     "cust_recent_order_counts",
     "corpus_shuffle",
     "user_hourly_value_ffill",
+    "props_k_by_type",
+    "event_value_share",
 ]
 
 

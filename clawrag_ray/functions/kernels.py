@@ -139,3 +139,16 @@ def rolling_fingerprint(text: str, window: int = 64, mod: int = (1 << 61) - 1, b
         if h < best:
             best = h
     return best
+
+
+def json_int_field(col: pa.ChunkedArray | pa.Array, field: str) -> pa.Array:
+    """Extract an integer field from a FLAT JSON string column — fully
+    vectorized via one RE2 ``extract_regex`` pass (no per-row json.loads).
+    Contract: scalar top-level fields only (the telemetry-props shape
+    ``{"k": 69, ...}``); nested values, string-quoted numbers and
+    duplicate keys need a real JSON parser stage. Rows where the field is
+    absent (or the value non-integer) come back NULL — the SQL
+    json_extract semantics."""
+    pattern = rf'"{re.escape(field)}"\s*:\s*(?P<v>-?\d+)'
+    hit = pc.extract_regex(col, pattern)
+    return pc.cast(pc.struct_field(hit, "v"), pa.int64())

@@ -215,3 +215,47 @@ class TestRefineMarkdown:
         ds = ray.data.from_arrow(pa.table({"text": ["abcdef"]}))
         got = refine_markdown(ds, head_chars=3, model_path=str(plug)).to_pandas()["refined"].iloc[0]
         assert got == "ABCdef"  # head refined by the plug, tail untouched
+
+
+class TestJsonIntField:
+    def test_extract_and_null_semantics(self):
+        from clawrag_ray.functions.kernels import json_int_field
+
+        col = pa.array(
+            [
+                '{"k": 69}',
+                '{"a": 1, "k": -3}',
+                '{"k": 7, "k2": 99}',
+                '{"z": 5}',  # field absent -> NULL
+                '{"k": "str"}',  # non-integer value -> NULL
+                None,
+            ]
+        )
+        got = json_int_field(col, "k").to_pylist()
+        assert got == [69, -3, 7, None, None, None]
+
+    def test_field_name_is_escaped(self):
+        from clawrag_ray.functions.kernels import json_int_field
+
+        col = pa.array(['{"a.b": 12}', '{"aXb": 34}'])
+        # regex metacharacter in the field name must match literally
+        assert json_int_field(col, "a.b").to_pylist() == [12, None]
+
+    def test_matches_duckdb_json_extract(self):
+        import duckdb
+
+        from clawrag_ray.functions.kernels import json_int_field
+
+        vals = ['{"k": %d}' % i for i in range(-5, 5)] + ['{"j": 1}']
+        col = pa.array(vals)
+        ours = json_int_field(col, "k").to_pylist()
+        theirs = [
+            r[0]
+            for r in duckdb.connect()
+            .execute(
+                "SELECT CAST(json_extract(p, '$.k') AS BIGINT) FROM (SELECT unnest(?) AS p)",
+                [vals],
+            )
+            .fetchall()
+        ]
+        assert ours == theirs
