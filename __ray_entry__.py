@@ -2315,6 +2315,38 @@ def _q_props_k_by_type(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_event_value_winsorized(sf_dir: str):
+    """Winsorization (outlier clipping to the per-group [p05, p95] band)
+    — the robust-preprocessing step before training-feature export: one
+    exact grouped-quantile pass broadcasts the 5-row clip bounds, the
+    clip itself is a map-only Arrow min/max. Bounds round to 4 digits on
+    both sides so clipped values agree bit-for-bit."""
+    import pyarrow.compute as pc
+
+    from clawrag_ray.stages.relational import grouped_quantiles
+
+    ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+    bounds = {
+        r["event_type"]: (r["p5"], r["p95"])
+        for r in grouped_quantiles(ev, ["event_type"], "value", [0.05, 0.95]).take_all()
+    }
+
+    def clip(b: pa.Table) -> pa.Table:
+        t = b["event_type"].to_pylist()
+        lo = np.array([bounds[x][0] for x in t])
+        hi = np.array([bounds[x][1] for x in t])
+        v = b["value"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_id": b["event_id"],
+                "event_type": b["event_type"],
+                "clipped": pa.array(np.round(np.minimum(np.maximum(v, lo), hi), 6)),
+            }
+        )
+
+    return ev.map_batches(clip, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_event_value_share(sf_dir: str):
     """Ratio-to-report window (value / SUM(value) OVER (PARTITION BY
     type)): the 5-row per-type totals broadcast once and the divide is
@@ -2350,6 +2382,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # enforces (count or time), the union of per-round gates covers every
     # query fastest when the least-recently-verified ones lead.
     return {
+        "event_value_winsorized": _q_event_value_winsorized,
         "props_k_by_type": _q_props_k_by_type,
         "event_value_share": _q_event_value_share,
         "corpus_shuffle": _q_corpus_shuffle,
@@ -2687,6 +2720,12 @@ _AMOUNT_RE = r"[0-9]{1,3}(?:[,.][0-9]{3})*(?:\.[0-9]{2})?\s?(?:€|\$|USD|EUR|GB
 def oracle_sql() -> dict[str, str]:
     step = CHUNK_SIZE - CHUNK_OVERLAP
     out = {
+        "event_value_winsorized": (
+            "WITH q AS (SELECT event_type, round(quantile_cont(value, 0.05), 4) AS lo, "
+            "round(quantile_cont(value, 0.95), 4) AS hi FROM events GROUP BY 1) "
+            "SELECT event_id, e.event_type, round(least(greatest(e.value, q.lo), q.hi), 6) AS clipped "
+            "FROM events e JOIN q USING (event_type)"
+        ),
         "props_k_by_type": (
             "SELECT event_type, count(*) AS n, "
             "CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k "

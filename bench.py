@@ -110,6 +110,7 @@ TIMED_QUERIES = [
     "user_hourly_value_ffill",
     "props_k_by_type",
     "event_value_share",
+    "event_value_winsorized",
 ]
 
 
