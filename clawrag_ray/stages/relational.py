@@ -2145,7 +2145,11 @@ def pivot_counts(
 
     def per_part(g: pd.DataFrame) -> pd.DataFrame:
         g = g[g[pivot_col].isin(pivot_values)]
-        wide = g.pivot_table(index=list(keys), columns=pivot_col, values=src, aggfunc="sum", fill_value=0)
+        # dropna=False: a NULL key is a group like any other (SQL GROUP BY
+        # semantics — the same null-key rule as the window ops above)
+        wide = g.pivot_table(
+            index=list(keys), columns=pivot_col, values=src, aggfunc="sum", fill_value=0, dropna=False
+        )
         wide = wide.reindex(columns=list(pivot_values), fill_value=0).reset_index()
         wide.columns = list(keys) + [f"{prefix}{v}" for v in pivot_values]
         for v in pivot_values:
