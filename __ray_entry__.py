@@ -2315,6 +2315,26 @@ def _q_props_k_by_type(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_edit_near_dups(sf_dir: str):
+    """Edit-distance near-dup pairs (Levenshtein <= 5) — the ED-Join /
+    q-gram string-similarity join (stages/dedup.py:edit_distance_near_dups):
+    positional-multiset 8-gram keys, rarity-ordered prefix filter (only
+    each doc's 46 rarest keys generate candidates — hot grams never
+    pair-expand), exact banded-Levenshtein verify over the bounded
+    candidate set. Docs shorter than q*(d+1)=48 are outside the filter's
+    completeness regime and are excluded identically on both sides."""
+    import pyarrow.compute as pc
+
+    from clawrag_ray.stages.dedup import edit_distance_near_dups
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda b: b.filter(pc.greater_equal(pc.utf8_length(b["text"]), 48)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return edit_distance_near_dups(docs, d=5, q=8)
+
+
 def _q_event_value_winsorized(sf_dir: str):
     """Winsorization (outlier clipping to the per-group [p05, p95] band)
     — the robust-preprocessing step before training-feature export: one
@@ -2382,6 +2402,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # enforces (count or time), the union of per-round gates covers every
     # query fastest when the least-recently-verified ones lead.
     return {
+        "edit_near_dups": _q_edit_near_dups,
         "event_value_winsorized": _q_event_value_winsorized,
         "props_k_by_type": _q_props_k_by_type,
         "event_value_share": _q_event_value_share,
@@ -2720,6 +2741,25 @@ _AMOUNT_RE = r"[0-9]{1,3}(?:[,.][0-9]{3})*(?:\.[0-9]{2})?\s?(?:€|\$|USD|EUR|GB
 def oracle_sql() -> dict[str, str]:
     step = CHUNK_SIZE - CHUNK_OVERLAP
     out = {
+        # the q-gram COUNT filter (Gravano 2001) replayed in SQL: a pair at
+        # Levenshtein e shares >= (len_min - q + 1) - q*e positional-multiset
+        # q-grams, so candidates with shared count below the d-threshold are
+        # provably out; the engine's rarity-prefix filter admits a superset
+        # of the same candidates and both converge after the exact verify
+        "edit_near_dups": (
+            "WITH docs AS (SELECT doc_id, text, length(text) AS len FROM documents WHERE length(text) >= 48), "
+            "g AS (SELECT doc_id, substr(text, i, 8) AS gram, "
+            "row_number() OVER (PARTITION BY doc_id, substr(text, i, 8)) AS occ, len "
+            "FROM docs, LATERAL (SELECT unnest(generate_series(1, len - 7)) AS i)), "
+            "shared AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c, "
+            "min(least(a.len, b.len)) AS lmin, min(abs(a.len - b.len)) AS ldiff "
+            "FROM g a JOIN g b ON a.gram = b.gram AND a.occ = b.occ AND a.doc_id < b.doc_id "
+            "GROUP BY 1, 2), "
+            "cand AS (SELECT da, db FROM shared WHERE ldiff <= 5 AND c >= (lmin - 7) - 40) "
+            "SELECT cand.da AS doc_a, cand.db AS doc_b, levenshtein(a.text, b.text) AS dist "
+            "FROM cand JOIN docs a ON a.doc_id = cand.da JOIN docs b ON b.doc_id = cand.db "
+            "WHERE levenshtein(a.text, b.text) <= 5"
+        ),
         "event_value_winsorized": (
             "WITH q AS (SELECT event_type, round(quantile_cont(value, 0.05), 4) AS lo, "
             "round(quantile_cont(value, 0.95), 4) AS hi FROM events GROUP BY 1) "

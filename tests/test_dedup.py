@@ -386,3 +386,92 @@ class TestBloomAntiJoin:
         empty = ray.data.from_pandas(pd.DataFrame({"doc_id": [], "key": pd.Series([], dtype=str)}))
         got = bloom_anti_join(new_ds, empty, "key").to_pandas()
         assert sorted(got["doc_id"]) == new["doc_id"].tolist()
+
+
+class TestEditDistanceNearDups:
+    def test_levenshtein_matches_duckdb(self):
+        import random
+
+        import duckdb
+
+        from clawrag_ray.stages.dedup import _levenshtein_capped
+
+        random.seed(3)
+        con = duckdb.connect()
+        for _ in range(200):
+            a = "".join(random.choice("abcd ") for _ in range(random.randint(0, 25)))
+            b = "".join(random.choice("abcd ") for _ in range(random.randint(0, 25)))
+            ref = con.execute("SELECT levenshtein(?, ?)", [a, b]).fetchone()[0]
+            assert _levenshtein_capped(a, b, 100) == ref, (a, b)
+
+    def test_cap_early_exit(self):
+        from clawrag_ray.stages.dedup import _levenshtein_capped
+
+        assert _levenshtein_capped("abcdef" * 10, "zzzzzz" * 10, 3) == 4  # cap+1
+        assert _levenshtein_capped("", "abc", 5) == 3
+        assert _levenshtein_capped("abc", "", 3) == 3
+        assert _levenshtein_capped("abc", "", 2) == 3  # over cap -> cap+1
+
+    def _corpus(self):
+        import numpy as np
+
+        rng = np.random.default_rng(11)
+        base = ["".join(rng.choice(list("abcdefg "), 80)) for _ in range(40)]
+        docs = []
+        for i, t in enumerate(base):
+            docs.append(t)
+            if i % 4 == 0:
+                mut = list(t)
+                mut[5], mut[20] = "z", "q"  # dist 2
+                docs.append("".join(mut))
+        docs.append("ab" * 40)  # repetitive (multiset q-gram regime)
+        docs.append("ab" * 39 + "zz")
+        return pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+
+    def test_equals_brute_force(self, ray_session):
+        from clawrag_ray.stages.dedup import _levenshtein_capped, edit_distance_near_dups
+
+        df = self._corpus()
+        ds = ray.data.from_pandas(df).repartition(5)
+        got = (
+            edit_distance_near_dups(ds, d=5, q=8)
+            .to_pandas()
+            .sort_values(["doc_a", "doc_b"])
+            .reset_index(drop=True)
+        )
+        docs = df["text"].tolist()
+        brute = [
+            (i, j, _levenshtein_capped(docs[i], docs[j], 5))
+            for i in range(len(docs))
+            for j in range(i + 1, len(docs))
+            if _levenshtein_capped(docs[i], docs[j], 5) <= 5
+        ]
+        exp = pd.DataFrame(brute, columns=["doc_a", "doc_b", "dist"])
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+        assert len(exp) >= 11  # planted pairs + the repetitive pair found
+
+    def test_short_doc_raises(self, ray_session):
+        import pytest as _pytest
+
+        from clawrag_ray.stages.dedup import edit_distance_near_dups
+
+        ds = ray.data.from_pandas(pd.DataFrame({"doc_id": [0], "text": ["short text"]}))
+        with _pytest.raises(Exception, match="completeness regime"):
+            edit_distance_near_dups(ds, d=5, q=8).to_pandas()
+
+    def test_no_pairs_keeps_schema(self, ray_session):
+        from clawrag_ray.stages.dedup import edit_distance_near_dups
+
+        import numpy as np
+
+        rng = np.random.default_rng(0)
+        # far-apart random docs: no candidates at d=2
+        df = pd.DataFrame(
+            {"doc_id": range(6), "text": ["".join(rng.choice(list("abcdefghij"), 60)) for _ in range(6)]}
+        )
+        out = edit_distance_near_dups(ray.data.from_pandas(df), d=2, q=8)
+        # to_pandas() drops zero-row blocks (schema lost there — known Ray
+        # quirk); the Dataset itself pins the typed schema via the union'd
+        # empty block
+        assert out.count() == 0
+        assert set(out.schema().names) == {"doc_a", "doc_b", "dist"}
