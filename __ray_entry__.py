@@ -2315,6 +2315,22 @@ def _q_props_k_by_type(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_dsir_selection(sf_dir: str):
+    """DSIR data selection (Xie et al. 2023): hashed-bigram importance
+    weights ln p_target/p_raw (target LM = the English stratum, raw LM =
+    the whole corpus, add-one smoothing over 1024 md5 buckets), keep the
+    top quarter by length-normalized log ratio. Both LMs are
+    bucket-bounded aggregates; scoring is a map-only second pass — a
+    doc's features never leave its batch."""
+    from clawrag_ray.stages.curation import dsir_importance_sample
+
+    return dsir_importance_sample(
+        _read(sf_dir, "documents", ["doc_id", "text", "lang"]),
+        target_col="lang",
+        target_value="en",
+    )
+
+
 def _q_edit_near_dups(sf_dir: str):
     """Edit-distance near-dup pairs (Levenshtein <= 5) — the ED-Join /
     q-gram string-similarity join (stages/dedup.py:edit_distance_near_dups):
@@ -2402,6 +2418,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # enforces (count or time), the union of per-round gates covers every
     # query fastest when the least-recently-verified ones lead.
     return {
+        "dsir_selection": _q_dsir_selection,
         "edit_near_dups": _q_edit_near_dups,
         "event_value_winsorized": _q_event_value_winsorized,
         "props_k_by_type": _q_props_k_by_type,
@@ -2741,6 +2758,28 @@ _AMOUNT_RE = r"[0-9]{1,3}(?:[,.][0-9]{3})*(?:\.[0-9]{2})?\s?(?:€|\$|USD|EUR|GB
 def oracle_sql() -> dict[str, str]:
     step = CHUNK_SIZE - CHUNK_OVERLAP
     out = {
+        # DSIR replay: hashed-bigram buckets via the canonical md5 mirror,
+        # two add-one LMs (en stratum vs whole corpus) over the fixed
+        # 1024-bucket space, mean log ratio per doc, top-quarter cutoff at
+        # the unrounded 0.75 quantile (quantile_cont == the t-digest sketch
+        # in the exact regime, same contract as perplexity_filter)
+        "dsir_selection": (
+            "WITH tok AS (SELECT doc_id, lang, "
+            "unnest(regexp_extract_all(lower(text), '\\S+')) AS w, "
+            "generate_subscripts(regexp_extract_all(lower(text), '\\S+'), 1) AS i FROM documents), "
+            "bg AS (SELECT a.doc_id, a.lang, "
+            "('0x' || substr(md5(a.w || ' ' || b.w), 1, 8))::UBIGINT % 1024 AS bkt "
+            "FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1), "
+            "cb AS (SELECT bkt, count(*)::BIGINT AS c_all, "
+            "sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS c_tgt FROM bg GROUP BY 1), "
+            "tot AS (SELECT sum(c_all)::BIGINT AS t_all, sum(c_tgt)::BIGINT AS t_tgt FROM cb), "
+            "lr AS (SELECT bkt, ln((c_tgt + 1)::DOUBLE / (t_tgt + 1024)) - "
+            "ln((c_all + 1)::DOUBLE / (t_all + 1024)) AS lr FROM cb, tot), "
+            "doc AS (SELECT doc_id, count(*)::BIGINT AS n_feats, sum(lr) / count(*) AS s "
+            "FROM bg JOIN lr USING (bkt) GROUP BY 1), "
+            "cut AS (SELECT quantile_cont(s, 0.75) AS c FROM doc) "
+            "SELECT doc_id, n_feats, round(s, 6) AS dsir_logratio, s >= c AS selected FROM doc, cut"
+        ),
         # the q-gram COUNT filter (Gravano 2001) replayed in SQL: a pair at
         # Levenshtein e shares >= (len_min - q + 1) - q*e positional-multiset
         # q-grams, so candidates with shared count below the d-threshold are

@@ -1320,3 +1320,159 @@ def source_overlap_matrix(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+def _bigram_buckets(
+    b: pa.Table, text_col: str, n_buckets: int
+) -> tuple["np.ndarray", "np.ndarray"]:
+    """Hashed word-bigram features for every row of a batch: returns
+    (row_idx, bucket) arrays, one entry per bigram. Tokenization is the
+    repo-wide oracle rule (lowercase + RE2 ``\\S+``, _explode_tokens);
+    bucket = md5_prefix_int(w_i + ' ' + w_{i+1}) % n_buckets — the
+    canonical md5 construct DuckDB mirrors. Rows with < 2 tokens emit no
+    features. Token lists stay vectorized through Arrow; only the md5
+    digests run per bigram (the hash IS per-item work)."""
+    from clawrag_ray.functions.kernels import md5_prefix_ints
+
+    col = b[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    parts = pc.split_pattern_regex(pc.utf8_lower(col), r"\s+")
+    parent = pc.list_parent_indices(parts).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(parts)
+    keep = pc.not_equal(flat, "")
+    toks = flat.filter(keep).to_pylist()
+    parent = parent[keep.to_numpy(zero_copy_only=False)]
+    if len(toks) < 2:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    # bigrams pair ADJACENT filtered tokens of the same row (split empties
+    # occur only at string edges, so filtered order == token order)
+    m = parent[:-1] == parent[1:]
+    idx = np.nonzero(m)[0]
+    if len(idx) == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    grams = [toks[j] + " " + toks[j + 1] for j in idx]
+    buckets = md5_prefix_ints(grams) % n_buckets
+    return parent[idx], buckets
+
+
+def dsir_importance_sample(
+    ds: Dataset,
+    target_col: str = "lang",
+    target_value: str = "en",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+    keep_frac: float = 0.25,
+) -> Dataset:
+    """DSIR data selection (Xie et al. 2023, "Data Selection for Language
+    Models via Importance Resampling", public): score every raw document
+    by how target-like it is under two hashed-bigram bag models — the
+    target LM trained on the rows where ``target_col == target_value``,
+    the raw LM on the whole corpus — and keep the top ``keep_frac`` by
+    length-normalized log importance ratio. The paper resamples with
+    Gumbel noise; this engine standardizes on the deterministic top-slice
+    (score >= the (1-keep_frac) corpus quantile), same trade as every
+    sampling op here.
+
+    Scale shape (nothing corpus-sized leaves the workers):
+      1. ONE feature pass folds each block's bigrams into per-block
+         (bucket, c_all, c_tgt) partials via bincount — <= n_buckets rows
+         per block; a bucket-keyed grouped sum yields the two LMs
+         (n_buckets-bounded, the bounded-driver contract);
+      2. the log-ratio table ``lr(b) = ln p_tgt(b) - ln p_raw(b)``
+         (add-one smoothing over the FIXED n_buckets feature space) is a
+         few KB — broadcast once into the scoring pass;
+      3. a second map-only pass re-hashes features and computes each doc's
+         mean lr locally (a doc's bigrams never leave its batch — no
+         per-doc shuffle at all);
+      4. the selection cutoff is the t-digest corpus quantile (exact while
+         n_docs <= compression, the pinned contract), ndigits=17 for the
+         same tie-exactness reason as perplexity_filter.
+
+    Docs with < 2 tokens carry no features and are excluded (oracle
+    mirrors via its bigram inner join). Output:
+    (id, n_feats, dsir_logratio round-6, selected)."""
+    from ray.data.aggregate import Sum as AggSum
+
+    from clawrag_ray.stages.relational import grouped_quantiles_tdigest
+
+    src = ds.select_columns([id_col, text_col, target_col])
+
+    def partial_counts(b: pa.Table) -> pa.Table:
+        rows, buckets = _bigram_buckets(b, text_col, n_buckets)
+        if len(buckets) == 0:
+            return pa.table(
+                {
+                    "bucket": pa.array([], pa.int64()),
+                    "pc_all": pa.array([], pa.int64()),
+                    "pc_tgt": pa.array([], pa.int64()),
+                }
+            )
+        tgt_rows = pc.equal(b[target_col], target_value).to_numpy(zero_copy_only=False)
+        c_all = np.bincount(buckets, minlength=n_buckets)
+        c_tgt = np.bincount(buckets[tgt_rows[rows]], minlength=n_buckets)
+        nz = np.nonzero(c_all)[0]
+        return pa.table(
+            {
+                "bucket": pa.array(nz, pa.int64()),
+                "pc_all": pa.array(c_all[nz], pa.int64()),
+                "pc_tgt": pa.array(c_tgt[nz], pa.int64()),
+            }
+        )
+
+    freq = (
+        src.map_batches(partial_counts, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .aggregate(AggSum("pc_all", alias_name="c_all"), AggSum("pc_tgt", alias_name="c_tgt"))
+        .to_pandas()  # n_buckets-bounded
+    )
+    c_all = np.zeros(n_buckets, dtype=np.int64)
+    c_tgt = np.zeros(n_buckets, dtype=np.int64)
+    c_all[freq["bucket"].to_numpy()] = freq["c_all"].to_numpy()
+    c_tgt[freq["bucket"].to_numpy()] = freq["c_tgt"].to_numpy()
+    t_all, t_tgt = int(c_all.sum()), int(c_tgt.sum())
+    lr = np.log((c_tgt + 1.0) / (t_tgt + n_buckets)) - np.log((c_all + 1.0) / (t_all + n_buckets))
+
+    def score(b: pa.Table) -> pa.Table:
+        rows, buckets = _bigram_buckets(b, text_col, n_buckets)
+        sums = np.zeros(b.num_rows, dtype=np.float64)
+        np.add.at(sums, rows, lr[buckets])
+        n_feats = np.bincount(rows, minlength=b.num_rows).astype(np.int64)
+        has = n_feats > 0
+        return pa.table(
+            {
+                id_col: b[id_col].filter(pa.array(has)),
+                "n_feats": pa.array(n_feats[has]),
+                "__s": pa.array(sums[has] / n_feats[has]),
+            }
+        )
+
+    scored = src.map_batches(score, batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    q = 1.0 - keep_frac
+    cut_df = grouped_quantiles_tdigest(
+        scored.map_batches(
+            lambda b: b.append_column("__all", pa.array(np.zeros(b.num_rows, dtype="int64"))),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        ["__all"],
+        "__s",
+        [q],
+        ndigits=17,
+    ).to_pandas()
+    cut = float(cut_df[f"p{int(round(q * 100))}"].iloc[0])
+
+    def assign(b: pa.Table) -> pa.Table:
+        s = b["__s"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "n_feats": b["n_feats"],
+                "dsir_logratio": pa.array(np.round(s, 6)),
+                "selected": pa.array(s >= cut),
+            }
+        )
+
+    return scored.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)

@@ -813,3 +813,82 @@ class TestSourceOverlapMatrix:
         got = {(a, b): n for a, b, n in zip(got["source_a"], got["source_b"], got["n_shared"])}
         assert got.get(("s1", "s2")) == 1  # only the exact 8-word shingle is shared
         assert ("s1", "s3") not in got and ("s2", "s3") not in got
+
+
+class TestDsirImportanceSample:
+    def _brute(self, rows, n_buckets=64, keep_frac=0.5):
+        """Pure-Python DSIR replay: hashed-bigram LMs + mean log ratio."""
+        import hashlib
+        import math
+        import re
+
+        def feats(text):
+            toks = re.findall(r"\S+", text.lower())
+            return [
+                int(hashlib.md5((toks[i] + " " + toks[i + 1]).encode()).hexdigest()[:8], 16)
+                % n_buckets
+                for i in range(len(toks) - 1)
+            ]
+        c_all = [0] * n_buckets
+        c_tgt = [0] * n_buckets
+        per_doc = {}
+        for doc_id, text, lang in rows:
+            f = feats(text)
+            if f:
+                per_doc[doc_id] = f
+            for b in f:
+                c_all[b] += 1
+                if lang == "en":
+                    c_tgt[b] += 1
+        t_all, t_tgt = sum(c_all), sum(c_tgt)
+        lr = [
+            math.log((c_tgt[b] + 1) / (t_tgt + n_buckets))
+            - math.log((c_all[b] + 1) / (t_all + n_buckets))
+            for b in range(n_buckets)
+        ]
+        return {d: sum(lr[b] for b in f) / len(f) for d, f in per_doc.items()}
+
+    def test_matches_brute_force_and_layout_invariant(self, ray_session):
+        import numpy as np
+
+        from clawrag_ray.stages.curation import dsir_importance_sample
+
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog", "en"),
+            (2, "der schnelle braune fuchs springt ueber den hund", "de"),
+            (3, "the lazy dog sleeps while the quick fox runs", "en"),
+            (4, "ein hund schlaeft hier gar nicht schnell heute", "de"),
+            (5, "quick brown dog and lazy fox play together", "en"),
+            (6, "one", "de"),  # < 2 tokens: no features, excluded
+        ]
+        want = self._brute(rows)
+        t = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": [r[1] for r in rows],
+                "lang": [r[2] for r in rows],
+            }
+        )
+        for parts in (1, 3):
+            got = (
+                dsir_importance_sample(
+                    ray.data.from_arrow(t).repartition(parts),
+                    n_buckets=64,
+                    keep_frac=0.5,
+                )
+                .to_pandas()
+                .sort_values("doc_id")
+            )
+            assert got["doc_id"].tolist() == sorted(want)
+            np.testing.assert_allclose(
+                got["dsir_logratio"].to_numpy(),
+                np.round([want[d] for d in sorted(want)], 6),
+                atol=1e-9,
+            )
+            # English docs score higher than German under the en-target LM
+            by_id = dict(zip(got["doc_id"], got["dsir_logratio"]))
+            assert min(by_id[1], by_id[3], by_id[5]) > max(by_id[2], by_id[4])
+            # top-half selection by score, deterministic
+            n_sel = int(got["selected"].sum())
+            assert 0 < n_sel < len(got)
+            assert got[got["selected"]]["dsir_logratio"].min() >= got[~got["selected"]]["dsir_logratio"].max()
