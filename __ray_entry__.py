@@ -2331,6 +2331,16 @@ def _q_dsir_selection(sf_dir: str):
     )
 
 
+def _q_quality_classifier(sf_dir: str):
+    """fastText-style hashed linear quality filter: mean frozen weight
+    over md5 token buckets, keep iff margin >= 0. Map-only — no shuffle;
+    the weight table is a few-KB broadcast. model_path= plugs real
+    weights per actor."""
+    from clawrag_ray.stages.text_analysis import quality_classifier
+
+    return quality_classifier(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def _q_edit_near_dups(sf_dir: str):
     """Edit-distance near-dup pairs (Levenshtein <= 5) — the ED-Join /
     q-gram string-similarity join (stages/dedup.py:edit_distance_near_dups):
@@ -2419,6 +2429,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # query fastest when the least-recently-verified ones lead.
     return {
         "dsir_selection": _q_dsir_selection,
+        "quality_classifier": _q_quality_classifier,
         "edit_near_dups": _q_edit_near_dups,
         "event_value_winsorized": _q_event_value_winsorized,
         "props_k_by_type": _q_props_k_by_type,
@@ -2779,6 +2790,19 @@ def oracle_sql() -> dict[str, str]:
             "FROM bg JOIN lr USING (bkt) GROUP BY 1), "
             "cut AS (SELECT quantile_cont(s, 0.75) AS c FROM doc) "
             "SELECT doc_id, n_feats, round(s, 6) AS dsir_logratio, s >= c AS selected FROM doc, cut"
+        ),
+        # fastText-stand-in replay: w[j] = md5('w'||j) prefix / 2^32 * 2 - 1
+        # (every step a power-of-two scale — bit-exact cross-engine); the
+        # keep decision is the margin sign, so no sigmoid parity needed
+        "quality_classifier": (
+            "WITH tok AS (SELECT doc_id, "
+            "unnest(regexp_extract_all(lower(text), '\\S+')) AS w FROM documents), "
+            "tw AS (SELECT doc_id, "
+            "('0x' || substr(md5('w' || CAST((('0x' || substr(md5(w), 1, 8))::UBIGINT % 1024) "
+            "AS VARCHAR)), 1, 8))::UBIGINT::DOUBLE / 4294967296.0 * 2.0 - 1.0 AS wt FROM tok), "
+            "doc AS (SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(wt) / count(*) AS m "
+            "FROM tw GROUP BY 1) "
+            "SELECT doc_id, n_tokens, round(m, 6) AS clf_margin, m >= 0.0 AS keep FROM doc"
         ),
         # the q-gram COUNT filter (Gravano 2001) replayed in SQL: a pair at
         # Levenshtein e shares >= (len_min - q + 1) - q*e positional-multiset

@@ -417,3 +417,78 @@ def refine_markdown(
         return b.append_column(out_col, pc.binary_join_element_wise(h, tail, ""))
 
     return ds.map_batches(refine, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def quality_classifier(
+    ds: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+    model_path: str | None = None,
+) -> Dataset:
+    """fastText-style linear quality classifier (Joulin et al. 2016,
+    public; the shape behind CCNet/LLaMA "Wikipedia-like" page filters):
+    each doc scores the MEAN weight of its hashed bag-of-words features,
+    ``margin = mean(w[md5(token) % n_buckets])``, keep iff margin >= 0
+    (the sign of a linear classifier — sigmoid is monotone, so the
+    decision needs no exp and stays bit-exact cross-engine).
+
+    No pretrained weights exist in this sandbox, so the frozen weight
+    vector is the deterministic stand-in ``w[j] = md5_prefix_int('w'+j)
+    / 2^32 * 2 - 1`` in [-1, 1) — every arithmetic step a power-of-two
+    scale, so DuckDB replays it digit-for-digit. ``model_path=`` loads a
+    real (weights, bias) pair per actor (load_kernel contract), same
+    plug-point pattern as HashEmbedder/ImageFeatures.
+
+    Scale shape: entirely MAP-ONLY — the weight table is a few KB closed
+    over the batch fn (broadcast once per worker by Ray), a doc's tokens
+    never leave its batch, no shuffle anywhere. Zero-token docs carry no
+    features and are excluded (oracle mirrors via its inner join).
+    Output: (id, n_tokens, clf_margin round-6, keep)."""
+    import numpy as np
+
+    from clawrag_ray.functions.kernels import md5_prefix_ints
+
+    if model_path is not None:
+        from clawrag_ray.functions.kernels import load_kernel
+
+        weights, bias = load_kernel(model_path, "quality_weights")(n_buckets)
+        weights = np.asarray(weights, dtype=np.float64)
+    else:
+        weights = (
+            md5_prefix_ints([f"w{j}" for j in range(n_buckets)]).astype(np.float64)
+            / 4294967296.0
+            * 2.0
+            - 1.0
+        )
+        bias = 0.0
+
+    def score(b: pa.Table) -> pa.Table:
+        col = b[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        parts = pc.split_pattern_regex(pc.utf8_lower(col), r"\s+")
+        parent = pc.list_parent_indices(parts).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(parts)
+        keep_tok = pc.not_equal(flat, "")
+        toks = flat.filter(keep_tok).to_pylist()
+        parent = parent[keep_tok.to_numpy(zero_copy_only=False)]
+        sums = np.zeros(b.num_rows, dtype=np.float64)
+        if toks:
+            buckets = md5_prefix_ints(toks) % n_buckets
+            np.add.at(sums, parent, weights[buckets])
+        n_tok = np.bincount(parent, minlength=b.num_rows).astype(np.int64)
+        has = n_tok > 0
+        margin = sums[has] / n_tok[has] + bias
+        return pa.table(
+            {
+                id_col: b[id_col].filter(pa.array(has)),
+                "n_tokens": pa.array(n_tok[has]),
+                "clf_margin": pa.array(np.round(margin, 6)),
+                "keep": pa.array(margin >= 0.0),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True
+    )

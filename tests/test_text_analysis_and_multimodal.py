@@ -259,3 +259,54 @@ class TestJsonIntField:
             .fetchall()
         ]
         assert ours == theirs
+
+
+class TestQualityClassifier:
+    def test_matches_brute_force(self, ray_session):
+        import hashlib
+        import re
+
+        import numpy as np
+
+        from clawrag_ray.stages.text_analysis import quality_classifier
+
+        B = 1024
+
+        def h(s):
+            return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+        texts = [
+            "The Quick brown fox JUMPS over the lazy dog",
+            "alpha beta gamma  delta",
+            "   ",  # zero tokens: excluded
+            "solo",
+        ]
+        t = pa.table({"doc_id": pa.array([1, 2, 3, 4], pa.int64()), "text": texts})
+        got = (
+            quality_classifier(ray.data.from_arrow(t).repartition(2))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert got["doc_id"].tolist() == [1, 2, 4]
+        for _, row in got.iterrows():
+            toks = re.findall(r"\S+", texts[int(row["doc_id"]) - 1].lower())
+            ws = [h(f"w{h(tk) % B}") / 4294967296.0 * 2.0 - 1.0 for tk in toks]
+            m = sum(ws) / len(ws)
+            assert row["n_tokens"] == len(toks)
+            assert abs(row["clf_margin"] - round(m, 6)) < 1e-12
+            assert bool(row["keep"]) == (m >= 0.0)
+
+    def test_model_path_plug(self, ray_session, tmp_path):
+        from clawrag_ray.stages.text_analysis import quality_classifier
+
+        p = tmp_path / "clf_plug.py"
+        p.write_text(
+            "import numpy as np\n"
+            "def quality_weights(n_buckets):\n"
+            "    return np.ones(n_buckets), -0.5\n"
+        )
+        t = pa.table({"doc_id": pa.array([1], pa.int64()), "text": ["two words"]})
+        got = quality_classifier(ray.data.from_arrow(t), model_path=str(p)).to_pandas()
+        # all-ones weights, bias -0.5: margin = 1 - 0.5 = 0.5, keep
+        assert got["clf_margin"].iloc[0] == 0.5 and bool(got["keep"].iloc[0])
