@@ -2341,6 +2341,46 @@ def _q_quality_classifier(sf_dir: str):
     return quality_classifier(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def _q_corpus_diff(sf_dir: str):
+    """Snapshot diff between the corpus and a deterministically mutated
+    'next crawl' (doc_id%13 removed, %7 edited, %19 re-added under a new
+    id): added/removed/changed/unchanged per id via a FULL OUTER join over
+    (id, sha256) rows — documents never shuffle, only 40-byte digests."""
+    import pyarrow.compute as pc
+
+    from clawrag_ray.stages.curation import snapshot_diff
+
+    old = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def mutate(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        kept = b.filter(pa.array(ids % 13 != 0))
+        kept_ids = kept["doc_id"].to_numpy(zero_copy_only=False)
+        edited = pa.table(
+            {
+                "doc_id": kept["doc_id"],
+                "text": pc.if_else(
+                    pa.array(kept_ids % 7 == 0),
+                    pc.binary_join_element_wise(kept["text"], " v2", ""),
+                    kept["text"],
+                ),
+            }
+        )
+        readd = b.filter(pa.array(ids % 19 == 0))
+        readd = pa.table(
+            {
+                "doc_id": pc.add(readd["doc_id"], pa.scalar(10000000, pa.int64())),
+                "text": readd["text"],
+            }
+        )
+        return pa.concat_tables([edited, readd])
+
+    new = old.map_batches(mutate, batch_format="pyarrow", zero_copy_batch=True)
+    return snapshot_diff(old, new)
+
+
 def _q_edit_near_dups(sf_dir: str):
     """Edit-distance near-dup pairs (Levenshtein <= 5) — the ED-Join /
     q-gram string-similarity join (stages/dedup.py:edit_distance_near_dups):
@@ -2430,6 +2470,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "dsir_selection": _q_dsir_selection,
         "quality_classifier": _q_quality_classifier,
+        "corpus_diff": _q_corpus_diff,
         "edit_near_dups": _q_edit_near_dups,
         "event_value_winsorized": _q_event_value_winsorized,
         "props_k_by_type": _q_props_k_by_type,
@@ -2803,6 +2844,18 @@ def oracle_sql() -> dict[str, str]:
             "doc AS (SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(wt) / count(*) AS m "
             "FROM tw GROUP BY 1) "
             "SELECT doc_id, n_tokens, round(m, 6) AS clf_margin, m >= 0.0 AS keep FROM doc"
+        ),
+        # snapshot-diff replay: same mutation CTE, FULL OUTER join, text
+        # equality instead of sha256 equality (identical verdicts)
+        "corpus_diff": (
+            "WITH old AS (SELECT doc_id, text FROM documents), "
+            "new AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text "
+            "FROM documents WHERE doc_id % 13 <> 0 "
+            "UNION ALL SELECT doc_id + 10000000, text FROM documents WHERE doc_id % 19 = 0) "
+            "SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, "
+            "CASE WHEN o.doc_id IS NULL THEN 'added' WHEN n.doc_id IS NULL THEN 'removed' "
+            "WHEN o.text = n.text THEN 'unchanged' ELSE 'changed' END AS status "
+            "FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id"
         ),
         # the q-gram COUNT filter (Gravano 2001) replayed in SQL: a pair at
         # Levenshtein e shares >= (len_min - q + 1) - q*e positional-multiset

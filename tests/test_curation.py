@@ -892,3 +892,27 @@ class TestDsirImportanceSample:
             n_sel = int(got["selected"].sum())
             assert 0 < n_sel < len(got)
             assert got[got["selected"]]["dsir_logratio"].min() >= got[~got["selected"]]["dsir_logratio"].max()
+
+
+class TestSnapshotDiff:
+    def test_all_four_statuses(self, ray_session):
+        from clawrag_ray.stages.curation import snapshot_diff
+
+        old = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([1, 2, 3], pa.int64()),
+                    "text": ["same", "will change", "will vanish"],
+                }
+            )
+        ).repartition(2)
+        new = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([1, 2, 4], pa.int64()),
+                    "text": ["same", "changed!", "brand new"],
+                }
+            )
+        ).repartition(2)
+        got = snapshot_diff(old, new).to_pandas().set_index("doc_id")["status"].to_dict()
+        assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
