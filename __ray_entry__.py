@@ -2381,6 +2381,30 @@ def _q_corpus_diff(sf_dir: str):
     return snapshot_diff(old, new)
 
 
+def _q_user_active_time(sf_dir: str):
+    """Per-user active time: union length of 5-minute activity intervals
+    [ts, ts+300s) — the interval-union sweep (sorted merge-overlaps per
+    key, one hash-partitioned shuffle, exact int64 microseconds)."""
+    import pyarrow.compute as pc
+
+    from clawrag_ray.stages.relational import interval_union_length
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def mk_iv(b: pa.Table) -> pa.Table:
+        s = b["ts"].cast(pa.int64())
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "s": s,
+                "e": pc.add(s, pa.scalar(300_000_000, pa.int64())),
+            }
+        )
+
+    iv = ev.map_batches(mk_iv, batch_format="pyarrow", zero_copy_batch=True)
+    return interval_union_length(iv, "user_id", "s", "e", out_col="active_us")
+
+
 def _q_edit_near_dups(sf_dir: str):
     """Edit-distance near-dup pairs (Levenshtein <= 5) — the ED-Join /
     q-gram string-similarity join (stages/dedup.py:edit_distance_near_dups):
@@ -2471,6 +2495,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_selection": _q_dsir_selection,
         "quality_classifier": _q_quality_classifier,
         "corpus_diff": _q_corpus_diff,
+        "user_active_time": _q_user_active_time,
         "edit_near_dups": _q_edit_near_dups,
         "event_value_winsorized": _q_event_value_winsorized,
         "props_k_by_type": _q_props_k_by_type,
@@ -2844,6 +2869,17 @@ def oracle_sql() -> dict[str, str]:
             "doc AS (SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(wt) / count(*) AS m "
             "FROM tw GROUP BY 1) "
             "SELECT doc_id, n_tokens, round(m, 6) AS clf_margin, m >= 0.0 AS keep FROM doc"
+        ),
+        # interval-union replay: running max(end) window per user (frame
+        # ends 1 PRECEDING), clip to zero, grouped sum; epoch-us integers
+        # so both engines do exact arithmetic. Start ties are total-order
+        # safe: the union length is invariant to tie order
+        "user_active_time": (
+            "WITH iv AS (SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 300000000 AS e FROM events), "
+            "w AS (SELECT user_id, s, e, max(e) OVER (PARTITION BY user_id ORDER BY s, e "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m FROM iv) "
+            "SELECT user_id, sum(greatest(0, e - greatest(s, coalesce(m, s))))::BIGINT AS active_us "
+            "FROM w GROUP BY 1"
         ),
         # snapshot-diff replay: same mutation CTE, FULL OUTER join, text
         # equality instead of sha256 equality (identical verdicts)

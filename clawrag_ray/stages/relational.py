@@ -2206,3 +2206,56 @@ def intersect_distinct(
     semi-join finish."""
     lk = pre_aggregate(left.select_columns([on]), [on], [], count_alias="__n").drop_columns(["__n"])
     return semi_join(lk, on, right.select_columns([right_on or on]), right_on, num_partitions=num_partitions)
+
+
+def interval_union_length(
+    ds: Dataset,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+    out_col: str = "covered",
+    num_partitions: int = 64,
+) -> Dataset:
+    """Per-key length of the UNION of half-open [start, end) intervals —
+    the sweep behind "active time per user", sensor uptime, and span
+    coverage stats. Classic merge-overlaps: within a key, sorted by start,
+    each interval contributes ``max(0, end - max(start, max_prev_end))``;
+    the sum is the union length (order-invariant under start ties, so the
+    tiebreak only needs to be deterministic, not semantic).
+
+    ONE hash-partitioned shuffle of (key, start, end) rows; inside each
+    partition the sweep is fully vectorized — sort, grouped cummax,
+    grouped shift, clip, grouped sum — no per-group Python. Timestamps
+    are normalized to int64 microseconds so the arithmetic is exact.
+    Output: (key, out_col int64)."""
+    import numpy as np
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({key_col: [], out_col: pd.array([], dtype="int64")})
+        s = g[start_col]
+        e = g[end_col]
+        if not pd.api.types.is_integer_dtype(s):
+            s = pd.to_datetime(s).astype("int64")
+            e = pd.to_datetime(e).astype("int64")
+        d = pd.DataFrame({key_col: g[key_col].to_numpy(), "s": s.to_numpy(), "e": e.to_numpy()})
+        d = d.sort_values([key_col, "s", "e"], kind="mergesort").reset_index(drop=True)
+        cm = d.groupby(key_col, sort=False, dropna=False)["e"].cummax()
+        prev = (
+            pd.DataFrame({key_col: d[key_col], "cm": cm})
+            .groupby(key_col, sort=False, dropna=False)["cm"]
+            .shift(1)
+        )
+        lower = np.maximum(d["s"].to_numpy(), prev.fillna(d["s"]).to_numpy().astype("int64"))
+        cov = np.clip(d["e"].to_numpy() - lower, 0, None)
+        out = (
+            pd.DataFrame({key_col: d[key_col], out_col: cov})
+            .groupby(key_col, sort=False, dropna=False, as_index=False)[out_col]
+            .sum()
+        )
+        out[out_col] = out[out_col].astype("int64")
+        return out
+
+    return hash_partitioned_groups(
+        ds.select_columns([key_col, start_col, end_col]), [key_col], per_part, num_partitions=num_partitions
+    )

@@ -1728,3 +1728,26 @@ class TestPivotMeltSetOps:
         out = except_distinct(left, "k", right)
         assert out.count() == 0
         assert "k" in [f for f in out.schema().names]
+
+
+class TestIntervalUnionLength:
+    def test_merge_overlaps_and_ties(self, ray_session):
+        from clawrag_ray.stages.relational import interval_union_length
+
+        # u1: [0,10) + [5,20) -> 20; disjoint [30,31) -> 21
+        # u2: containment [0,100) + [10,20) -> 100
+        # u3: exact-tie starts [0,5) + [0,9) -> 9
+        t = pa.table(
+            {
+                "k": pa.array([1, 1, 1, 2, 2, 3, 3], pa.int64()),
+                "s": pa.array([0, 5, 30, 0, 10, 0, 0], pa.int64()),
+                "e": pa.array([10, 20, 31, 100, 20, 5, 9], pa.int64()),
+            }
+        )
+        got = (
+            interval_union_length(ray.data.from_arrow(t).repartition(3), "k", "s", "e")
+            .to_pandas()
+            .set_index("k")["covered"]
+            .to_dict()
+        )
+        assert got == {1: 21, 2: 100, 3: 9}
