@@ -2405,6 +2405,28 @@ def _q_user_active_time(sf_dir: str):
     return interval_union_length(iv, "user_id", "s", "e", out_col="active_us")
 
 
+def _q_doc_triangles(sf_dir: str):
+    """Per-node triangle counts over the same deterministic link graph
+    PageRank uses — degree-ordered wedge generation (O(m^1.5) bound on
+    power-law graphs) + one existence-check join."""
+    from clawrag_ray.stages.graph import triangle_counts
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def edges(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        d1 = pa.array((ids * 7 + 13) % 97, pa.int64())
+        d2 = pa.array((ids * 3 + 5) % 31, pa.int64())
+        src = pa.array(ids, pa.int64())
+        return pa.concat_tables([pa.table({"src": src, "dst": d1}), pa.table({"src": src, "dst": d2})])
+
+    # num_partitions=8: the gate corpus is small, the fixed per-shuffle
+    # cost of this 4-exchange operator dominates at high partition counts
+    return triangle_counts(
+        docs.map_batches(edges, batch_format="pyarrow", zero_copy_batch=True), num_partitions=8
+    )
+
+
 def _q_edit_near_dups(sf_dir: str):
     """Edit-distance near-dup pairs (Levenshtein <= 5) — the ED-Join /
     q-gram string-similarity join (stages/dedup.py:edit_distance_near_dups):
@@ -2496,6 +2518,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_classifier": _q_quality_classifier,
         "corpus_diff": _q_corpus_diff,
         "user_active_time": _q_user_active_time,
+        "doc_triangles": _q_doc_triangles,
         "edit_near_dups": _q_edit_near_dups,
         "event_value_winsorized": _q_event_value_winsorized,
         "props_k_by_type": _q_props_k_by_type,
@@ -2869,6 +2892,19 @@ def oracle_sql() -> dict[str, str]:
             "doc AS (SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(wt) / count(*) AS m "
             "FROM tw GROUP BY 1) "
             "SELECT doc_id, n_tokens, round(m, 6) AS clf_margin, m >= 0.0 AS keep FROM doc"
+        ),
+        # triangle replay: canonical a<b distinct edges, 3-way self-join
+        # (each triangle x<y<z enumerated once), corners unioned + counted.
+        # The engine's degree-ordered orientation finds the same SET
+        "doc_triangles": (
+            "WITH ids AS (SELECT doc_id FROM documents), "
+            "raw AS (SELECT doc_id AS s, (doc_id*7+13)%97 AS d FROM ids "
+            "UNION ALL SELECT doc_id, (doc_id*3+5)%31 FROM ids), "
+            "e0 AS (SELECT DISTINCT least(s,d) AS a, greatest(s,d) AS b FROM raw WHERE s <> d), "
+            "tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM e0 e1 "
+            "JOIN e0 e2 ON e2.a = e1.b JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b) "
+            "SELECT node, count(*)::BIGINT AS n_tri FROM (SELECT x AS node FROM tri "
+            "UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri) GROUP BY 1"
         ),
         # interval-union replay: running max(end) window per user (frame
         # ends 1 PRECEDING), clip to zero, grouped sum; epoch-us integers

@@ -193,3 +193,190 @@ def _pagerank_distributed(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+def triangle_counts(
+    edges: Dataset,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_partitions: int = 64,
+    state: str = "broadcast",
+) -> Dataset:
+    """Per-node triangle counts over an undirected graph — the classic
+    degree-ordered node-iterator (the MapReduce formulation of Suri &
+    Vassilvitskii 2011, public). Edges are canonicalized (min, max) and
+    deduplicated, self-loops dropped; each edge is then ORIENTED from the
+    lower-(degree, node) endpoint to the higher, wedges are generated at
+    each node from its out-neighbor list, and a wedge (v, w) is a triangle
+    iff the oriented edge (v, w) exists. Degree ordering bounds total
+    wedge work at O(m^1.5) regardless of skew (a hub of degree D generates
+    no wedges at itself unless its neighbors out-rank it), the property
+    that makes the operator survive power-law web graphs.
+
+    Every stage is a bounded dataflow pass: distinct-edge + degree
+    aggregates, endpoint degrees attached map-side, ONE hash-partitioned
+    wedge-generation pass (numpy triu per node), and the wedge-vs-edge
+    existence check as the same union + hash-partitioned merge every
+    verify join here uses. Each triangle is found exactly once (at its
+    lowest-rank vertex) and credits all three corners.
+
+    ``state="broadcast"`` (default): the (node, deg) table broadcasts once
+    (ray.put, searchsorted lookup per batch) and orientation is MAP-SIDE —
+    two fewer shuffles; holds to ~10^9 nodes like pagerank's broadcast
+    mode. ``state="distributed"``: degrees attach via two keyed joins,
+    nothing node-sized leaves the workers — the 10^12-node path. Both
+    orders produce identical output (equality pinned in pytest).
+    Output: (node, n_tri) for nodes in >= 1 triangle."""
+    import ray
+
+    from clawrag_ray.stages.dedup import _keyed_join
+    from clawrag_ray.stages.relational import hash_partitioned_groups, pre_aggregate
+
+    def canon(b: pa.Table) -> pa.Table:
+        s = b[src_col].to_numpy(zero_copy_only=False)
+        d = b[dst_col].to_numpy(zero_copy_only=False)
+        m = s != d
+        s, d = s[m], d[m]
+        return pa.table(
+            {"a": pa.array(np.minimum(s, d), pa.int64()), "b": pa.array(np.maximum(s, d), pa.int64())}
+        )
+
+    e = pre_aggregate(
+        edges.map_batches(canon, batch_format="pyarrow", zero_copy_batch=True), ["a", "b"], []
+    ).select_columns(["a", "b"]).materialize()
+
+    deg = pre_aggregate(
+        e.map_batches(
+            lambda b: pa.table({"node": pa.concat_arrays([b["a"].combine_chunks(), b["b"].combine_chunks()])}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        ["node"],
+        [],
+        count_alias="deg",
+    )
+
+    def orient_arrays(a, bb, da, db) -> pa.Table:
+        # rank(u) = (deg, node): orient low -> high
+        a_first = (da < db) | ((da == db) & (a < bb))
+        u = np.where(a_first, a, bb)
+        v = np.where(a_first, bb, a)
+        dv = np.where(a_first, db, da)
+        return pa.table(
+            {
+                "u": pa.array(u, pa.int64()),
+                "v": pa.array(v, pa.int64()),
+                "dv": pa.array(dv, pa.int64()),
+            }
+        )
+
+    if state == "broadcast":
+        deg_df = deg.select_columns(["node", "deg"]).to_pandas()  # node-bounded
+        nodes = deg_df["node"].to_numpy()
+        order = np.argsort(nodes, kind="mergesort")
+        deg_ref = ray.put((nodes[order], deg_df["deg"].to_numpy().astype(np.int64)[order]))
+
+        def orient_bcast(b: pa.Table) -> pa.Table:
+            dnodes, ddegs = ray.get(deg_ref)
+            a = b["a"].to_numpy(zero_copy_only=False)
+            bb = b["b"].to_numpy(zero_copy_only=False)
+            da = ddegs[np.searchsorted(dnodes, a)]
+            db = ddegs[np.searchsorted(dnodes, bb)]
+            return orient_arrays(a, bb, da, db)
+
+        oriented = e.map_batches(orient_bcast, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    else:
+        with_da = _keyed_join(
+            e, "a", deg.select_columns(["node", "deg"]), "node", ["deg"], num_partitions=num_partitions
+        )
+        with_db = _keyed_join(
+            with_da.map_batches(lambda b: b.rename_columns(["a", "b", "deg_a"]), batch_format="pyarrow"),
+            "b",
+            deg.select_columns(["node", "deg"]),
+            "node",
+            ["deg"],
+            num_partitions=num_partitions,
+        )
+
+        def orient(b: pa.Table) -> pa.Table:
+            return orient_arrays(
+                b["a"].to_numpy(zero_copy_only=False),
+                b["b"].to_numpy(zero_copy_only=False),
+                pc.cast(b["deg_a"], pa.int64()).to_numpy(zero_copy_only=False),
+                pc.cast(b["deg"], pa.int64()).to_numpy(zero_copy_only=False),
+            )
+
+        oriented = with_db.map_batches(orient, batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        out_u, out_v, out_w = [], [], []
+        for u, grp in g.groupby("u", sort=False):
+            if len(grp) < 2:
+                continue
+            order = np.lexsort((grp["v"].to_numpy(), grp["dv"].to_numpy()))
+            nb = grp["v"].to_numpy()[order]  # out-neighbors by ascending rank
+            i, j = np.triu_indices(len(nb), k=1)
+            out_u.append(np.full(len(i), u, dtype=np.int64))
+            out_v.append(nb[i])
+            out_w.append(nb[j])
+        if not out_u:
+            return pd.DataFrame(
+                {
+                    "wu": pd.array([], dtype="int64"),
+                    "wv": pd.array([], dtype="int64"),
+                    "ww": pd.array([], dtype="int64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "wu": np.concatenate(out_u),
+                "wv": np.concatenate(out_v),
+                "ww": np.concatenate(out_w),
+            }
+        )
+
+    wedge_ds = hash_partitioned_groups(
+        oriented.select_columns(["u", "v", "dv"]), ["u"], wedges, num_partitions=num_partitions
+    )
+
+    def pack_wedge(b: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(
+            pc.cast(b["wv"], pa.string()), pc.cast(b["ww"], pa.string()), "_"
+        )
+        return b.append_column("wk", k)
+
+    def pack_edge(b: pa.Table) -> pa.Table:
+        k = pc.binary_join_element_wise(
+            pc.cast(b["u"], pa.string()), pc.cast(b["v"], pa.string()), "_"
+        )
+        return pa.table({"ek": k, "hit": pa.array(np.ones(b.num_rows, dtype=np.int8))})
+
+    tri = _keyed_join(
+        wedge_ds.map_batches(pack_wedge, batch_format="pyarrow", zero_copy_batch=True),
+        "wk",
+        oriented.map_batches(pack_edge, batch_format="pyarrow", zero_copy_batch=True),
+        "ek",
+        ["hit"],
+        num_partitions=num_partitions,
+    )
+
+    def corners(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [
+                        b["wu"].combine_chunks(),
+                        b["wv"].combine_chunks(),
+                        b["ww"].combine_chunks(),
+                    ]
+                )
+            }
+        )
+
+    counts = pre_aggregate(
+        tri.map_batches(corners, batch_format="pyarrow", zero_copy_batch=True),
+        ["node"],
+        [],
+        count_alias="n_tri",
+    )
+    return counts.select_columns(["node", "n_tri"])

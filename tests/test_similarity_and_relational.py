@@ -1751,3 +1751,67 @@ class TestIntervalUnionLength:
             .to_dict()
         )
         assert got == {1: 21, 2: 100, 3: 9}
+
+
+class TestTriangleCounts:
+    def _k4_edges(self):
+        # K4 on {1,2,3,4} (4 triangles, each node in 3) plus a pendant 5
+        # and a duplicate + reversed + self-loop to exercise canonicalization
+        pairs = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (2, 1), (3, 3)]
+        return pa.table(
+            {
+                "src": pa.array([p[0] for p in pairs], pa.int64()),
+                "dst": pa.array([p[1] for p in pairs], pa.int64()),
+            }
+        )
+
+    def test_k4_hand_checked(self, ray_session):
+        from clawrag_ray.stages.graph import triangle_counts
+
+        got = (
+            triangle_counts(ray.data.from_arrow(self._k4_edges()).repartition(2), num_partitions=4)
+            .to_pandas()
+            .set_index("node")["n_tri"]
+            .to_dict()
+        )
+        assert got == {1: 3, 2: 3, 3: 3, 4: 3}  # pendant 5 absent
+
+    def test_broadcast_equals_distributed(self, ray_session):
+        import numpy as np
+
+        from clawrag_ray.stages.graph import triangle_counts
+
+        rng = np.random.RandomState(7)
+        n = 300
+        src = rng.randint(0, 40, size=n).astype(np.int64)
+        dst = rng.randint(0, 40, size=n).astype(np.int64)
+        e = ray.data.from_arrow(pa.table({"src": pa.array(src), "dst": pa.array(dst)})).repartition(3)
+        a = (
+            triangle_counts(e, num_partitions=4, state="broadcast")
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+        b = (
+            triangle_counts(e, num_partitions=4, state="distributed")
+            .to_pandas()
+            .sort_values("node")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
+        # brute force on the canonical simple graph
+        edges = {(min(s, d), max(s, d)) for s, d in zip(src, dst) if s != d}
+        from collections import Counter
+
+        want = Counter()
+        es = sorted(edges)
+        eset = set(es)
+        nodes = sorted({x for p in es for x in p})
+        for i, x in enumerate(nodes):
+            for y in [v for (u, v) in es if u == x]:
+                for z in [v for (u, v) in es if u == y]:
+                    if (x, z) in eset:
+                        want[x] += 1
+                        want[y] += 1
+                        want[z] += 1
+        assert a.set_index("node")["n_tri"].to_dict() == dict(want)
