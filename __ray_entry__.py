@@ -2427,6 +2427,17 @@ def _q_doc_triangles(sf_dir: str):
     )
 
 
+def _q_containment_near_dups(sf_dir: str):
+    """Asymmetric containment pairs (max(|A∩B|/|A|, |A∩B|/|B|) >= 0.6)
+    over the shared word-3-shingle space — catches short-doc-inside-long-
+    doc duplication that Jaccard dilutes away."""
+    from clawrag_ray.stages.dedup import containment_near_dup_pairs
+
+    return containment_near_dup_pairs(
+        _read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.6, num_partitions=8
+    )
+
+
 def _q_edit_near_dups(sf_dir: str):
     """Edit-distance near-dup pairs (Levenshtein <= 5) — the ED-Join /
     q-gram string-similarity join (stages/dedup.py:edit_distance_near_dups):
@@ -2519,6 +2530,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_diff": _q_corpus_diff,
         "user_active_time": _q_user_active_time,
         "doc_triangles": _q_doc_triangles,
+        "containment_near_dups": _q_containment_near_dups,
         "edit_near_dups": _q_edit_near_dups,
         "event_value_winsorized": _q_event_value_winsorized,
         "props_k_by_type": _q_props_k_by_type,
@@ -2892,6 +2904,16 @@ def oracle_sql() -> dict[str, str]:
             "doc AS (SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(wt) / count(*) AS m "
             "FROM tw GROUP BY 1) "
             "SELECT doc_id, n_tokens, round(m, 6) AS clf_margin, m >= 0.0 AS keep FROM doc"
+        ),
+        # containment replay: the shared shingle CTE (same space as the
+        # Jaccard ops), greatest of the two one-sided overlap ratios; each
+        # ratio is ONE IEEE division of integers — bit-equal cross-engine
+        "containment_near_dups": (
+            "WITH " + _JACCARD_CTE + " "
+            "SELECT doc_a, doc_b, i AS n_shared, "
+            "round(greatest(i::DOUBLE / ca.c, i::DOUBLE / cb.c), 6) AS containment "
+            "FROM inter JOIN card ca ON ca.doc_id = doc_a JOIN card cb ON cb.doc_id = doc_b "
+            "WHERE greatest(i::DOUBLE / ca.c, i::DOUBLE / cb.c) >= 0.6"
         ),
         # triangle replay: canonical a<b distinct edges, 3-way self-join
         # (each triangle x<y<z enumerated once), corners unioned + counted.

@@ -1375,3 +1375,103 @@ def edit_distance_near_dups(
     import ray.data as rd
 
     return verified.union(rd.from_arrow(empty))
+
+
+def containment_near_dup_pairs(
+    ds: Dataset,
+    threshold: float = 0.6,
+    shingle_k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 64,
+) -> Dataset:
+    """Containment near-dup join (Broder 1997's resemblance companion
+    measure, public): pairs scored by ``max(|A∩B|/|A|, |A∩B|/|B|)`` over
+    distinct word-k-shingle sets — the ASYMMETRIC overlap that catches a
+    short doc embedded in a long one, which Jaccard dilutes below any
+    usable threshold (|A∩B|/|A∪B| -> |A|/|B| for A ⊂ B).
+
+    Shape: one explode to distinct (doc, shingle) rows (the shared
+    _word_shingles rule, so Jaccard/containment/decontamination agree on
+    the shingle space); per-doc cardinalities via the two-level count;
+    pair intersection counts via ONE hash-partitioned self-merge per
+    shingle partition (vectorized pandas merge, no per-group calls) + a
+    small pair-keyed sum; cardinalities attach through two distributed
+    keyed joins; the score is a single IEEE division per side — bit-equal
+    cross-engine, so the threshold comparison is exact. Shingles join by
+    their STRING (collision-free, mirrors the oracle); a k-docs-share-a-
+    shingle hot key produces k(k-1)/2 pair rows — at boilerplate-heavy
+    web corpora cap per-shingle doc lists (ubiquitous shingles are
+    boilerplate, not duplication signal) or route through the MinHash
+    candidate path; kept exact here to carry the oracle.
+    Output: (doc_a, doc_b, n_shared, containment) at containment >=
+    threshold."""
+    from clawrag_ray.stages.curation import _word_shingles
+    from clawrag_ray.stages.relational import hash_partitioned_groups, pre_aggregate
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids: list = []
+        sh: list[str] = []
+        for doc_id, text in zip(b[id_col].to_pylist(), b[text_col].to_pylist()):
+            s = _word_shingles(text, shingle_k)
+            ids.extend([doc_id] * len(s))
+            sh.extend(s)
+        return pa.table({id_col: pa.array(ids, b[id_col].type), "s": pa.array(sh, pa.string())})
+
+    rows = ds.select_columns([id_col, text_col]).map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    card = pre_aggregate(rows, [id_col], [], count_alias="c")
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on="s")
+        m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
+        out = (
+            m.groupby([f"{id_col}_x", f"{id_col}_y"], as_index=False)
+            .size()
+            .rename(columns={f"{id_col}_x": "doc_a", f"{id_col}_y": "doc_b", "size": "p"})
+        )
+        out["p"] = out["p"].astype("int64")
+        return out
+
+    pair_partials = hash_partitioned_groups(rows, ["s"], per_part, num_partitions=num_partitions)
+    inter = pre_aggregate(pair_partials, ["doc_a", "doc_b"], ["p"])
+
+    with_ca = _keyed_join(
+        inter.select_columns(["doc_a", "doc_b", "sum_p"]),
+        "doc_a",
+        card.select_columns([id_col, "c"]),
+        id_col,
+        ["c"],
+        num_partitions=num_partitions,
+    ).map_batches(
+        lambda b: b.rename_columns(["doc_a", "doc_b", "n_shared", "ca"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    with_cb = _keyed_join(
+        with_ca,
+        "doc_b",
+        card.select_columns([id_col, "c"]),
+        id_col,
+        ["c"],
+        num_partitions=num_partitions,
+    )
+
+    def score(b: pa.Table) -> pa.Table:
+        i = pc.cast(b["n_shared"], pa.float64()).to_numpy(zero_copy_only=False)
+        ca = pc.cast(b["ca"], pa.float64()).to_numpy(zero_copy_only=False)
+        cb = pc.cast(b["c"], pa.float64()).to_numpy(zero_copy_only=False)
+        cont = np.maximum(i / ca, i / cb)
+        keep = cont >= threshold
+        return pa.table(
+            {
+                "doc_a": b["doc_a"].filter(pa.array(keep)),
+                "doc_b": b["doc_b"].filter(pa.array(keep)),
+                "n_shared": pc.cast(b["n_shared"], pa.int64()).filter(pa.array(keep)),
+                "containment": pa.array(np.round(cont[keep], 6)),
+            }
+        )
+
+    return with_cb.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)

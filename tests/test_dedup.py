@@ -475,3 +475,27 @@ class TestEditDistanceNearDups:
         # empty block
         assert out.count() == 0
         assert set(out.schema().names) == {"doc_a", "doc_b", "dist"}
+
+
+class TestContainmentNearDups:
+    def test_subset_doc_caught_jaccard_blind(self, ray_session):
+        from clawrag_ray.stages.dedup import containment_near_dup_pairs
+
+        short = "alpha beta gamma delta epsilon zeta"  # 6 words -> 4 shingles
+        long = short + " " + " ".join(f"filler{i}" for i in range(40))
+        other = "totally unrelated words with zero shingle overlap at all"
+        t = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": [short, long, other],
+            }
+        )
+        got = containment_near_dup_pairs(
+            ray.data.from_arrow(t).repartition(2), threshold=0.9, num_partitions=4
+        ).to_pandas()
+        assert len(got) == 1
+        row = got.iloc[0]
+        # all 4 of short's shingles appear in long: containment 1.0,
+        # while Jaccard is 4/45 — far below any dedup threshold
+        assert (row["doc_a"], row["doc_b"]) == (1, 2)
+        assert row["n_shared"] == 4 and row["containment"] == 1.0
