@@ -2438,6 +2438,28 @@ def _q_containment_near_dups(sf_dir: str):
     )
 
 
+def _q_blocking_pairs(sf_dir: str):
+    """Sorted-neighborhood blocking: docs ordered by (n_chars, doc_id),
+    candidate pairs within 3 positions — linear-volume entity-resolution
+    candidates via the distributed rank scan + boundary-carry buckets."""
+    from clawrag_ray.stages.relational import sorted_neighborhood_pairs
+
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def pack(b: pa.Table) -> pa.Table:
+        n = b["n_chars"].to_numpy(zero_copy_only=False)
+        i = b["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": b["doc_id"],
+                "__ord": pa.array(n * (1 << 32) + i, pa.int64()),
+            }
+        )
+
+    packed = docs.map_batches(pack, batch_format="pyarrow", zero_copy_batch=True)
+    return sorted_neighborhood_pairs(packed, "__ord", "doc_id", window=3, num_partitions=8)
+
+
 def _q_edit_near_dups(sf_dir: str):
     """Edit-distance near-dup pairs (Levenshtein <= 5) — the ED-Join /
     q-gram string-similarity join (stages/dedup.py:edit_distance_near_dups):
@@ -2531,6 +2553,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_active_time": _q_user_active_time,
         "doc_triangles": _q_doc_triangles,
         "containment_near_dups": _q_containment_near_dups,
+        "blocking_pairs": _q_blocking_pairs,
         "edit_near_dups": _q_edit_near_dups,
         "event_value_winsorized": _q_event_value_winsorized,
         "props_k_by_type": _q_props_k_by_type,
@@ -2904,6 +2927,14 @@ def oracle_sql() -> dict[str, str]:
             "doc AS (SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(wt) / count(*) AS m "
             "FROM tw GROUP BY 1) "
             "SELECT doc_id, n_tokens, round(m, 6) AS clf_margin, m >= 0.0 AS keep FROM doc"
+        ),
+        # sorted-neighborhood replay: row_number over the same packed
+        # order, self-join on rank distance 1..3
+        "blocking_pairs": (
+            "WITH r AS (SELECT doc_id, row_number() OVER (ORDER BY n_chars, doc_id) AS rn "
+            "FROM documents) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, (b.rn - a.rn)::BIGINT AS gap "
+            "FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 3"
         ),
         # containment replay: the shared shingle CTE (same space as the
         # Jaccard ops), greatest of the two one-sided overlap ratios; each

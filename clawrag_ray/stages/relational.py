@@ -2259,3 +2259,93 @@ def interval_union_length(
     return hash_partitioned_groups(
         ds.select_columns([key_col, start_col, end_col]), [key_col], per_part, num_partitions=num_partitions
     )
+
+
+def sorted_neighborhood_pairs(
+    ds: Dataset,
+    order_col: str,
+    id_col: str,
+    window: int = 3,
+    bucket_size: int = 4096,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Sorted-neighborhood blocking (Hernandez & Stolfo 1995, public) —
+    the entity-resolution candidate generator: impose a global total order
+    on the blocking key and emit every pair within ``window`` positions.
+    Linear candidate volume (n·window, vs n² for naive blocking) with the
+    classic guarantee that near-identical records sort adjacently.
+
+    ``order_col`` must be a unique integer (pack tiebreaks in, the
+    global_rank contract). Shape: ranks come from the two-phase
+    prefix-sum scan (no single-node sort); rows bucket by rank range and
+    the first ``window`` rows of each bucket REPLICATE to the previous
+    bucket (boundary carry, same trick as the bucketed as-of join), so
+    every window pair is generated in exactly one bucket; pair emission is
+    one vectorized shift per gap inside a hash-partitioned pass.
+    Output: (id_a, id_b, gap) with gap in [1, window], id_a the lower-
+    ranked record."""
+    import numpy as np
+
+    from clawrag_ray.stages.curation import global_rank
+
+    if window >= bucket_size:
+        raise ValueError("window must be < bucket_size (one-bucket boundary carry)")
+    ranked = global_rank(
+        ds.select_columns([id_col, order_col]), order_col, out_col="rnk", num_partitions=num_partitions
+    )
+
+    def assign(b: pa.Table) -> pa.Table:
+        r0 = pc.cast(pc.subtract(b["rnk"], 1), pa.int64()).to_numpy(zero_copy_only=False)
+        ids = b[id_col]
+        bucket = r0 // bucket_size
+        own = pa.table(
+            {
+                id_col: ids,
+                "rnk": b["rnk"],
+                "__bucket": pa.array(bucket, pa.int64()),
+                "__own": pa.array(np.ones(len(r0), dtype=np.int8)),
+            }
+        )
+        carry_mask = (r0 % bucket_size < window) & (bucket > 0)
+        carried = pa.table(
+            {
+                id_col: ids.filter(pa.array(carry_mask)),
+                "rnk": b["rnk"].filter(pa.array(carry_mask)),
+                "__bucket": pa.array(bucket[carry_mask] - 1, pa.int64()),
+                "__own": pa.array(np.zeros(int(carry_mask.sum()), dtype=np.int8)),
+            }
+        )
+        return pa.concat_tables([own, carried])
+
+    rows = ranked.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_g = [], [], []
+        for _, grp in g.groupby("__bucket", sort=False):
+            grp = grp.sort_values("rnk", kind="mergesort")
+            ids = grp[id_col].to_numpy()
+            own = grp["__own"].to_numpy()
+            for j in range(1, window + 1):
+                if j >= len(ids):
+                    break
+                a, b_, o = ids[:-j], ids[j:], own[:-j].astype(bool)
+                out_a.append(a[o])
+                out_b.append(b_[o])
+                out_g.append(np.full(int(o.sum()), j, dtype=np.int64))
+        if not out_a:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.array([], dtype="int64"),
+                    "id_b": pd.array([], dtype="int64"),
+                    "gap": pd.array([], dtype="int64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "gap": np.concatenate(out_g),
+            }
+        )
+
+    return hash_partitioned_groups(rows, ["__bucket"], per_part, num_partitions=num_partitions)

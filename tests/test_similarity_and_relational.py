@@ -1815,3 +1815,40 @@ class TestTriangleCounts:
                         want[y] += 1
                         want[z] += 1
         assert a.set_index("node")["n_tri"].to_dict() == dict(want)
+
+
+class TestSortedNeighborhoodPairs:
+    def test_window_pairs_across_bucket_boundary(self, ray_session):
+        import numpy as np
+
+        from clawrag_ray.stages.relational import sorted_neighborhood_pairs
+
+        n, w, bs = 40, 3, 8  # 5 buckets: boundary carries exercised
+        ids = np.arange(100, 100 + n, dtype=np.int64)
+        order = ((ids * 37) % 1000) * 1000 + ids  # scrambled but unique
+        t = pa.table({"id": pa.array(ids), "o": pa.array(order)})
+        got = (
+            sorted_neighborhood_pairs(
+                ray.data.from_arrow(t).repartition(4), "o", "id", window=w, bucket_size=bs, num_partitions=4
+            )
+            .to_pandas()
+            .sort_values(["id_a", "id_b"])
+            .reset_index(drop=True)
+        )
+        srt = ids[np.argsort(order)]
+        want = sorted(
+            (int(srt[i]), int(srt[i + j]), j)
+            for i in range(n)
+            for j in range(1, w + 1)
+            if i + j < n
+        )
+        assert list(map(tuple, got[["id_a", "id_b", "gap"]].to_numpy())) == want
+
+    def test_window_guard(self, ray_session):
+        import pytest as _pytest
+
+        from clawrag_ray.stages.relational import sorted_neighborhood_pairs
+
+        t = pa.table({"id": pa.array([1], pa.int64()), "o": pa.array([1], pa.int64())})
+        with _pytest.raises(ValueError):
+            sorted_neighborhood_pairs(ray.data.from_arrow(t), "o", "id", window=8, bucket_size=8)
