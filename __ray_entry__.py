@@ -2460,6 +2460,28 @@ def _q_blocking_pairs(sf_dir: str):
     return sorted_neighborhood_pairs(packed, "__ord", "doc_id", window=3, num_partitions=8)
 
 
+def _q_domain_filter(sf_dir: str):
+    """URL normalize + domain quality gate: synthesize a deterministic
+    messy URL per doc, canonicalize it (lowercase scheme/host, strip
+    query/fragment/trailing slash, www-less domain), then keep domains
+    whose mean n_chars >= 600 with >= 5 docs — verdicts joined back
+    distributed (domain tables exceed driver memory on the web)."""
+    from clawrag_ray.stages.curation import domain_quality_filter, normalize_urls
+
+    docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def synth(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        urls = [
+            f"HTTPS://WWW.Site{i % 37}.Example.COM/Page/{i}/?utm=x#frag" for i in ids
+        ]
+        return b.append_column("url", pa.array(urls, pa.string()))
+
+    with_urls = normalize_urls(docs.map_batches(synth, batch_format="pyarrow", zero_copy_batch=True))
+    out = domain_quality_filter(with_urls, num_partitions=8)
+    return out
+
+
 def _q_edit_near_dups(sf_dir: str):
     """Edit-distance near-dup pairs (Levenshtein <= 5) — the ED-Join /
     q-gram string-similarity join (stages/dedup.py:edit_distance_near_dups):
@@ -2554,6 +2576,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_triangles": _q_doc_triangles,
         "containment_near_dups": _q_containment_near_dups,
         "blocking_pairs": _q_blocking_pairs,
+        "domain_filter": _q_domain_filter,
         "edit_near_dups": _q_edit_near_dups,
         "event_value_winsorized": _q_event_value_winsorized,
         "props_k_by_type": _q_props_k_by_type,
@@ -2927,6 +2950,18 @@ def oracle_sql() -> dict[str, str]:
             "doc AS (SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(wt) / count(*) AS m "
             "FROM tw GROUP BY 1) "
             "SELECT doc_id, n_tokens, round(m, 6) AS clf_margin, m >= 0.0 AS keep FROM doc"
+        ),
+        # domain-filter replay: same messy-URL synthesis, host extraction +
+        # lowercase + www-strip in RE2, exact integer sum -> one division
+        "domain_filter": (
+            "WITH u AS (SELECT doc_id, n_chars, 'HTTPS://WWW.Site' || (doc_id % 37) || "
+            "'.Example.COM/Page/' || doc_id || '/?utm=x#frag' AS url FROM documents), "
+            "n AS (SELECT doc_id, n_chars, regexp_replace(lower(regexp_extract(url, "
+            "'^([A-Za-z][A-Za-z0-9+.\\-]*)://([^/?#]*)', 2)), '^www\\.', '') AS domain FROM u), "
+            "st AS (SELECT domain, sum(n_chars)::BIGINT AS s, count(*)::BIGINT AS nd FROM n GROUP BY 1) "
+            "SELECT n.doc_id, n.domain, round(s::DOUBLE / nd, 6) AS domain_mean, "
+            "nd AS n_domain_docs, (s::DOUBLE / nd >= 600.0 AND nd >= 5) AS keep "
+            "FROM n JOIN st USING (domain)"
         ),
         # sorted-neighborhood replay: row_number over the same packed
         # order, self-join on rank distance 1..3

@@ -1532,3 +1532,80 @@ def snapshot_diff(
         )
 
     return j.map_batches(classify, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_URL_RE = r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.\-]*)://(?P<host>[^/?#]*)(?P<path>[^?#]*)"
+
+
+def normalize_urls(ds: Dataset, url_col: str = "url") -> Dataset:
+    """URL canonicalization — the first step of every web-corpus domain
+    pipeline (C4 / RefinedWeb dedup by URL, domain filters): lowercase
+    scheme+host, strip query string and fragment, strip trailing slashes;
+    ``domain`` = lowercased host minus a leading ``www.``. Pure vectorized
+    Arrow RE2 kernels (extract_regex + replace), map-only. Rows that do
+    not parse as absolute URLs pass through unchanged with domain ''
+    (documented fallback). Adds: url_norm, domain."""
+
+    def norm(b: pa.Table) -> pa.Table:
+        col = b[url_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        parts = pc.extract_regex(col, _URL_RE)
+        ok = pc.is_valid(parts)
+        scheme = pc.utf8_lower(pc.struct_field(parts, "scheme"))
+        host = pc.utf8_lower(pc.struct_field(parts, "host"))
+        path = pc.replace_substring_regex(pc.struct_field(parts, "path"), r"/+$", "")
+        rebuilt = pc.binary_join_element_wise(scheme, "://", host, path, "")
+        url_norm = pc.if_else(ok, rebuilt, col)
+        domain = pc.if_else(ok, pc.replace_substring_regex(host, r"^www\.", ""), pa.scalar(""))
+        return b.append_column("url_norm", url_norm).append_column("domain", domain)
+
+    return ds.map_batches(norm, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def domain_quality_filter(
+    ds: Dataset,
+    domain_col: str = "domain",
+    value_col: str = "n_chars",
+    min_mean: float = 600.0,
+    min_docs: int = 5,
+    id_col: str = "doc_id",
+    num_partitions: int = 64,
+) -> Dataset:
+    """Domain-level quality gate (the RefinedWeb/C4 move of scoring hosts,
+    not pages): per-domain mean of ``value_col`` + doc count via the
+    two-level aggregate, verdict keep = mean >= min_mean AND n >= min_docs,
+    verdicts joined back onto every doc through the distributed keyed join
+    (domain table can exceed driver memory on the web — nothing
+    domain-sized materializes). The mean is one IEEE division of an exact
+    integer sum, so the threshold comparison is bit-equal cross-engine.
+    Output: (id, domain, domain_mean round-6, n_domain_docs, keep)."""
+    from clawrag_ray.stages.dedup import _keyed_join
+    from clawrag_ray.stages.relational import pre_aggregate
+
+    stats = pre_aggregate(
+        ds.select_columns([domain_col, value_col]), [domain_col], [value_col], count_alias="nd"
+    )
+
+    def verdict(b: pa.Table) -> pa.Table:
+        s = pc.cast(b[f"sum_{value_col}"], pa.float64()).to_numpy(zero_copy_only=False)
+        n = pc.cast(b["nd"], pa.int64()).to_numpy(zero_copy_only=False)
+        mean = s / n
+        return pa.table(
+            {
+                "__dom": b[domain_col],
+                "domain_mean": pa.array(np.round(mean, 6)),
+                "n_domain_docs": pa.array(n),
+                "keep": pa.array((mean >= min_mean) & (n >= min_docs)),
+            }
+        )
+
+    verdicts = stats.map_batches(verdict, batch_format="pyarrow", zero_copy_batch=True)
+    return _keyed_join(
+        ds.select_columns([id_col, domain_col]),
+        domain_col,
+        verdicts,
+        "__dom",
+        ["domain_mean", "n_domain_docs", "keep"],
+        num_partitions=num_partitions,
+    )

@@ -916,3 +916,49 @@ class TestSnapshotDiff:
         ).repartition(2)
         got = snapshot_diff(old, new).to_pandas().set_index("doc_id")["status"].to_dict()
         assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+class TestUrlDomainOps:
+    def test_normalize_rules(self, ray_session):
+        from clawrag_ray.stages.curation import normalize_urls
+
+        urls = [
+            "HTTPS://WWW.Example.COM/A/B/?q=1#frag",   # case, www, query, frag, slash
+            "http://site.org/CasePreservedPath",        # path case kept
+            "not a url at all",                         # passthrough, domain ''
+        ]
+        t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()), "url": urls})
+        got = normalize_urls(ray.data.from_arrow(t)).to_pandas().sort_values("doc_id")
+        assert got["url_norm"].tolist() == [
+            "https://www.example.com/A/B",
+            "http://site.org/CasePreservedPath",
+            "not a url at all",
+        ]
+        assert got["domain"].tolist() == ["example.com", "site.org", ""]
+
+    def test_domain_filter_thresholds(self, ray_session):
+        from clawrag_ray.stages.curation import domain_quality_filter
+
+        rows = (
+            [(i, "good.com", 1000) for i in range(5)]        # mean 1000, n=5: keep
+            + [(10 + i, "thin.com", 1000) for i in range(4)]  # n=4 < 5: drop
+            + [(20 + i, "bad.com", 100) for i in range(6)]    # mean 100 < 600: drop
+        )
+        t = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "domain": [r[1] for r in rows],
+                "n_chars": pa.array([r[2] for r in rows], pa.int64()),
+            }
+        )
+        got = (
+            domain_quality_filter(ray.data.from_arrow(t).repartition(2), num_partitions=4)
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        by_dom = got.drop_duplicates("domain").set_index("domain")
+        assert bool(by_dom.loc["good.com", "keep"]) is True
+        assert bool(by_dom.loc["thin.com", "keep"]) is False
+        assert bool(by_dom.loc["bad.com", "keep"]) is False
+        assert by_dom.loc["good.com", "domain_mean"] == 1000.0
+        assert len(got) == len(rows)
