@@ -2482,6 +2482,15 @@ def _q_domain_filter(sf_dir: str):
     return out
 
 
+def _q_token_pmi(sf_dir: str):
+    """Document-level token co-occurrence PMI with a-priori min-count
+    pruning: df table first, frequent set broadcast, map-side numpy-triu
+    pair generation, one pair-keyed count."""
+    from clawrag_ray.stages.text_analysis import token_pmi_pairs
+
+    return token_pmi_pairs(_read(sf_dir, "documents", ["doc_id", "text"]), min_count=5)
+
+
 def _q_edit_near_dups(sf_dir: str):
     """Edit-distance near-dup pairs (Levenshtein <= 5) — the ED-Join /
     q-gram string-similarity join (stages/dedup.py:edit_distance_near_dups):
@@ -2577,6 +2586,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment_near_dups": _q_containment_near_dups,
         "blocking_pairs": _q_blocking_pairs,
         "domain_filter": _q_domain_filter,
+        "token_pmi": _q_token_pmi,
         "edit_near_dups": _q_edit_near_dups,
         "event_value_winsorized": _q_event_value_winsorized,
         "props_k_by_type": _q_props_k_by_type,
@@ -2950,6 +2960,21 @@ def oracle_sql() -> dict[str, str]:
             "doc AS (SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(wt) / count(*) AS m "
             "FROM tw GROUP BY 1) "
             "SELECT doc_id, n_tokens, round(m, 6) AS clf_margin, m >= 0.0 AS keep FROM doc"
+        ),
+        # PMI replay: distinct doc-token rows, df >= 5 frequent set, pair
+        # self-join, ln of one exact-int-product division (bit-equal)
+        "token_pmi": (
+            "WITH tok AS (SELECT DISTINCT doc_id, "
+            "unnest(regexp_extract_all(lower(text), '\\S+')) AS t FROM documents), "
+            "dfq AS (SELECT t, count(*)::BIGINT AS c FROM tok GROUP BY 1 HAVING count(*) >= 5), "
+            "ft AS (SELECT doc_id, t FROM tok JOIN dfq USING (t)), "
+            "pairs AS (SELECT a.t AS tok_a, b.t AS tok_b, count(*)::BIGINT AS n_ab "
+            "FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.t < b.t GROUP BY 1, 2), "
+            "n AS (SELECT count(*)::BIGINT AS nd FROM documents) "
+            "SELECT tok_a, tok_b, n_ab, "
+            "round(ln((n_ab * nd)::DOUBLE / (fa.c * fb.c)::DOUBLE), 6) AS pmi "
+            "FROM pairs, n JOIN dfq fa ON fa.t = tok_a JOIN dfq fb ON fb.t = tok_b "
+            "WHERE n_ab >= 5"
         ),
         # domain-filter replay: same messy-URL synthesis, host extraction +
         # lowercase + www-strip in RE2, exact integer sum -> one division

@@ -492,3 +492,122 @@ def quality_classifier(
     return ds.select_columns([id_col, text_col]).map_batches(
         score, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def token_pmi_pairs(
+    ds: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Document-level token co-occurrence with pointwise mutual
+    information (Church & Hanks 1990, public) — the association-mining
+    primitive under collocation discovery, topic seeding, and
+    related-term expansion: PMI(x, y) = ln(N·c_xy / (c_x·c_y)) where
+    counts are DOCUMENT frequencies (a doc contributes each token once).
+
+    A-priori pruning keeps the pair space tractable (Agrawal 1994): the
+    document-frequency table is computed first (two-level aggregate) and
+    only tokens with df >= min_count participate in pair generation — the
+    frequent-token table is min_count-bounded (<= total_tokens/min_count
+    entries) and broadcasts once; swap in heavy_hitters for web
+    vocabularies where even that bound is too wide (documented). Pair
+    generation is then map-side (numpy triu over each doc's frequent-token
+    ids — a doc's pairs never leave its batch) into one pair-keyed count.
+    The PMI argument is one IEEE division of two exact int64 products, so
+    values are bit-equal cross-engine. Output: (tok_a, tok_b, n_ab, pmi)
+    for pairs with n_ab >= min_count."""
+    import numpy as np
+    import pandas as pd
+
+    import ray
+
+    from clawrag_ray.stages.relational import pre_aggregate
+
+    n_docs = ds.count()
+    src = ds.select_columns([id_col, text_col])
+
+    def distinct_tokens(b: pa.Table) -> pa.Table:
+        col = b[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        parts = pc.split_pattern_regex(pc.utf8_lower(col), r"\s+")
+        parent = pc.list_parent_indices(parts).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(parts)
+        keep = pc.not_equal(flat, "")
+        toks = np.asarray(flat.filter(keep).to_pylist(), dtype=object)
+        parent = parent[keep.to_numpy(zero_copy_only=False)]
+        # distinct per doc: unique over (parent, token)
+        d = pd.DataFrame({"p": parent, "token": toks}).drop_duplicates()
+        return pa.table({"__row": pa.array(d["p"].to_numpy(), pa.int64()), "token": pa.array(d["token"], pa.string())})
+
+    tok_rows = src.map_batches(distinct_tokens, batch_format="pyarrow", zero_copy_batch=True)
+    df_tbl = pre_aggregate(tok_rows.select_columns(["token"]), ["token"], [], count_alias="c")
+    freq = df_tbl.map_batches(
+        lambda b: b.filter(pc.greater_equal(pc.cast(b["c"], pa.int64()), min_count)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).to_pandas()  # min_count-bounded (documented heavy_hitters swap beyond)
+    vocab = freq["token"].to_numpy()
+    order = np.argsort(vocab, kind="mergesort")
+    vocab = vocab[order]
+    dfs = freq["c"].to_numpy().astype(np.int64)[order]
+    freq_ref = ray.put((vocab, dfs))
+
+    def pairs(b: pa.Table) -> pa.Table:
+        fvocab, _ = ray.get(freq_ref)
+        col = b[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        parts = pc.split_pattern_regex(pc.utf8_lower(col), r"\s+")
+        out_a, out_b = [], []
+        for lst in parts.to_pylist():
+            toks = {t for t in lst if t}
+            idx = np.searchsorted(fvocab, sorted(toks))
+            present = [
+                j
+                for t, j in zip(sorted(toks), idx)
+                if j < len(fvocab) and fvocab[j] == t
+            ]
+            if len(present) < 2:
+                continue
+            arr = np.asarray(present, dtype=np.int64)
+            i, j = np.triu_indices(len(arr), k=1)
+            out_a.append(arr[i])
+            out_b.append(arr[j])
+        if not out_a:
+            return pa.table(
+                {"ia": pa.array([], pa.int64()), "ib": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {"ia": pa.array(np.concatenate(out_a)), "ib": pa.array(np.concatenate(out_b))}
+        )
+
+    pair_counts = pre_aggregate(
+        src.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True),
+        ["ia", "ib"],
+        [],
+        count_alias="n_ab",
+    )
+
+    def score(b: pa.Table) -> pa.Table:
+        fvocab, fdfs = ray.get(freq_ref)
+        ia = b["ia"].to_numpy(zero_copy_only=False)
+        ib = b["ib"].to_numpy(zero_copy_only=False)
+        n_ab = pc.cast(b["n_ab"], pa.int64()).to_numpy(zero_copy_only=False)
+        keep = n_ab >= min_count
+        ia, ib, n_ab = ia[keep], ib[keep], n_ab[keep]
+        arg = (n_ab * np.int64(n_docs)).astype(np.float64) / (fdfs[ia] * fdfs[ib]).astype(
+            np.float64
+        )
+        return pa.table(
+            {
+                "tok_a": pa.array(fvocab[ia], pa.string()),
+                "tok_b": pa.array(fvocab[ib], pa.string()),
+                "n_ab": pa.array(n_ab),
+                "pmi": pa.array(np.round(np.log(arg), 6)),
+            }
+        )
+
+    return pair_counts.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)

@@ -310,3 +310,46 @@ class TestQualityClassifier:
         got = quality_classifier(ray.data.from_arrow(t), model_path=str(p)).to_pandas()
         # all-ones weights, bias -0.5: margin = 1 - 0.5 = 0.5, keep
         assert got["clf_margin"].iloc[0] == 0.5 and bool(got["keep"].iloc[0])
+
+
+class TestTokenPmiPairs:
+    def test_matches_brute_force(self, ray_session):
+        import itertools
+        import math
+        import re
+        from collections import Counter
+
+        from clawrag_ray.stages.text_analysis import token_pmi_pairs
+
+        texts = [
+            "data engine data spark",
+            "data engine flow",
+            "data engine",
+            "spark flow rare",
+            "data spark engine",
+        ]
+        t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()), "text": texts})
+        got = (
+            token_pmi_pairs(ray.data.from_arrow(t).repartition(2), min_count=2)
+            .to_pandas()
+            .sort_values(["tok_a", "tok_b"])
+            .reset_index(drop=True)
+        )
+        # brute force
+        sets = [set(re.findall(r"\S+", s.lower())) for s in texts]
+        dfc = Counter(tok for s in sets for tok in s)
+        freq = {tok for tok, c in dfc.items() if c >= 2}
+        pc_ = Counter()
+        for s in sets:
+            for a, b in itertools.combinations(sorted(s & freq), 2):
+                pc_[(a, b)] += 1
+        want = {
+            (a, b): (n, round(math.log(n * len(texts) / (dfc[a] * dfc[b])), 6))
+            for (a, b), n in pc_.items()
+            if n >= 2
+        }
+        assert {
+            (r.tok_a, r.tok_b): (r.n_ab, r.pmi) for r in got.itertuples()
+        } == want
+        # "rare" (df=1) never participates
+        assert not any("rare" in k for k in want)
