@@ -2491,6 +2491,17 @@ def _q_token_pmi(sf_dir: str):
     return token_pmi_pairs(_read(sf_dir, "documents", ["doc_id", "text"]), min_count=5)
 
 
+def _q_perplexity_bigram(sf_dir: str):
+    """Interpolated bigram-LM cross-entropy per doc (0.7·p_bg + 0.3·p_uni,
+    add-one smoothing): vocab-bounded unigram table broadcast, unbounded
+    bigram table attached via distributed keyed join."""
+    from clawrag_ray.stages.curation import perplexity_filter_bigram
+
+    return perplexity_filter_bigram(
+        _read(sf_dir, "documents", ["doc_id", "text"]), num_partitions=8
+    )
+
+
 def _q_edit_near_dups(sf_dir: str):
     """Edit-distance near-dup pairs (Levenshtein <= 5) — the ED-Join /
     q-gram string-similarity join (stages/dedup.py:edit_distance_near_dups):
@@ -2587,6 +2598,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "blocking_pairs": _q_blocking_pairs,
         "domain_filter": _q_domain_filter,
         "token_pmi": _q_token_pmi,
+        "perplexity_bigram": _q_perplexity_bigram,
         "edit_near_dups": _q_edit_near_dups,
         "event_value_winsorized": _q_event_value_winsorized,
         "props_k_by_type": _q_props_k_by_type,
@@ -2960,6 +2972,23 @@ def oracle_sql() -> dict[str, str]:
             "doc AS (SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(wt) / count(*) AS m "
             "FROM tw GROUP BY 1) "
             "SELECT doc_id, n_tokens, round(m, 6) AS clf_margin, m >= 0.0 AS keep FROM doc"
+        ),
+        # bigram-LM replay: identical op sequence (two exact-int divisions,
+        # 0.7::DOUBLE / 0.3::DOUBLE literal weights, one ln) so floats agree
+        "perplexity_bigram": (
+            "WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS w, "
+            "generate_subscripts(regexp_extract_all(lower(text), '\\S+'), 1) AS i FROM documents), "
+            "uni AS (SELECT w, count(*)::BIGINT AS c FROM tok GROUP BY 1), "
+            "tot AS (SELECT sum(c)::BIGINT AS t, count(*)::BIGINT AS v FROM uni), "
+            "bg AS (SELECT a.doc_id, a.w AS u, b.w AS w FROM tok a "
+            "JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1), "
+            "bgc AS (SELECT u, w, count(*)::BIGINT AS c FROM bg GROUP BY 1, 2), "
+            "sc AS (SELECT bg.doc_id, ln(0.7::DOUBLE * ((coalesce(bgc.c, 0) + 1)::DOUBLE / (cu.c + v)) + "
+            "0.3::DOUBLE * ((cw.c + 1)::DOUBLE / (t + v))) AS lp "
+            "FROM bg LEFT JOIN bgc ON bgc.u = bg.u AND bgc.w = bg.w "
+            "JOIN uni cu ON cu.w = bg.u JOIN uni cw ON cw.w = bg.w, tot) "
+            "SELECT doc_id, count(*)::BIGINT AS n_bigrams, "
+            "round(-sum(lp) / count(*), 6) AS entropy FROM sc GROUP BY 1"
         ),
         # PMI replay: distinct doc-token rows, df >= 5 frequent set, pair
         # self-join, ln of one exact-int-product division (bit-equal)

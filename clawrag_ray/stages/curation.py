@@ -1609,3 +1609,121 @@ def domain_quality_filter(
         ["domain_mean", "n_domain_docs", "keep"],
         num_partitions=num_partitions,
     )
+
+
+def perplexity_filter_bigram(
+    ds: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.7,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Interpolated BIGRAM cross-entropy per doc — the n-gram-LM upgrade
+    of perplexity_filter (one step toward the KenLM scorer CCNet actually
+    ships): score(w_i | w_{i-1}) = lam·p_bg + (1-lam)·p_uni with add-one
+    smoothing, ``p_bg(u,w) = (c(u,w)+1)/(c(u)+V)``,
+    ``p_uni(w) = (c(w)+1)/(T+V)``; entropy = -mean ln score over the
+    doc's bigram positions (docs with < 2 tokens carry no evidence and
+    are excluded, the DSIR rule).
+
+    Scale shape: the unigram table is a vocab-bounded aggregate broadcast
+    once (the accepted vocab-aggregate driver bound; swap to the keyed
+    join like perplexity_filter for open web vocabularies); the BIGRAM
+    table is NOT bounded, so it stays distributed and attaches to the
+    doc's bigram rows via the keyed join with fill 0 for unseen pairs;
+    per-doc sums are the usual two-level aggregate. Both interpolation
+    weights are explicit literals so the float op sequence is identical
+    cross-engine. Output: (id, n_bigrams, entropy round-6)."""
+    import ray
+
+    from clawrag_ray.stages.dedup import _keyed_join
+    from clawrag_ray.stages.relational import pre_aggregate
+
+    lam2 = round(1.0 - lam, 10)  # explicit literal both engines (0.3, not 0.30000000000000004)
+    src = ds.select_columns([id_col, text_col])
+
+    def bigram_rows(b: pa.Table) -> pa.Table:
+        col = b[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        parts = pc.split_pattern_regex(pc.utf8_lower(col), r"\s+")
+        parent = pc.list_parent_indices(parts).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(parts)
+        keep = pc.not_equal(flat, "")
+        toks = flat.filter(keep).to_pylist()
+        parent = parent[keep.to_numpy(zero_copy_only=False)]
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        if len(toks) < 2:
+            return pa.table(
+                {
+                    id_col: pa.array([], b[id_col].type),
+                    "u": pa.array([], pa.string()),
+                    "w": pa.array([], pa.string()),
+                    "kbg": pa.array([], pa.string()),
+                }
+            )
+        m = parent[:-1] == parent[1:]
+        idx = np.nonzero(m)[0]
+        us = [toks[j] for j in idx]
+        ws = [toks[j + 1] for j in idx]
+        return pa.table(
+            {
+                id_col: pa.array(ids[parent[idx]], b[id_col].type),
+                "u": pa.array(us, pa.string()),
+                "w": pa.array(ws, pa.string()),
+                "kbg": pa.array([a + " " + c for a, c in zip(us, ws)], pa.string()),
+            }
+        )
+
+    bg = src.map_batches(bigram_rows, batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    uni = pre_aggregate(_explode_tokens(src, id_col, text_col), ["token"], [], count_alias="c").to_pandas()
+    total = int(uni["c"].sum())
+    vocab_n = len(uni)
+    tok_arr = uni["token"].to_numpy()
+    order = np.argsort(tok_arr, kind="mergesort")
+    uni_ref = ray.put((tok_arr[order], uni["c"].to_numpy().astype(np.int64)[order]))
+
+    bgc = pre_aggregate(bg.select_columns(["kbg"]), ["kbg"], [], count_alias="cbg")
+    joined = _keyed_join(
+        bg,
+        "kbg",
+        bgc.select_columns(["kbg", "cbg"]).map_batches(
+            lambda b: b.rename_columns(["kbg_r", "cbg"]), batch_format="pyarrow"
+        ),
+        "kbg_r",
+        ["cbg"],
+        num_partitions=num_partitions,
+    )
+
+    def lp(b: pa.Table) -> pa.Table:
+        vtok, vcnt = ray.get(uni_ref)
+        u = b["u"].to_pylist()
+        w = b["w"].to_pylist()
+        cu = vcnt[np.searchsorted(vtok, u)]
+        cw = vcnt[np.searchsorted(vtok, w)]
+        cbg = pc.cast(b["cbg"], pa.int64()).to_numpy(zero_copy_only=False)
+        p_bg = (cbg + 1.0) / (cu + float(vocab_n))
+        p_uni = (cw + 1.0) / float(total + vocab_n)
+        val = np.log(lam * p_bg + lam2 * p_uni)
+        return pa.table({id_col: b[id_col], "lp": pa.array(val)})
+
+    per_doc = pre_aggregate(
+        joined.map_batches(lp, batch_format="pyarrow", zero_copy_batch=True),
+        [id_col],
+        ["lp"],
+        count_alias="n_bigrams",
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        s = pc.cast(b["sum_lp"], pa.float64()).to_numpy(zero_copy_only=False)
+        n = pc.cast(b["n_bigrams"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "n_bigrams": pa.array(n),
+                "entropy": pa.array(np.round(-s / n, 6)),
+            }
+        )
+
+    return per_doc.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

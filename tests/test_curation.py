@@ -962,3 +962,46 @@ class TestUrlDomainOps:
         assert bool(by_dom.loc["bad.com", "keep"]) is False
         assert by_dom.loc["good.com", "domain_mean"] == 1000.0
         assert len(got) == len(rows)
+
+
+class TestPerplexityBigram:
+    def test_matches_brute_force(self, ray_session):
+        import math
+        import re
+        from collections import Counter
+
+        from clawrag_ray.stages.curation import perplexity_filter_bigram
+
+        texts = [
+            "a b a b a",
+            "a b c",
+            "c c c c",
+            "x",  # < 2 tokens: excluded
+        ]
+        t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()), "text": texts})
+        got = (
+            perplexity_filter_bigram(ray.data.from_arrow(t).repartition(2), num_partitions=4)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        toks = [re.findall(r"\S+", s.lower()) for s in texts]
+        uni = Counter(w for ts in toks for w in ts)
+        T, V = sum(uni.values()), len(uni)
+        bgc = Counter((ts[i], ts[i + 1]) for ts in toks for i in range(len(ts) - 1))
+        want = {}
+        for d, ts in enumerate(toks):
+            lps = [
+                math.log(
+                    0.7 * (bgc[(ts[i], ts[i + 1])] + 1) / (uni[ts[i]] + V)
+                    + 0.3 * (ts and (uni[ts[i + 1]] + 1) / (T + V))
+                )
+                for i in range(len(ts) - 1)
+            ]
+            if lps:
+                want[d] = (len(lps), round(-sum(lps) / len(lps), 6))
+        assert {r.doc_id: (r.n_bigrams, r.entropy) for r in got.itertuples()} == want
+        # the self-repetitive doc ("a b a b a") scores LOWER entropy than
+        # the unseen-transition doc ("a b c")
+        by = {r.doc_id: r.entropy for r in got.itertuples()}
+        assert by[0] < by[1]
