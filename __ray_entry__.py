@@ -2502,6 +2502,15 @@ def _q_perplexity_bigram(sf_dir: str):
     )
 
 
+def _q_gopher_quality(sf_dir: str):
+    """Complete Gopher §A1.1 quality rules (word-count band, mean word
+    length, symbol ratio, bullet/ellipsis line fractions, alpha-word
+    fraction, stopword presence) — map-only Arrow RE2 kernels."""
+    from clawrag_ray.stages.text_analysis import gopher_quality_filter
+
+    return gopher_quality_filter(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def _q_edit_near_dups(sf_dir: str):
     """Edit-distance near-dup pairs (Levenshtein <= 5) — the ED-Join /
     q-gram string-similarity join (stages/dedup.py:edit_distance_near_dups):
@@ -2599,6 +2608,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_filter": _q_domain_filter,
         "token_pmi": _q_token_pmi,
         "perplexity_bigram": _q_perplexity_bigram,
+        "gopher_quality": _q_gopher_quality,
         "edit_near_dups": _q_edit_near_dups,
         "event_value_winsorized": _q_event_value_winsorized,
         "props_k_by_type": _q_props_k_by_type,
@@ -2972,6 +2982,39 @@ def oracle_sql() -> dict[str, str]:
             "doc AS (SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(wt) / count(*) AS m "
             "FROM tw GROUP BY 1) "
             "SELECT doc_id, n_tokens, round(m, 6) AS clf_margin, m >= 0.0 AS keep FROM doc"
+        ),
+        # Gopher-rules replay: the same RE2 count patterns, each ratio one
+        # exact-integer division, thresholds compared on unrounded values
+        "gopher_quality": (
+            "WITH m AS (SELECT doc_id, "
+            "length(regexp_extract_all(text, '\\S+'))::BIGINT AS n_words, "
+            "length(regexp_extract_all(text, '\\S'))::BIGINT AS non_ws, "
+            "length(regexp_extract_all(text, '#|\\.{3}|…'))::BIGINT AS n_sym, "
+            "(length(regexp_extract_all(text, '\\n')) + 1)::BIGINT AS n_lines, "
+            "length(regexp_extract_all(text, '(?m)^[-*•]'))::BIGINT AS n_bul, "
+            "length(regexp_extract_all(text, '(?m)(?:\\.{3}|…)$'))::BIGINT AS n_ell, "
+            "length(regexp_extract_all(text, '\\S*[A-Za-z]\\S*'))::BIGINT AS n_alpha, "
+            "((CASE WHEN regexp_matches(lower(text), '\\bthe\\b') THEN 1 ELSE 0 END) + "
+            "(CASE WHEN regexp_matches(lower(text), '\\bbe\\b') THEN 1 ELSE 0 END) + "
+            "(CASE WHEN regexp_matches(lower(text), '\\bto\\b') THEN 1 ELSE 0 END) + "
+            "(CASE WHEN regexp_matches(lower(text), '\\bof\\b') THEN 1 ELSE 0 END) + "
+            "(CASE WHEN regexp_matches(lower(text), '\\band\\b') THEN 1 ELSE 0 END) + "
+            "(CASE WHEN regexp_matches(lower(text), '\\bthat\\b') THEN 1 ELSE 0 END) + "
+            "(CASE WHEN regexp_matches(lower(text), '\\bhave\\b') THEN 1 ELSE 0 END) + "
+            "(CASE WHEN regexp_matches(lower(text), '\\bwith\\b') THEN 1 ELSE 0 END))::BIGINT AS n_stop "
+            "FROM documents), "
+            "d AS (SELECT *, greatest(n_words, 1)::DOUBLE AS sw FROM m) "
+            "SELECT doc_id, n_words, "
+            "round(CASE WHEN n_words = 0 THEN 0.0 ELSE non_ws / sw END, 6) AS mean_word_len, "
+            "round(CASE WHEN n_words = 0 THEN 0.0 ELSE n_sym / sw END, 6) AS symbol_ratio, "
+            "round(n_bul / n_lines::DOUBLE, 6) AS bullet_frac, "
+            "round(n_ell / n_lines::DOUBLE, 6) AS ellipsis_frac, "
+            "round(CASE WHEN n_words = 0 THEN 0.0 ELSE n_alpha / sw END, 6) AS alpha_frac, "
+            "n_stop AS n_stopwords, "
+            "(n_words >= 50 AND n_words <= 100000 AND non_ws / sw >= 3.0 AND non_ws / sw <= 10.0 "
+            "AND n_sym / sw <= 0.1 AND n_bul / n_lines::DOUBLE <= 0.9 "
+            "AND n_ell / n_lines::DOUBLE <= 0.3 AND n_alpha / sw >= 0.8 "
+            "AND n_stop >= 1 AND n_words > 0) AS keep FROM d"
         ),
         # bigram-LM replay: identical op sequence (two exact-int divisions,
         # 0.7::DOUBLE / 0.3::DOUBLE literal weights, one ln) so floats agree

@@ -111,6 +111,16 @@ TIMED_QUERIES = [
     "props_k_by_type",
     "event_value_share",
     "event_value_winsorized",
+    "dsir_selection",
+    "quality_classifier",
+    "corpus_diff",
+    "user_active_time",
+    "doc_triangles",
+    "containment_near_dups",
+    "blocking_pairs",
+    "domain_filter",
+    "token_pmi",
+    "perplexity_bigram",
 ]
 
 

@@ -611,3 +611,96 @@ def token_pmi_pairs(
         )
 
     return pair_counts.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# Frozen Gopher document-quality thresholds (Rae et al. 2022 §A1.1) —
+# stopword requirement relaxed 2 -> 1 because the synthetic corpus
+# vocabulary carries only one of Gopher's eight stopwords ("the"); the
+# paper value is the documented production setting.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MWL_MIN = 3.0
+GOPHER_MWL_MAX = 10.0
+GOPHER_SYMBOL_RATIO_MAX = 0.1
+GOPHER_BULLET_FRAC_MAX = 0.9
+GOPHER_ELLIPSIS_FRAC_MAX = 0.3
+GOPHER_ALPHA_FRAC_MIN = 0.8
+GOPHER_MIN_STOPWORDS = 1
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_filter(ds: Dataset, id_col: str = "doc_id", text_col: str = "text") -> Dataset:
+    """The COMPLETE Gopher document-quality rule set (Rae et al. 2022
+    §A1.1, public) beyond the repetition family repetition_metrics
+    covers: word-count bounds, mean word length band, symbol-to-word
+    ratio (#/ellipsis), bullet-start and ellipsis-end line fractions,
+    alphabetic-word fraction, and required-stopword presence — the
+    standard first-pass web filter before dedup/LM scoring.
+
+    Entirely MAP-ONLY and fully vectorized: every metric is an Arrow RE2
+    count kernel over the batch (multiline ``(?m)`` anchors for the line
+    rules, non-overlapping match counts — the same RE2 semantics DuckDB
+    uses, so each ratio is one exact-integer division and every threshold
+    comparison is bit-equal cross-engine). Zero-word docs fail keep with
+    all ratios 0. Output: (id, n_words, mean_word_len, symbol_ratio,
+    bullet_frac, ellipsis_frac, alpha_frac, n_stopwords, keep)."""
+    import numpy as np
+
+    def metrics(b: pa.Table) -> pa.Table:
+        col = b[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        low = pc.utf8_lower(col)
+
+        def cnt(pattern, src=col):
+            return pc.cast(pc.count_substring_regex(src, pattern), pa.float64()).to_numpy(
+                zero_copy_only=False
+            )
+
+        n_words = cnt(r"\S+")
+        non_ws = cnt(r"\S")
+        n_symbols = cnt(r"#|\.{3}|…")
+        n_lines = cnt(r"\n") + 1.0
+        n_bullet = cnt(r"(?m)^[-*•]")
+        n_ellipsis_end = cnt(r"(?m)(?:\.{3}|…)$")
+        n_alpha_words = cnt(r"\S*[A-Za-z]\S*")
+        n_stop = np.zeros(len(n_words))
+        for sw in GOPHER_STOPWORDS:
+            n_stop += (
+                pc.match_substring_regex(low, rf"\b{sw}\b").to_numpy(zero_copy_only=False)
+            )
+        safe_w = np.maximum(n_words, 1.0)
+        mwl = non_ws / safe_w
+        symbol_ratio = n_symbols / safe_w
+        bullet_frac = n_bullet / n_lines
+        ellipsis_frac = n_ellipsis_end / n_lines
+        alpha_frac = n_alpha_words / safe_w
+        keep = (
+            (n_words >= GOPHER_MIN_WORDS)
+            & (n_words <= GOPHER_MAX_WORDS)
+            & (mwl >= GOPHER_MWL_MIN)
+            & (mwl <= GOPHER_MWL_MAX)
+            & (symbol_ratio <= GOPHER_SYMBOL_RATIO_MAX)
+            & (bullet_frac <= GOPHER_BULLET_FRAC_MAX)
+            & (ellipsis_frac <= GOPHER_ELLIPSIS_FRAC_MAX)
+            & (alpha_frac >= GOPHER_ALPHA_FRAC_MIN)
+            & (n_stop >= GOPHER_MIN_STOPWORDS)
+        )
+        zero = n_words == 0
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "n_words": pa.array(n_words.astype(np.int64)),
+                "mean_word_len": pa.array(np.round(np.where(zero, 0.0, mwl), 6)),
+                "symbol_ratio": pa.array(np.round(np.where(zero, 0.0, symbol_ratio), 6)),
+                "bullet_frac": pa.array(np.round(bullet_frac, 6)),
+                "ellipsis_frac": pa.array(np.round(ellipsis_frac, 6)),
+                "alpha_frac": pa.array(np.round(np.where(zero, 0.0, alpha_frac), 6)),
+                "n_stopwords": pa.array(n_stop.astype(np.int64)),
+                "keep": pa.array(keep & ~zero),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        metrics, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -353,3 +353,34 @@ class TestTokenPmiPairs:
         } == want
         # "rare" (df=1) never participates
         assert not any("rare" in k for k in want)
+
+
+class TestGopherQualityFilter:
+    def test_each_rule_fires(self, ray_session):
+        from clawrag_ray.stages.text_analysis import gopher_quality_filter
+
+        good = "the quick brown fox jumps over lazy dogs " * 8  # 64 words, has 'the'
+        too_short = "the quick fox"
+        no_stopword = "alpha beta gamma delta " * 15
+        bullets = "\n".join("- item here" for _ in range(20)) + "\n" + "the end of it all " * 10
+        symbols = ("the word " + "# " * 30) * 3
+        numeric = "the " + "12345 " * 60  # alpha fraction ~1/61
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(6), pa.int64()),
+                "text": [good, too_short, no_stopword, bullets, symbols, numeric],
+            }
+        )
+        got = (
+            gopher_quality_filter(ray.data.from_arrow(t).repartition(2))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert bool(got.loc[0, "keep"]) is True
+        assert bool(got.loc[1, "keep"]) is False  # < 50 words
+        assert bool(got.loc[2, "keep"]) is False and got.loc[2, "n_stopwords"] == 0
+        assert bool(got.loc[3, "keep"]) is False and got.loc[3, "bullet_frac"] > 0.9
+        assert bool(got.loc[4, "keep"]) is False and got.loc[4, "symbol_ratio"] > 0.1
+        assert bool(got.loc[5, "keep"]) is False and got.loc[5, "alpha_frac"] < 0.8
+        assert got.loc[0, "n_words"] == 64
