@@ -2511,6 +2511,29 @@ def _q_gopher_quality(sf_dir: str):
     return gopher_quality_filter(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def _q_c4_clean(sf_dir: str):
+    """C4 line/page rules over a deterministically punctuated variant of
+    the corpus (periods injected before 'the'/'a' tokens so the
+    terminal-punctuation line rule has structure to act on; doc_id%31
+    gets 'lorem ipsum', %37 a curly brace — both page-drop rules fire)."""
+    import pyarrow.compute as pc
+
+    from clawrag_ray.stages.text_analysis import c4_filter
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def synth(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        t = pc.binary_join_element_wise(
+            pc.replace_substring_regex(b["text"], r" (the|a) ", ".\n\\1 "), ".", ""
+        )
+        t = pc.if_else(pa.array(ids % 31 == 0), pc.binary_join_element_wise(t, " lorem ipsum", ""), t)
+        t = pc.if_else(pa.array((ids % 37 == 0) & (ids % 31 != 0)), pc.binary_join_element_wise(t, " {", ""), t)
+        return pa.table({"doc_id": b["doc_id"], "text": t})
+
+    return c4_filter(docs.map_batches(synth, batch_format="pyarrow", zero_copy_batch=True))
+
+
 def _q_edit_near_dups(sf_dir: str):
     """Edit-distance near-dup pairs (Levenshtein <= 5) — the ED-Join /
     q-gram string-similarity join (stages/dedup.py:edit_distance_near_dups):
@@ -2609,6 +2632,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_pmi": _q_token_pmi,
         "perplexity_bigram": _q_perplexity_bigram,
         "gopher_quality": _q_gopher_quality,
+        "c4_clean": _q_c4_clean,
         "edit_near_dups": _q_edit_near_dups,
         "event_value_winsorized": _q_event_value_winsorized,
         "props_k_by_type": _q_props_k_by_type,
@@ -2982,6 +3006,25 @@ def oracle_sql() -> dict[str, str]:
             "doc AS (SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(wt) / count(*) AS m "
             "FROM tw GROUP BY 1) "
             "SELECT doc_id, n_tokens, round(m, 6) AS clf_margin, m >= 0.0 AS keep FROM doc"
+        ),
+        # C4 replay: same punctuation synthesis, line explode + predicate,
+        # ordered string_agg rebuild (the boilerplate_removal oracle shape)
+        "c4_clean": (
+            "WITH s AS (SELECT doc_id, "
+            "CASE WHEN doc_id % 31 = 0 THEN regexp_replace(text, ' (the|a) ', '.' || chr(10) || '\\1 ', 'g') || '.' || ' lorem ipsum' "
+            "WHEN doc_id % 37 = 0 THEN regexp_replace(text, ' (the|a) ', '.' || chr(10) || '\\1 ', 'g') || '.' || ' {' "
+            "ELSE regexp_replace(text, ' (the|a) ', '.' || chr(10) || '\\1 ', 'g') || '.' END AS t FROM documents), "
+            "l AS (SELECT doc_id, t, unnest(string_split(t, chr(10))) AS ln, "
+            "generate_subscripts(string_split(t, chr(10)), 1) AS i FROM s), "
+            "k AS (SELECT doc_id, ln, i FROM l WHERE regexp_matches(ln, '[.!?\"]$') "
+            "AND length(regexp_extract_all(ln, '\\S+')) >= 5), "
+            "c AS (SELECT doc_id, string_agg(ln, chr(10) ORDER BY i) AS ct, count(*)::BIGINT AS nk "
+            "FROM k GROUP BY 1) "
+            "SELECT s.doc_id, coalesce(c.ct, '') AS clean_text, coalesce(c.nk, 0)::BIGINT AS n_kept_lines, "
+            "length(regexp_extract_all(coalesce(c.ct, ''), '[.!?]'))::BIGINT AS n_sentences, "
+            "(length(regexp_extract_all(coalesce(c.ct, ''), '[.!?]')) >= 3 "
+            "AND NOT contains(s.t, 'lorem ipsum') AND NOT contains(s.t, '{')) AS keep "
+            "FROM s LEFT JOIN c USING (doc_id)"
         ),
         # Gopher-rules replay: the same RE2 count patterns, each ratio one
         # exact-integer division, thresholds compared on unrounded values

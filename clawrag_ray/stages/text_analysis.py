@@ -704,3 +704,56 @@ def gopher_quality_filter(ds: Dataset, id_col: str = "doc_id", text_col: str = "
     return ds.select_columns([id_col, text_col]).map_batches(
         metrics, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def c4_filter(ds: Dataset, id_col: str = "doc_id", text_col: str = "text") -> Dataset:
+    """C4 cleaning rules (Raffel et al. 2020 §2.2, public): keep only
+    lines that end in terminal punctuation (. ! ? ") AND contain >= 5
+    words; drop the whole page if it contains "lorem ipsum" or a curly
+    brace, or if the cleaned text has < 3 sentences ([.!?] marks — the
+    sentence proxy; C4's langdetect and dirty-word list are out of scope
+    here, the langid stage covers the former). MAP-ONLY: Arrow line
+    split + flatten with parent indices, vectorized line predicates, and
+    a per-batch grouped join rebuild (a doc's lines never leave its
+    batch). Output: (id, clean_text, n_kept_lines, n_sentences, keep)."""
+    import numpy as np
+    import pandas as pd
+
+    def clean(b: pa.Table) -> pa.Table:
+        col = b[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lines = pc.split_pattern(col, "\n")
+        parent = pc.list_parent_indices(lines).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(lines)
+        ok = pc.and_(
+            pc.match_substring_regex(flat, r"[.!?\"]$"),
+            pc.greater_equal(pc.count_substring_regex(flat, r"\S+"), 5),
+        ).to_numpy(zero_copy_only=False)
+        kept = pd.DataFrame({"p": parent[ok], "ln": np.asarray(flat.to_pylist(), dtype=object)[ok]})
+        joined = kept.groupby("p", sort=True)["ln"].agg("\n".join)
+        n_kept = kept.groupby("p", sort=True)["ln"].size()
+        clean_text = np.full(b.num_rows, "", dtype=object)
+        clean_text[joined.index.to_numpy()] = joined.to_numpy()
+        nk = np.zeros(b.num_rows, dtype=np.int64)
+        nk[n_kept.index.to_numpy()] = n_kept.to_numpy()
+        clean_arr = pa.array(clean_text.tolist(), pa.string())
+        n_sent = pc.cast(pc.count_substring_regex(clean_arr, r"[.!?]"), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        has_lorem = pc.match_substring(col, "lorem ipsum").to_numpy(zero_copy_only=False)
+        has_brace = pc.match_substring(col, "{").to_numpy(zero_copy_only=False)
+        keep = (n_sent >= 3) & ~has_lorem & ~has_brace
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "clean_text": clean_arr,
+                "n_kept_lines": pa.array(nk),
+                "n_sentences": pa.array(n_sent),
+                "keep": pa.array(keep),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        clean, batch_format="pyarrow", zero_copy_batch=True
+    )

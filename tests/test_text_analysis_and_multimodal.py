@@ -384,3 +384,37 @@ class TestGopherQualityFilter:
         assert bool(got.loc[4, "keep"]) is False and got.loc[4, "symbol_ratio"] > 0.1
         assert bool(got.loc[5, "keep"]) is False and got.loc[5, "alpha_frac"] < 0.8
         assert got.loc[0, "n_words"] == 64
+
+
+class TestC4Filter:
+    def test_line_and_page_rules(self, ray_session):
+        from clawrag_ray.stages.text_analysis import c4_filter
+
+        good = (
+            "this line has five words.\nshort one.\n"
+            "another good line with punctuation!\nno punct line here at all\n"
+            "last line keeps five words."
+        )
+        lorem = good + "\nsome lorem ipsum filler text."
+        brace = good + "\ncode { block } line here."
+        thin = "only one good sentence here."
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(4), pa.int64()),
+                "text": [good, lorem, brace, thin],
+            }
+        )
+        got = (
+            c4_filter(ray.data.from_arrow(t).repartition(2))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert got.loc[0, "clean_text"] == (
+            "this line has five words.\nanother good line with punctuation!\n"
+            "last line keeps five words."
+        )
+        assert got.loc[0, "n_kept_lines"] == 3 and bool(got.loc[0, "keep"]) is True
+        assert bool(got.loc[1, "keep"]) is False  # lorem ipsum page drop
+        assert bool(got.loc[2, "keep"]) is False  # curly brace page drop
+        assert bool(got.loc[3, "keep"]) is False and got.loc[3, "n_sentences"] == 1
