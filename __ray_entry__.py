@@ -2534,6 +2534,29 @@ def _q_c4_clean(sf_dir: str):
     return c4_filter(docs.map_batches(synth, batch_format="pyarrow", zero_copy_batch=True))
 
 
+def _q_web_curated(sf_dir: str):
+    """Second flagship chain: C4 clean -> Gopher full rules -> linear
+    quality classifier -> exact dedup on cleaned text, composed so the
+    first three stages are one streaming map pass and the dedup is the
+    chain's ONLY shuffle. One DuckDB statement replays the whole chain."""
+    import pyarrow.compute as pc
+
+    from clawrag_ray.pipelines.curation import web_curate
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def synth(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        t = pc.binary_join_element_wise(
+            pc.replace_substring_regex(b["text"], r" (the|a) ", ".\n\\1 "), ".", ""
+        )
+        t = pc.if_else(pa.array(ids % 31 == 0), pc.binary_join_element_wise(t, " lorem ipsum", ""), t)
+        t = pc.if_else(pa.array((ids % 37 == 0) & (ids % 31 != 0)), pc.binary_join_element_wise(t, " {", ""), t)
+        return pa.table({"doc_id": b["doc_id"], "text": t})
+
+    return web_curate(docs.map_batches(synth, batch_format="pyarrow", zero_copy_batch=True), num_partitions=8)
+
+
 def _q_edit_near_dups(sf_dir: str):
     """Edit-distance near-dup pairs (Levenshtein <= 5) — the ED-Join /
     q-gram string-similarity join (stages/dedup.py:edit_distance_near_dups):
@@ -2633,6 +2656,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "perplexity_bigram": _q_perplexity_bigram,
         "gopher_quality": _q_gopher_quality,
         "c4_clean": _q_c4_clean,
+        "web_curated": _q_web_curated,
         "edit_near_dups": _q_edit_near_dups,
         "event_value_winsorized": _q_event_value_winsorized,
         "props_k_by_type": _q_props_k_by_type,
@@ -3006,6 +3030,55 @@ def oracle_sql() -> dict[str, str]:
             "doc AS (SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(wt) / count(*) AS m "
             "FROM tw GROUP BY 1) "
             "SELECT doc_id, n_tokens, round(m, 6) AS clf_margin, m >= 0.0 AS keep FROM doc"
+        ),
+        # web-chain replay: C4 CTEs -> Gopher rule CTE over the CLEANED
+        # text -> md5-weight classifier margin -> row_number dedup; one
+        # statement puts the COMPOSITION under the exact-match gate
+        "web_curated": (
+            "WITH s AS (SELECT doc_id, "
+            "CASE WHEN doc_id % 31 = 0 THEN regexp_replace(text, ' (the|a) ', '.' || chr(10) || '\\1 ', 'g') || '.' || ' lorem ipsum' "
+            "WHEN doc_id % 37 = 0 THEN regexp_replace(text, ' (the|a) ', '.' || chr(10) || '\\1 ', 'g') || '.' || ' {' "
+            "ELSE regexp_replace(text, ' (the|a) ', '.' || chr(10) || '\\1 ', 'g') || '.' END AS t FROM documents), "
+            "l AS (SELECT doc_id, t, unnest(string_split(t, chr(10))) AS ln, "
+            "generate_subscripts(string_split(t, chr(10)), 1) AS i FROM s), "
+            "k AS (SELECT doc_id, ln, i FROM l WHERE regexp_matches(ln, '[.!?\"]$') "
+            "AND length(regexp_extract_all(ln, '\\S+')) >= 5), "
+            "c AS (SELECT doc_id, string_agg(ln, chr(10) ORDER BY i) AS ct FROM k GROUP BY 1), "
+            "pages AS (SELECT s.doc_id, c.ct AS text FROM s JOIN c USING (doc_id) "
+            "WHERE length(regexp_extract_all(c.ct, '[.!?]')) >= 3 "
+            "AND NOT contains(s.t, 'lorem ipsum') AND NOT contains(s.t, '{')), "
+            "m AS (SELECT doc_id, text, "
+            "length(regexp_extract_all(text, '\\S+'))::BIGINT AS n_words, "
+            "length(regexp_extract_all(text, '\\S'))::BIGINT AS non_ws, "
+            "length(regexp_extract_all(text, '#|\\.{3}|…'))::BIGINT AS n_sym, "
+            "(length(regexp_extract_all(text, '\\n')) + 1)::BIGINT AS n_lines, "
+            "length(regexp_extract_all(text, '(?m)^[-*•]'))::BIGINT AS n_bul, "
+            "length(regexp_extract_all(text, '(?m)(?:\\.{3}|…)$'))::BIGINT AS n_ell, "
+            "length(regexp_extract_all(text, '\\S*[A-Za-z]\\S*'))::BIGINT AS n_alpha, "
+            "((CASE WHEN regexp_matches(lower(text), '\\bthe\\b') THEN 1 ELSE 0 END) + "
+            "(CASE WHEN regexp_matches(lower(text), '\\bbe\\b') THEN 1 ELSE 0 END) + "
+            "(CASE WHEN regexp_matches(lower(text), '\\bto\\b') THEN 1 ELSE 0 END) + "
+            "(CASE WHEN regexp_matches(lower(text), '\\bof\\b') THEN 1 ELSE 0 END) + "
+            "(CASE WHEN regexp_matches(lower(text), '\\band\\b') THEN 1 ELSE 0 END) + "
+            "(CASE WHEN regexp_matches(lower(text), '\\bthat\\b') THEN 1 ELSE 0 END) + "
+            "(CASE WHEN regexp_matches(lower(text), '\\bhave\\b') THEN 1 ELSE 0 END) + "
+            "(CASE WHEN regexp_matches(lower(text), '\\bwith\\b') THEN 1 ELSE 0 END))::BIGINT AS n_stop "
+            "FROM pages), "
+            "gk AS (SELECT doc_id, text, n_words FROM "
+            "(SELECT *, greatest(n_words, 1)::DOUBLE AS sw FROM m) "
+            "WHERE n_words >= 50 AND n_words <= 100000 AND non_ws / sw >= 3.0 AND non_ws / sw <= 10.0 "
+            "AND n_sym / sw <= 0.1 AND n_bul / n_lines::DOUBLE <= 0.9 AND n_ell / n_lines::DOUBLE <= 0.3 "
+            "AND n_alpha / sw >= 0.8 AND n_stop >= 1), "
+            "tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS w FROM gk), "
+            "tw AS (SELECT doc_id, "
+            "('0x' || substr(md5('w' || CAST((('0x' || substr(md5(w), 1, 8))::UBIGINT % 1024) "
+            "AS VARCHAR)), 1, 8))::UBIGINT::DOUBLE / 4294967296.0 * 2.0 - 1.0 AS wt FROM tok), "
+            "cm AS (SELECT doc_id, sum(wt) / count(*) AS mg FROM tw GROUP BY 1), "
+            "ck AS (SELECT gk.doc_id, gk.text, gk.n_words, round(cm.mg, 6) AS clf_margin "
+            "FROM gk JOIN cm ON cm.doc_id = gk.doc_id WHERE cm.mg >= 0.0), "
+            "dd AS (SELECT doc_id, n_words, clf_margin, "
+            "row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM ck) "
+            "SELECT doc_id, n_words, clf_margin FROM dd WHERE rn = 1"
         ),
         # C4 replay: same punctuation synthesis, line explode + predicate,
         # ordered string_agg rebuild (the boilerplate_removal oracle shape)

@@ -104,3 +104,92 @@ def curate_corpus(
 
     # 4. deterministic stratified split (stable under corpus growth)
     return stratified_split(labeled, id_col=id_col)
+
+
+def web_curate(
+    docs: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 64,
+) -> Dataset:
+    """Second flagship chain — the WEB-tier page pipeline composed from
+    the round-4 stages:
+
+        C4 line/page cleaning (terminal-punct + 5-word lines, lorem/brace
+        page drops, >= 3 sentences)
+          -> Gopher full quality rules over the CLEANED text
+          -> hashed linear quality classifier (margin >= 0)
+          -> exact dedup on the cleaned text (keep min id per distinct
+             clean_text).
+
+    The first three stages are MAP-ONLY, so the whole chain costs ONE
+    shuffle (the dedup grouped-min + keyed semi-join) plus a single
+    streaming map pass — the shape that matters at 10^12 pages. The
+    `web_curated` driver query replays the entire chain in one DuckDB
+    statement, putting the composition (not just the pieces) under the
+    exact-match gate. Output per survivor:
+    (id, n_words, clf_margin)."""
+    from ray.data.aggregate import Min as AggMin
+
+    from clawrag_ray.stages.dedup import _keyed_join, with_text_hash
+    from clawrag_ray.stages.text_analysis import c4_filter, gopher_quality_filter, quality_classifier
+
+    cleaned = c4_filter(docs, id_col=id_col, text_col=text_col)
+
+    def keep_clean(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["keep"], True))
+        return pa.table({id_col: b[id_col], text_col: b["clean_text"]})
+
+    kept = cleaned.map_batches(keep_clean, batch_format="pyarrow", zero_copy_batch=True)
+
+    g = gopher_quality_filter(kept, id_col=id_col, text_col=text_col, keep_cols=[text_col])
+
+    def keep_gopher(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["keep"], True))
+        return pa.table({id_col: b[id_col], text_col: b[text_col], "n_words": b["n_words"]})
+
+    g2 = g.map_batches(keep_gopher, batch_format="pyarrow", zero_copy_batch=True)
+
+    clf = quality_classifier(g2, id_col=id_col, text_col=text_col, keep_cols=[text_col, "n_words"])
+
+    def keep_clf(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["keep"], True))
+        return pa.table(
+            {
+                id_col: b[id_col],
+                text_col: b[text_col],
+                "n_words": b["n_words"],
+                "clf_margin": b["clf_margin"],
+            }
+        )
+
+    survivors = clf.map_batches(keep_clf, batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    hashed = with_text_hash(survivors, text_col)
+
+    def partial_min(b: pa.Table) -> pa.Table:
+        g = b.select(["text_sha256", id_col]).group_by("text_sha256").aggregate([(id_col, "min")])
+        return g.rename_columns(["text_sha256", "pmin"])
+
+    keepers = (
+        hashed.map_batches(partial_min, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("text_sha256")
+        .aggregate(AggMin("pmin", alias_name="keeper"))
+        .map_batches(
+            lambda b: pa.table(
+                {"hash_f": b["text_sha256"], "keeper": pc.cast(b["keeper"], pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    joined = _keyed_join(
+        hashed, "text_sha256", keepers, "hash_f", ["keeper"], num_partitions=num_partitions
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b[id_col], b["keeper"]))
+        return pa.table(
+            {id_col: b[id_col], "n_words": b["n_words"], "clf_margin": b["clf_margin"]}
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

@@ -425,6 +425,7 @@ def quality_classifier(
     text_col: str = "text",
     n_buckets: int = 1024,
     model_path: str | None = None,
+    keep_cols: list[str] | None = None,
 ) -> Dataset:
     """fastText-style linear quality classifier (Joulin et al. 2016,
     public; the shape behind CCNet/LLaMA "Wikipedia-like" page filters):
@@ -480,16 +481,18 @@ def quality_classifier(
         n_tok = np.bincount(parent, minlength=b.num_rows).astype(np.int64)
         has = n_tok > 0
         margin = sums[has] / n_tok[has] + bias
+        passthrough = {c: b[c].filter(pa.array(has)) for c in keep_cols or []}
         return pa.table(
             {
                 id_col: b[id_col].filter(pa.array(has)),
+                **passthrough,
                 "n_tokens": pa.array(n_tok[has]),
                 "clf_margin": pa.array(np.round(margin, 6)),
                 "keep": pa.array(margin >= 0.0),
             }
         )
 
-    return ds.select_columns([id_col, text_col]).map_batches(
+    return ds.select_columns([id_col, text_col] + [c for c in keep_cols or [] if c != text_col]).map_batches(
         score, batch_format="pyarrow", zero_copy_batch=True
     )
 
@@ -629,7 +632,12 @@ GOPHER_MIN_STOPWORDS = 1
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
-def gopher_quality_filter(ds: Dataset, id_col: str = "doc_id", text_col: str = "text") -> Dataset:
+def gopher_quality_filter(
+    ds: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: list[str] | None = None,
+) -> Dataset:
     """The COMPLETE Gopher document-quality rule set (Rae et al. 2022
     §A1.1, public) beyond the repetition family repetition_metrics
     covers: word-count bounds, mean word length band, symbol-to-word
@@ -687,9 +695,11 @@ def gopher_quality_filter(ds: Dataset, id_col: str = "doc_id", text_col: str = "
             & (n_stop >= GOPHER_MIN_STOPWORDS)
         )
         zero = n_words == 0
+        passthrough = {c: b[c] for c in keep_cols or []}
         return pa.table(
             {
                 id_col: b[id_col],
+                **passthrough,
                 "n_words": pa.array(n_words.astype(np.int64)),
                 "mean_word_len": pa.array(np.round(np.where(zero, 0.0, mwl), 6)),
                 "symbol_ratio": pa.array(np.round(np.where(zero, 0.0, symbol_ratio), 6)),
@@ -701,7 +711,7 @@ def gopher_quality_filter(ds: Dataset, id_col: str = "doc_id", text_col: str = "
             }
         )
 
-    return ds.select_columns([id_col, text_col]).map_batches(
+    return ds.select_columns([id_col, text_col] + [c for c in keep_cols or [] if c != text_col]).map_batches(
         metrics, batch_format="pyarrow", zero_copy_batch=True
     )
 

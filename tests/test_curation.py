@@ -1005,3 +1005,32 @@ class TestPerplexityBigram:
         # the unseen-transition doc ("a b c")
         by = {r.doc_id: r.entropy for r in got.itertuples()}
         assert by[0] < by[1]
+
+
+class TestWebCurate:
+    def test_funnel_and_dedup(self, ray_session):
+        from clawrag_ray.pipelines.curation import web_curate
+
+        keeper = (
+            "the quick brown fox jumps over it.\n"
+            "another sentence with the five words!\n"
+            "a third good line stands here."
+        )
+        rows = [
+            (1, keeper),                      # survives everything
+            (2, keeper),                      # exact dup of 1's clean text -> dropped
+            (3, "no terminal punctuation lines at all here"),   # C4 drops (0 kept lines)
+            (4, keeper + "\nlorem ipsum tail."),                # page drop
+        ]
+        # pad keeper docs to >= 50 words for the Gopher word-count rule
+        pad = " ".join(f"the word{i} fills space." for i in range(15))
+        rows = [(i, (t + "\n" + pad) if i in (1, 2, 4) else t) for i, t in rows]
+        t = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": [r[1] for r in rows],
+            }
+        )
+        got = web_curate(ray.data.from_arrow(t).repartition(2), num_partitions=4).to_pandas()
+        assert got["doc_id"].tolist() == [1]
+        assert got["n_words"].iloc[0] >= 50
