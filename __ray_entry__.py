@@ -2557,6 +2557,49 @@ def _q_web_curated(sf_dir: str):
     return web_curate(docs.map_batches(synth, batch_format="pyarrow", zero_copy_batch=True), num_partitions=8)
 
 
+def _q_corpus_merge(sf_dir: str):
+    """Corpus MERGE (upsert/delete changeset applied to the base
+    snapshot): %13 deletes, %7 upserts an edited text, %19 inserts under
+    a new id — one FULL OUTER id join + vectorized resolution."""
+    import pyarrow.compute as pc
+
+    from clawrag_ray.stages.curation import apply_changes
+
+    base = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def mk_changes(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        dels = b.filter(pa.array(ids % 13 == 0))
+        dels = pa.table(
+            {
+                "doc_id": dels["doc_id"],
+                "text": pa.array([None] * dels.num_rows, pa.string()),
+                "op": pa.array(["delete"] * dels.num_rows, pa.string()),
+            }
+        )
+        ups_m = (ids % 7 == 0) & (ids % 13 != 0)
+        ups = b.filter(pa.array(ups_m))
+        ups = pa.table(
+            {
+                "doc_id": ups["doc_id"],
+                "text": pc.binary_join_element_wise(ups["text"], " v2", ""),
+                "op": pa.array(["upsert"] * ups.num_rows, pa.string()),
+            }
+        )
+        ins = b.filter(pa.array(ids % 19 == 0))
+        ins = pa.table(
+            {
+                "doc_id": pc.add(ins["doc_id"], pa.scalar(10000000, pa.int64())),
+                "text": ins["text"],
+                "op": pa.array(["upsert"] * ins.num_rows, pa.string()),
+            }
+        )
+        return pa.concat_tables([dels, ups, ins])
+
+    changes = base.map_batches(mk_changes, batch_format="pyarrow", zero_copy_batch=True)
+    return apply_changes(base, changes)
+
+
 def _q_edit_near_dups(sf_dir: str):
     """Edit-distance near-dup pairs (Levenshtein <= 5) — the ED-Join /
     q-gram string-similarity join (stages/dedup.py:edit_distance_near_dups):
@@ -2657,6 +2700,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality": _q_gopher_quality,
         "c4_clean": _q_c4_clean,
         "web_curated": _q_web_curated,
+        "corpus_merge": _q_corpus_merge,
         "edit_near_dups": _q_edit_near_dups,
         "event_value_winsorized": _q_event_value_winsorized,
         "props_k_by_type": _q_props_k_by_type,
@@ -3030,6 +3074,19 @@ def oracle_sql() -> dict[str, str]:
             "doc AS (SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(wt) / count(*) AS m "
             "FROM tw GROUP BY 1) "
             "SELECT doc_id, n_tokens, round(m, 6) AS clf_margin, m >= 0.0 AS keep FROM doc"
+        ),
+        # merge replay: same changeset CTE, FULL OUTER JOIN + CASE resolve
+        "corpus_merge": (
+            "WITH base AS (SELECT doc_id, text FROM documents), "
+            "ch AS (SELECT doc_id, NULL::VARCHAR AS text, 'delete' AS op FROM documents WHERE doc_id % 13 = 0 "
+            "UNION ALL SELECT doc_id, text || ' v2', 'upsert' FROM documents WHERE doc_id % 7 = 0 AND doc_id % 13 <> 0 "
+            "UNION ALL SELECT doc_id + 10000000, text, 'upsert' FROM documents WHERE doc_id % 19 = 0) "
+            "SELECT coalesce(b.doc_id, ch.doc_id) AS doc_id, "
+            "CASE WHEN ch.op = 'upsert' THEN ch.text ELSE b.text END AS text, "
+            "CASE WHEN ch.op IS NULL THEN 'kept' WHEN b.doc_id IS NULL THEN 'inserted' "
+            "ELSE 'updated' END AS change "
+            "FROM base b FULL OUTER JOIN ch ON b.doc_id = ch.doc_id "
+            "WHERE ch.op IS NULL OR ch.op = 'upsert'"
         ),
         # web-chain replay: C4 CTEs -> Gopher rule CTE over the CLEANED
         # text -> md5-weight classifier margin -> row_number dedup; one

@@ -1727,3 +1727,55 @@ def perplexity_filter_bigram(
         )
 
     return per_doc.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def apply_changes(
+    base: Dataset,
+    changes: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    op_col: str = "op",
+    num_partitions: int = 16,
+) -> Dataset:
+    """Corpus MERGE (SCD-1 upsert/delete) — the maintenance operator that
+    turns a base snapshot plus a changeset into the next snapshot:
+    ``op='upsert'`` inserts or replaces the id's document, ``op='delete'``
+    removes it, untouched ids carry through. One FULL OUTER hash join on
+    the id (both sides shuffle once, by the same key a partitioned corpus
+    is already laid out on); resolution is a vectorized map. Change ids
+    must be unique (changeset contract — dedup upstream with the policy
+    engine). Output: (id, text, change in {kept, updated, inserted})."""
+    from clawrag_ray.stages.relational import hash_join
+
+    b = base.select_columns([id_col, text_col]).map_batches(
+        lambda t: t.rename_columns(["id_b", "text_b"]), batch_format="pyarrow", zero_copy_batch=True
+    )
+    c = changes.select_columns([id_col, text_col, op_col]).map_batches(
+        lambda t: t.rename_columns(["id_c", "text_c", "op_c"]), batch_format="pyarrow", zero_copy_batch=True
+    )
+    j = hash_join(b, c, on="id_b", right_on="id_c", join_type="full_outer", num_partitions=num_partitions)
+
+    def resolve(t: pa.Table) -> pa.Table:
+        op = t["op_c"].to_pandas()
+        tb = t["text_b"].to_pandas()
+        is_delete = (op == "delete").to_numpy(dtype=bool, na_value=False)
+        keep = ~is_delete
+        op = op[keep]
+        tb = tb[keep]
+        tc = t["text_c"].to_pandas()[keep]
+        ids = t["id_b"].filter(pa.array(keep))
+        upsert = (op == "upsert").to_numpy(dtype=bool, na_value=False)
+        base_missing = tb.isna().to_numpy()
+        text = np.where(upsert, tc.to_numpy(dtype=object, na_value=None), tb.to_numpy(dtype=object, na_value=None))
+        change = np.where(
+            ~upsert, "kept", np.where(base_missing, "inserted", "updated")
+        )
+        return pa.table(
+            {
+                id_col: ids,
+                text_col: pa.array(text.tolist(), pa.string()),
+                "change": pa.array(change.tolist(), pa.string()),
+            }
+        )
+
+    return j.map_batches(resolve, batch_format="pyarrow", zero_copy_batch=True)

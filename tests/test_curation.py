@@ -1034,3 +1034,36 @@ class TestWebCurate:
         got = web_curate(ray.data.from_arrow(t).repartition(2), num_partitions=4).to_pandas()
         assert got["doc_id"].tolist() == [1]
         assert got["n_words"].iloc[0] >= 50
+
+
+class TestApplyChanges:
+    def test_upsert_delete_insert_kept(self, ray_session):
+        from clawrag_ray.stages.curation import apply_changes
+
+        base = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([1, 2, 3], pa.int64()),
+                    "text": ["one", "two", "three"],
+                }
+            )
+        ).repartition(2)
+        changes = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([2, 3, 4], pa.int64()),
+                    "text": ["two-new", None, "four"],
+                    "op": ["upsert", "delete", "upsert"],
+                }
+            )
+        )
+        got = (
+            apply_changes(base, changes, num_partitions=4)
+            .to_pandas()
+            .sort_values("doc_id")
+            .set_index("doc_id")
+        )
+        assert got.index.tolist() == [1, 2, 4]
+        assert got.loc[1, "text"] == "one" and got.loc[1, "change"] == "kept"
+        assert got.loc[2, "text"] == "two-new" and got.loc[2, "change"] == "updated"
+        assert got.loc[4, "text"] == "four" and got.loc[4, "change"] == "inserted"
