@@ -2600,6 +2600,16 @@ def _q_corpus_merge(sf_dir: str):
     return apply_changes(base, changes)
 
 
+def _q_user_novelty_curve(sf_dir: str):
+    """Running COUNT(DISTINCT event_type) per user ordered by event —
+    the first-occurrence-flag + running-sum rewrite of the window SQL
+    cannot express, one hash-partitioned vectorized pass."""
+    from clawrag_ray.stages.relational import grouped_running_distinct
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "event_id"])
+    return grouped_running_distinct(ev, "user_id", "event_type", "event_id")
+
+
 def _q_edit_near_dups(sf_dir: str):
     """Edit-distance near-dup pairs (Levenshtein <= 5) — the ED-Join /
     q-gram string-similarity join (stages/dedup.py:edit_distance_near_dups):
@@ -2701,6 +2711,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "c4_clean": _q_c4_clean,
         "web_curated": _q_web_curated,
         "corpus_merge": _q_corpus_merge,
+        "user_novelty_curve": _q_user_novelty_curve,
         "edit_near_dups": _q_edit_near_dups,
         "event_value_winsorized": _q_event_value_winsorized,
         "props_k_by_type": _q_props_k_by_type,
@@ -3074,6 +3085,16 @@ def oracle_sql() -> dict[str, str]:
             "doc AS (SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(wt) / count(*) AS m "
             "FROM tw GROUP BY 1) "
             "SELECT doc_id, n_tokens, round(m, 6) AS clf_margin, m >= 0.0 AS keep FROM doc"
+        ),
+        # running-distinct replay: the standard first-occurrence rewrite —
+        # row_number()=1 flag per (user, type), running sum over event order
+        "user_novelty_curve": (
+            "WITH f AS (SELECT user_id, event_type, event_id, "
+            "CASE WHEN row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id) = 1 "
+            "THEN 1 ELSE 0 END AS first_seen FROM events) "
+            "SELECT user_id, event_type, event_id, "
+            "sum(first_seen) OVER (PARTITION BY user_id ORDER BY event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS n_distinct_so_far FROM f"
         ),
         # merge replay: same changeset CTE, FULL OUTER JOIN + CASE resolve
         "corpus_merge": (

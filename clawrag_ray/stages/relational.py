@@ -2349,3 +2349,42 @@ def sorted_neighborhood_pairs(
         )
 
     return hash_partitioned_groups(rows, ["__bucket"], per_part, num_partitions=num_partitions)
+
+
+def grouped_running_distinct(
+    ds: Dataset,
+    key_col: str,
+    value_col: str,
+    order_col: str,
+    out_col: str = "n_distinct_so_far",
+    num_partitions: int = 64,
+) -> Dataset:
+    """Running COUNT(DISTINCT value) OVER (PARTITION BY key ORDER BY
+    order) — "how many distinct event types has this user produced so
+    far", the novelty-curve window SQL cannot express directly (window
+    COUNT(DISTINCT) is unsupported in most engines; the standard rewrite
+    is a first-occurrence flag + running sum, which is exactly what this
+    computes). ONE hash-partitioned shuffle; per partition: sort by
+    (key, order), first-occurrence flag via vectorized duplicated() over
+    (key, value), grouped cumsum — no per-group Python. Ties on
+    ``order_col`` are broken by input order deterministically only if
+    ``order_col`` is unique per key (the usual window contract)."""
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, order_col], kind="mergesort")
+        first = ~g.duplicated([key_col, value_col])
+        out = g[[key_col, value_col, order_col]].copy()
+        out[out_col] = (
+            pd.Series(first.to_numpy().astype("int64"), index=g.index)
+            .groupby(g[key_col].to_numpy())
+            .cumsum()
+            .astype("int64")
+        )
+        return out
+
+    return hash_partitioned_groups(
+        ds.select_columns([key_col, value_col, order_col]),
+        [key_col],
+        per_part,
+        num_partitions=num_partitions,
+    )

@@ -1852,3 +1852,24 @@ class TestSortedNeighborhoodPairs:
         t = pa.table({"id": pa.array([1], pa.int64()), "o": pa.array([1], pa.int64())})
         with _pytest.raises(ValueError):
             sorted_neighborhood_pairs(ray.data.from_arrow(t), "o", "id", window=8, bucket_size=8)
+
+
+class TestGroupedRunningDistinct:
+    def test_novelty_curve(self, ray_session):
+        from clawrag_ray.stages.relational import grouped_running_distinct
+
+        t = pa.table(
+            {
+                "u": pa.array([1, 1, 1, 1, 2, 2], pa.int64()),
+                "v": ["a", "b", "a", "c", "x", "x"],
+                "o": pa.array([10, 20, 30, 40, 5, 6], pa.int64()),
+            }
+        )
+        got = (
+            grouped_running_distinct(
+                ray.data.from_arrow(t).repartition(3), "u", "v", "o", num_partitions=4
+            )
+            .to_pandas()
+            .sort_values(["u", "o"])
+        )
+        assert got["n_distinct_so_far"].tolist() == [1, 2, 2, 3, 1, 1]
