@@ -2610,6 +2610,25 @@ def _q_user_novelty_curve(sf_dir: str):
     return grouped_running_distinct(ev, "user_id", "event_type", "event_id")
 
 
+def _q_readability(sf_dir: str):
+    """Flesch reading-ease over the punctuated corpus variant (periods
+    injected before 'the'/'a' so the sentence counter has structure) —
+    map-only RE2 count kernels, fixed arithmetic chain."""
+    import pyarrow.compute as pc
+
+    from clawrag_ray.stages.text_analysis import readability_scores
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def synth(b: pa.Table) -> pa.Table:
+        t = pc.binary_join_element_wise(
+            pc.replace_substring_regex(b["text"], r" (the|a) ", ".\n\\1 "), ".", ""
+        )
+        return pa.table({"doc_id": b["doc_id"], "text": t})
+
+    return readability_scores(docs.map_batches(synth, batch_format="pyarrow", zero_copy_batch=True))
+
+
 def _q_edit_near_dups(sf_dir: str):
     """Edit-distance near-dup pairs (Levenshtein <= 5) — the ED-Join /
     q-gram string-similarity join (stages/dedup.py:edit_distance_near_dups):
@@ -2712,6 +2731,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "web_curated": _q_web_curated,
         "corpus_merge": _q_corpus_merge,
         "user_novelty_curve": _q_user_novelty_curve,
+        "readability": _q_readability,
         "edit_near_dups": _q_edit_near_dups,
         "event_value_winsorized": _q_event_value_winsorized,
         "props_k_by_type": _q_props_k_by_type,
@@ -3085,6 +3105,18 @@ def oracle_sql() -> dict[str, str]:
             "doc AS (SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(wt) / count(*) AS m "
             "FROM tw GROUP BY 1) "
             "SELECT doc_id, n_tokens, round(m, 6) AS clf_margin, m >= 0.0 AS keep FROM doc"
+        ),
+        # Flesch replay: same RE2 counts, same left-associated chain
+        "readability": (
+            "WITH s AS (SELECT doc_id, "
+            "regexp_replace(text, ' (the|a) ', '.' || chr(10) || '\\1 ', 'g') || '.' AS t FROM documents), "
+            "m AS (SELECT doc_id, "
+            "length(regexp_extract_all(t, '\\S+'))::BIGINT AS n_words, "
+            "length(regexp_extract_all(t, '[.!?]+'))::BIGINT AS n_sentences, "
+            "length(regexp_extract_all(lower(t), '[aeiouy]+'))::BIGINT AS n_syllables FROM s) "
+            "SELECT doc_id, n_words, n_sentences, n_syllables, "
+            "round(206.835 - 1.015 * (n_words / greatest(n_sentences, 1)::DOUBLE) "
+            "- 84.6 * (n_syllables / greatest(n_words, 1)::DOUBLE), 6) AS flesch FROM m"
         ),
         # running-distinct replay: the standard first-occurrence rewrite —
         # row_number()=1 flag per (user, type), running sum over event order

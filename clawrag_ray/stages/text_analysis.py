@@ -767,3 +767,46 @@ def c4_filter(ds: Dataset, id_col: str = "doc_id", text_col: str = "text") -> Da
     return ds.select_columns([id_col, text_col]).map_batches(
         clean, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def readability_scores(ds: Dataset, id_col: str = "doc_id", text_col: str = "text") -> Dataset:
+    """Flesch reading-ease per doc (Flesch 1948, public) with the frozen
+    counting rules every regex implementation of the metric uses: words =
+    RE2 ``\\S+`` matches, sentences = ``[.!?]+`` runs (min 1 so the score
+    is total), syllables = vowel-group runs ``[aeiouy]+`` over the
+    lowercased text (no-vowel words contribute 0 — documented deviation
+    from dictionary syllabification). MAP-ONLY Arrow count kernels; the
+    score is two exact-count divisions and a fixed left-associated
+    arithmetic chain, bit-equal cross-engine.
+    Output: (id, n_words, n_sentences, n_syllables, flesch round-6)."""
+    import numpy as np
+
+    def score(b: pa.Table) -> pa.Table:
+        col = b[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        words = pc.cast(pc.count_substring_regex(col, r"\S+"), pa.float64()).to_numpy(
+            zero_copy_only=False
+        )
+        sents = pc.cast(pc.count_substring_regex(col, r"[.!?]+"), pa.float64()).to_numpy(
+            zero_copy_only=False
+        )
+        syll = pc.cast(
+            pc.count_substring_regex(pc.utf8_lower(col), r"[aeiouy]+"), pa.float64()
+        ).to_numpy(zero_copy_only=False)
+        s1 = np.maximum(sents, 1.0)
+        w1 = np.maximum(words, 1.0)
+        flesch = 206.835 - 1.015 * (words / s1) - 84.6 * (syll / w1)
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "n_words": pa.array(words.astype(np.int64)),
+                "n_sentences": pa.array(sents.astype(np.int64)),
+                "n_syllables": pa.array(syll.astype(np.int64)),
+                "flesch": pa.array(np.round(flesch, 6)),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -418,3 +418,24 @@ class TestC4Filter:
         assert bool(got.loc[1, "keep"]) is False  # lorem ipsum page drop
         assert bool(got.loc[2, "keep"]) is False  # curly brace page drop
         assert bool(got.loc[3, "keep"]) is False and got.loc[3, "n_sentences"] == 1
+
+
+class TestReadabilityScores:
+    def test_known_values(self, ray_session):
+        from clawrag_ray.stages.text_analysis import readability_scores
+
+        # "the cat sat." -> 3 words, 1 sentence, 3 syllables (e/a/a)
+        # flesch = 206.835 - 1.015*3 - 84.6*1 = 119.19
+        t = pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": ["the cat sat.", "zzz zzz"],  # doc 2: 0 syllables, 0 sentences
+            }
+        )
+        got = readability_scores(ray.data.from_arrow(t)).to_pandas().set_index("doc_id")
+        assert got.loc[1, "n_words"] == 3 and got.loc[1, "n_sentences"] == 1
+        assert got.loc[1, "n_syllables"] == 3
+        assert abs(got.loc[1, "flesch"] - 119.19) < 1e-9
+        assert got.loc[2, "n_syllables"] == 0 and got.loc[2, "n_sentences"] == 0
+        # min-1 guards: 206.835 - 1.015*2 - 84.6*0 = 204.805
+        assert abs(got.loc[2, "flesch"] - 204.805) < 1e-9
