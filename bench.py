@@ -121,6 +121,12 @@ TIMED_QUERIES = [
     "domain_filter",
     "token_pmi",
     "perplexity_bigram",
+    "gopher_quality",
+    "c4_clean",
+    "web_curated",
+    "corpus_merge",
+    "user_novelty_curve",
+    "readability",
 ]
 
 
