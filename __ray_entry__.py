@@ -2629,6 +2629,36 @@ def _q_readability(sf_dir: str):
     return readability_scores(docs.map_batches(synth, batch_format="pyarrow", zero_copy_batch=True))
 
 
+def _q_event_value_ab_test(sf_dir: str):
+    """Welch two-sample comparison of event value between the even/odd
+    user cohorts, per event type — moments-only distributed aggregate,
+    textbook variance expansion replayed by the oracle."""
+    import pyarrow.compute as pc
+
+    from clawrag_ray.stages.relational import grouped_welch_ttest
+
+    ev = _read(sf_dir, "events", ["event_type", "user_id", "value"])
+
+    def arm(b: pa.Table) -> pa.Table:
+        ids = b["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "arm": pa.array(np.where(ids % 2 == 0, "a", "b").tolist(), pa.string()),
+                "value": b["value"],
+            }
+        )
+
+    return grouped_welch_ttest(
+        ev.map_batches(arm, batch_format="pyarrow", zero_copy_batch=True),
+        "event_type",
+        "arm",
+        "value",
+        "a",
+        "b",
+    )
+
+
 def _q_edit_near_dups(sf_dir: str):
     """Edit-distance near-dup pairs (Levenshtein <= 5) — the ED-Join /
     q-gram string-similarity join (stages/dedup.py:edit_distance_near_dups):
@@ -2732,6 +2762,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_merge": _q_corpus_merge,
         "user_novelty_curve": _q_user_novelty_curve,
         "readability": _q_readability,
+        "event_value_ab_test": _q_event_value_ab_test,
         "edit_near_dups": _q_edit_near_dups,
         "event_value_winsorized": _q_event_value_winsorized,
         "props_k_by_type": _q_props_k_by_type,
@@ -3105,6 +3136,23 @@ def oracle_sql() -> dict[str, str]:
             "doc AS (SELECT doc_id, count(*)::BIGINT AS n_tokens, sum(wt) / count(*) AS m "
             "FROM tw GROUP BY 1) "
             "SELECT doc_id, n_tokens, round(m, 6) AS clf_margin, m >= 0.0 AS keep FROM doc"
+        ),
+        # Welch replay: identical moment expansion ((ssq - s^2/n)/(n-1))
+        # and op order so rounding agrees (the zscore-oracle contract)
+        "event_value_ab_test": (
+            "WITH e AS (SELECT event_type, CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS arm, "
+            "value FROM events), "
+            "m AS (SELECT event_type, arm, count(*)::BIGINT AS n, sum(value) AS s, "
+            "sum(value * value) AS ssq FROM e GROUP BY 1, 2), "
+            "j AS (SELECT a.event_type, a.n AS na, b.n AS nb, a.s AS sa, b.s AS sb, "
+            "a.ssq AS qa, b.ssq AS qb FROM m a JOIN m b "
+            "ON a.event_type = b.event_type AND a.arm = 'a' AND b.arm = 'b') "
+            "SELECT event_type, na AS n_a, nb AS n_b, "
+            "round(sa / na - sb / nb, 6) AS mean_diff, "
+            "round((sa / na - sb / nb) / sqrt(((qa - sa * sa / na) / (na - 1)) / na + "
+            "((qb - sb * sb / nb) / (nb - 1)) / nb), 6) AS t_welch "
+            "FROM j WHERE na >= 2 AND nb >= 2 AND "
+            "((qa - sa * sa / na) / (na - 1)) / na + ((qb - sb * sb / nb) / (nb - 1)) / nb > 0"
         ),
         # Flesch replay: same RE2 counts, same left-associated chain
         "readability": (

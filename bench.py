@@ -127,6 +127,7 @@ TIMED_QUERIES = [
     "corpus_merge",
     "user_novelty_curve",
     "readability",
+    "event_value_ab_test",
 ]
 
 

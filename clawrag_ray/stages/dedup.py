@@ -1422,7 +1422,7 @@ def containment_near_dup_pairs(
         explode, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
 
-    card = pre_aggregate(rows, [id_col], [], count_alias="c")
+    card = pre_aggregate(rows, [id_col], [], count_alias="c").materialize()
 
     def per_part(g: pd.DataFrame) -> pd.DataFrame:
         m = g.merge(g, on="s")
@@ -1436,7 +1436,34 @@ def containment_near_dup_pairs(
         return out
 
     pair_partials = hash_partitioned_groups(rows, ["s"], per_part, num_partitions=num_partitions)
-    inter = pre_aggregate(pair_partials, ["doc_a", "doc_b"], ["p"])
+
+    # pair-keyed sum as ONE hash-partitioned vectorized pass (Ray's
+    # sort-based two-key groupby measured 33 s on the same 1.1M pair rows
+    # this pass does in ~2 s), then an EXACT count prune before the
+    # cardinality joins: containment = i / min(|A|,|B|) >= t requires
+    # i >= t * (corpus-min cardinality) — a tiny aggregate buys the floor.
+    # The pruned pair set MATERIALIZES so the keyed joins' schema probes
+    # don't re-execute the aggregation upstream (measured 3x re-run).
+    def sum_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["doc_a", "doc_b"], as_index=False)["p"].sum()
+        out = out.rename(columns={"p": "sum_p"})
+        out["sum_p"] = out["sum_p"].astype("int64")
+        return out
+
+    inter = hash_partitioned_groups(
+        pair_partials, ["doc_a", "doc_b"], sum_pairs, num_partitions=num_partitions
+    )
+
+    from ray.data.aggregate import Min as AggMin
+
+    gm = card.aggregate(AggMin("c"))
+    min_card = int(gm["min(c)"]) if gm and gm.get("min(c)") is not None else 0
+    floor = int(np.ceil(threshold * min_card))
+    inter = inter.map_batches(
+        lambda b: b.filter(pc.greater_equal(pc.cast(b["sum_p"], pa.int64()), max(1, floor))),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
 
     with_ca = _keyed_join(
         inter.select_columns(["doc_a", "doc_b", "sum_p"]),

@@ -2388,3 +2388,68 @@ def grouped_running_distinct(
         per_part,
         num_partitions=num_partitions,
     )
+
+
+def grouped_welch_ttest(
+    ds: Dataset,
+    key_col: str,
+    arm_col: str,
+    value_col: str,
+    arm_a,
+    arm_b,
+    ndigits: int = 6,
+) -> Dataset:
+    """Per-key two-sample Welch comparison (Welch 1947, public) — the A/B
+    readout: for each key, mean difference between arms and the Welch t
+    statistic ``(m_a - m_b) / sqrt(s2_a/n_a + s2_b/n_b)`` with SAMPLE
+    variances (n-1). One two-level grouped (sum, sum-of-squares, count)
+    aggregate per (key, arm) — the moments table is key-cardinality-sized
+    and finishes driver-free in a map; no row-level data crosses arms.
+    Variance uses the same textbook (ssq - s^2/n)/(n-1) expansion the
+    oracle replays so rounding agrees. Keys missing either arm, or with
+    n < 2 in either arm, or with zero pooled variance are excluded.
+    Output: (key, n_a, n_b, mean_diff, t_welch)."""
+    import numpy as np
+
+    def sq(b: pa.Table) -> pa.Table:
+        v = pc.cast(b[value_col], pa.float64()).to_numpy(zero_copy_only=False)
+        return b.append_column("__v2", pa.array(v * v, pa.float64()))
+
+    moments = pre_aggregate(
+        ds.select_columns([key_col, arm_col, value_col]).map_batches(
+            sq, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        [key_col, arm_col],
+        [value_col, "__v2"],
+        count_alias="n",
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        a = df[df[arm_col] == arm_a].set_index(key_col)
+        bb = df[df[arm_col] == arm_b].set_index(key_col)
+        common = a.index.intersection(bb.index)
+        a, bb = a.loc[common], bb.loc[common]
+        na = a["n"].to_numpy(dtype=np.float64)
+        nb = bb["n"].to_numpy(dtype=np.float64)
+        ok = (na >= 2) & (nb >= 2)
+        ma = a[f"sum_{value_col}"].to_numpy() / na
+        mb = bb[f"sum_{value_col}"].to_numpy() / nb
+        va = (a["sum___v2"].to_numpy() - a[f"sum_{value_col}"].to_numpy() ** 2 / na) / (na - 1.0)
+        vb = (bb["sum___v2"].to_numpy() - bb[f"sum_{value_col}"].to_numpy() ** 2 / nb) / (nb - 1.0)
+        se2 = va / na + vb / nb
+        ok &= se2 > 0.0
+        t = (ma - mb) / np.sqrt(np.where(se2 > 0, se2, 1.0))
+        out = pd.DataFrame(
+            {
+                key_col: np.asarray(common)[ok],
+                "n_a": na[ok].astype("int64"),
+                "n_b": nb[ok].astype("int64"),
+                "mean_diff": np.round((ma - mb)[ok], ndigits),
+                "t_welch": np.round(t[ok], ndigits),
+            }
+        )
+        return out
+
+    # moments are key-cardinality-sized: both arms of a key land in the
+    # same partition of the usual hash-partitioned group pass
+    return hash_partitioned_groups(moments, [key_col], finish, num_partitions=8)

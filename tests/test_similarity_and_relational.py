@@ -1873,3 +1873,32 @@ class TestGroupedRunningDistinct:
             .sort_values(["u", "o"])
         )
         assert got["n_distinct_so_far"].tolist() == [1, 2, 2, 3, 1, 1]
+
+
+class TestGroupedWelchTtest:
+    def test_matches_scipy_formula(self, ray_session):
+        import numpy as np
+
+        from clawrag_ray.stages.relational import grouped_welch_ttest
+
+        rng = np.random.RandomState(3)
+        va = rng.normal(10.0, 2.0, 40)
+        vb = rng.normal(8.5, 3.0, 25)
+        t = pa.table(
+            {
+                "k": ["x"] * 65 + ["only_a"] * 3,
+                "arm": ["a"] * 40 + ["b"] * 25 + ["a"] * 3,
+                "v": pa.array(np.concatenate([va, vb, [1.0, 2.0, 3.0]]), pa.float64()),
+            }
+        )
+        got = grouped_welch_ttest(
+            ray.data.from_arrow(t).repartition(3), "k", "arm", "v", "a", "b"
+        ).to_pandas()
+        # key missing arm b is excluded
+        assert got["k"].tolist() == ["x"]
+        ma, mb = va.mean(), vb.mean()
+        sa, sb = va.var(ddof=1), vb.var(ddof=1)
+        want_t = (ma - mb) / np.sqrt(sa / len(va) + sb / len(vb))
+        assert got["n_a"].iloc[0] == 40 and got["n_b"].iloc[0] == 25
+        assert abs(got["mean_diff"].iloc[0] - round(ma - mb, 6)) < 1e-9
+        assert abs(got["t_welch"].iloc[0] - want_t) < 1e-5
