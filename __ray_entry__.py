@@ -1762,6 +1762,28 @@ def _q_media_resize(sf_dir: str):
     return resized.select_columns(["media_id", "width", "height", "pixel_sum"])
 
 
+def _q_image_dhash(sf_dir: str):
+    """Perceptual dHash over REAL decoded PNG pixels (same deterministic
+    fixtures as media_resize): decode -> 9x8 nearest resample -> 64
+    adjacent-pixel comparison bits, emitted as two 32-bit halves. The
+    oracle recomputes every bit from the pixel-generator formula, so a
+    wrong unfilter, resample index, or bit order fails the hash."""
+    from clawrag_ray.functions.mediafixtures import encode_png
+    from clawrag_ray.stages.multimodal import image_dhash_pipeline
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        ids, payloads = [], []
+        for doc_id, n_chars in zip(batch["doc_id"].to_pylist(), batch["n_chars"].to_pylist()):
+            ids.append(str(doc_id))
+            payloads.append(encode_png(8 + doc_id % 16, 8 + n_chars % 16, seed=doc_id))
+        return pa.table({"media_id": pa.array(ids, pa.string()), "payload": pa.array(payloads, pa.binary())})
+
+    media = _read(sf_dir, "documents", ["doc_id", "n_chars"]).map_batches(
+        to_media, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return image_dhash_pipeline(media)
+
+
 def _q_magic_validation(sf_dir: str):
     """Magic-byte file-type validation (M6, upload.py:48-116 parity) over
     deterministic payload/extension combos — valid matches, a renamed
@@ -2763,6 +2785,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_novelty_curve": _q_user_novelty_curve,
         "readability": _q_readability,
         "event_value_ab_test": _q_event_value_ab_test,
+        "image_dhash": _q_image_dhash,
         "edit_near_dups": _q_edit_near_dups,
         "event_value_winsorized": _q_event_value_winsorized,
         "props_k_by_type": _q_props_k_by_type,
@@ -4274,6 +4297,21 @@ def oracle_sql() -> dict[str, str]:
             f"FROM p, unnest(generate_series(1, {RESIZE_H})) AS ty(y), unnest(generate_series(1, {RESIZE_W})) AS tx(x)) "
             f"SELECT CAST(doc_id AS VARCHAR) AS media_id, {RESIZE_W}::INTEGER AS width, "
             f"{RESIZE_H}::INTEGER AS height, sum(v)::BIGINT AS pixel_sum FROM px GROUP BY doc_id"
+        ),
+        # dHash replay: pixel v(y,x) from the generator formula at the
+        # floor-mapped 9x8 resample indices, adjacent-column comparison
+        # bits packed into two int32-range halves
+        "image_dhash": (
+            "WITH p AS (SELECT doc_id, 8 + doc_id % 16 AS w, 8 + n_chars % 16 AS h FROM documents), "
+            "g AS (SELECT doc_id, y, x, "
+            "((doc_id + ((y * h) // 8) * 31 + ((x * w) // 9) * 7) % 256) AS v "
+            "FROM p, unnest(generate_series(0, 7)) ty(y), unnest(generate_series(0, 8)) tx(x)), "
+            "b AS (SELECT a.doc_id, a.y, a.x, CASE WHEN a.v > c.v THEN 1 ELSE 0 END AS bit "
+            "FROM g a JOIN g c ON c.doc_id = a.doc_id AND c.y = a.y AND c.x = a.x + 1 WHERE a.x < 8) "
+            "SELECT CAST(doc_id AS VARCHAR) AS media_id, "
+            "sum(CASE WHEN (y * 8 + x) >= 32 THEN bit * (1::BIGINT << (y * 8 + x - 32)) ELSE 0 END)::BIGINT AS dhash_hi, "
+            "sum(CASE WHEN (y * 8 + x) < 32 THEN bit * (1::BIGINT << (y * 8 + x)) ELSE 0 END)::BIGINT AS dhash_lo "
+            "FROM b GROUP BY doc_id"
         ),
         "magic_validation": (
             "SELECT doc_id, CASE doc_id % 6 WHEN 1 THEN '.png' WHEN 3 THEN '.md' "

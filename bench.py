@@ -128,6 +128,7 @@ TIMED_QUERIES = [
     "user_novelty_curve",
     "readability",
     "event_value_ab_test",
+    "image_dhash",
 ]
 
 

@@ -682,3 +682,48 @@ def image_feature_pipeline(ds: Dataset, concurrency=(1, 4), batch_size: int = 16
         concurrency=concurrency,
         zero_copy_batch=True,
     )
+
+
+class ImageDHash:
+    """Actor-pool stage: perceptual difference hash (dHash, public
+    aHash/dHash family — Krawetz 2013) over REAL decoded pixels: PNG
+    chunk walk + inflate + unfilter (decode_png_gray8), nearest-neighbor
+    resample to 9x8, then 64 bits b[y*8+x] = pixel(y,x) > pixel(y,x+1).
+    The near-dup primitive for image corpora — near-identical images
+    (recompression, small edits) land within a few Hamming bits, so the
+    SimHash bit-band machinery applies downstream unchanged. Emitted as
+    two int32-range halves (dhash_hi, dhash_lo) so engines without
+    unsigned 64-bit types replay it exactly. Corrupt/non-PNG payloads
+    become error rows (dhash_hi = -1)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, his, los = [], [], []
+        powers = np.left_shift(np.int64(1), np.arange(32, dtype=np.int64))
+        for mid, payload in zip(batch["media_id"].to_pylist(), batch["payload"].to_pylist()):
+            ids.append(mid)
+            try:
+                img = decode_png_gray8(payload or b"")
+                small = resize_nearest(img, 9, 8)
+                bits = (small[:, :-1].astype(np.int64) > small[:, 1:].astype(np.int64)).flatten()
+                los.append(int((bits[:32] * powers).sum()))
+                his.append(int((bits[32:] * powers).sum()))
+            except Exception:
+                his.append(-1)
+                los.append(-1)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.string()),
+                "dhash_hi": pa.array(his, pa.int64()),
+                "dhash_lo": pa.array(los, pa.int64()),
+            }
+        )
+
+
+def image_dhash_pipeline(ds: Dataset, concurrency=(1, 4), batch_size: int = 16) -> Dataset:
+    return ds.map_batches(
+        ImageDHash,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        zero_copy_batch=True,
+    )

@@ -340,3 +340,41 @@ class TestAudioResample:
         out = AudioResample()(batch)
         assert out["sample_rate"][0].as_py() == -1
         assert out["payload"][0].as_py() == b""
+
+
+class TestImageDHash:
+    def test_near_identical_vs_different(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from clawrag_ray.functions.mediafixtures import encode_png_from_array
+        from clawrag_ray.stages.multimodal import image_dhash_pipeline
+
+        rng = np.random.RandomState(11)
+        base = rng.randint(0, 256, size=(32, 32)).astype(np.uint8)
+        near = base.copy()
+        near[5, 5] = (int(near[5, 5]) + 3) % 256  # tiny edit
+        other = rng.randint(0, 256, size=(32, 32)).astype(np.uint8)
+        t = pa.table(
+            {
+                "media_id": ["base", "near", "other", "bad"],
+                "payload": [
+                    encode_png_from_array(base),
+                    encode_png_from_array(near),
+                    encode_png_from_array(other),
+                    b"not a png",
+                ],
+            }
+        )
+        got = image_dhash_pipeline(ray.data.from_arrow(t), concurrency=1).to_pandas().set_index("media_id")
+
+        def ham(a, b):
+            return bin(
+                (int(a["dhash_hi"]) ^ int(b["dhash_hi"])) & 0xFFFFFFFF
+            ).count("1") + bin((int(a["dhash_lo"]) ^ int(b["dhash_lo"])) & 0xFFFFFFFF).count("1")
+
+        d_near = ham(got.loc["base"], got.loc["near"])
+        d_other = ham(got.loc["base"], got.loc["other"])
+        assert d_near <= 4 and d_other > 10
+        assert got.loc["bad", "dhash_hi"] == -1
