@@ -1762,6 +1762,21 @@ def _q_media_resize(sf_dir: str):
     return resized.select_columns(["media_id", "width", "height", "pixel_sum"])
 
 
+def _q_event_value_anomalies(sf_dir: str):
+    """Trailing-20-row k-sigma spike flags per user (integer-cents exact
+    window moments, bit-equal threshold comparison)."""
+    from clawrag_ray.stages.relational import grouped_rolling_anomaly
+
+    return grouped_rolling_anomaly(
+        _read(sf_dir, "events", ["user_id", "value", "event_id"]),
+        "user_id",
+        "value",
+        "event_id",
+        window=20,
+        k=3.0,
+    )
+
+
 def _q_image_dhash(sf_dir: str):
     """Perceptual dHash over REAL decoded PNG pixels (same deterministic
     fixtures as media_resize): decode -> 9x8 nearest resample -> 64
@@ -2786,6 +2801,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "readability": _q_readability,
         "event_value_ab_test": _q_event_value_ab_test,
         "image_dhash": _q_image_dhash,
+        "event_value_anomalies": _q_event_value_anomalies,
         "edit_near_dups": _q_edit_near_dups,
         "event_value_winsorized": _q_event_value_winsorized,
         "props_k_by_type": _q_props_k_by_type,
@@ -4297,6 +4313,22 @@ def oracle_sql() -> dict[str, str]:
             f"FROM p, unnest(generate_series(1, {RESIZE_H})) AS ty(y), unnest(generate_series(1, {RESIZE_W})) AS tx(x)) "
             f"SELECT CAST(doc_id AS VARCHAR) AS media_id, {RESIZE_W}::INTEGER AS width, "
             f"{RESIZE_H}::INTEGER AS height, sum(v)::BIGINT AS pixel_sum FROM px GROUP BY doc_id"
+        ),
+        # rolling-anomaly replay: floor-cents fixed point makes window
+        # sums exact integers; mean/var/std are fixed-order IEEE ops
+        "event_value_anomalies": (
+            "WITH e AS (SELECT user_id, event_id, CAST(floor(value * 100) AS BIGINT) AS vc FROM events), "
+            "w AS (SELECT user_id, event_id, vc, "
+            "sum(vc) OVER win AS s, sum(vc * vc) OVER win AS q, count(*) OVER win AS n "
+            "FROM e WINDOW win AS (PARTITION BY user_id ORDER BY event_id "
+            "ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)) "
+            "SELECT user_id, event_id, vc AS value_cents, "
+            "CASE WHEN n = 0 THEN NULL ELSE round(s / n::DOUBLE, 6) END AS roll_mean, "
+            "CASE WHEN n = 0 THEN NULL ELSE "
+            "round(sqrt(greatest((q - (s * s) / n::DOUBLE) / n::DOUBLE, 0.0)), 6) END AS roll_std, "
+            "coalesce(n >= 5 AND abs(vc - s / n::DOUBLE) > "
+            "3.0 * sqrt(greatest((q - (s * s) / n::DOUBLE) / n::DOUBLE, 0.0)), FALSE) AS anomaly "
+            "FROM w"
         ),
         # dHash replay: pixel v(y,x) from the generator formula at the
         # floor-mapped 9x8 resample indices, adjacent-column comparison

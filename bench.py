@@ -129,6 +129,7 @@ TIMED_QUERIES = [
     "readability",
     "event_value_ab_test",
     "image_dhash",
+    "event_value_anomalies",
 ]
 
 

@@ -2453,3 +2453,76 @@ def grouped_welch_ttest(
     # moments are key-cardinality-sized: both arms of a key land in the
     # same partition of the usual hash-partitioned group pass
     return hash_partitioned_groups(moments, [key_col], finish, num_partitions=8)
+
+
+def grouped_rolling_anomaly(
+    ds: Dataset,
+    key_col: str,
+    value_col: str,
+    order_col: str,
+    window: int = 20,
+    k: float = 3.0,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Trailing-window spike detection per key: flag rows where
+    ``|v - rolling_mean| > k * rolling_std`` with moments taken over the
+    ``window`` rows strictly BEFORE the current one — the current row
+    must not contaminate its own baseline (with it included, a lone spike
+    over a constant history tops out at exactly sqrt(n-1) sigmas and a
+    k=3 rule can never fire at n=10). Rows with fewer than 5 preceding
+    rows never flag (cold-start gate, frozen). Values are fixed-pointed
+    to integer cents (floor(v*100) — floor, not round, so both engines
+    agree on every tie), which makes the window sum and sum-of-squares
+    EXACT integers no matter the summation order; mean/variance are then
+    single IEEE divisions in a fixed op order, so the k·sigma comparison
+    is bit-equal cross-engine (the integer-cents contract of
+    user_rolling_spend3). ONE hash-partitioned shuffle; per partition:
+    sort, grouped cumsum of (v, v²), frame-shifted subtraction, clip —
+    all vectorized. Output: (key, order, value_cents, roll_mean,
+    roll_std, anomaly); mean/std are NULL on the first row of a key."""
+    import numpy as np
+
+    MIN_HISTORY = 5
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, order_col], kind="mergesort").reset_index(drop=True)
+        vc = np.floor(g[value_col].to_numpy(dtype=np.float64) * 100.0).astype(np.int64)
+        keys = g[key_col].to_numpy()
+        gb = pd.Series(vc).groupby(keys, sort=False)
+        cs = gb.cumsum().to_numpy()
+        cq = pd.Series(vc * vc).groupby(keys, sort=False).cumsum().to_numpy()
+        pos = pd.Series(np.ones(len(vc), dtype=np.int64)).groupby(keys, sort=False).cumsum().to_numpy()
+        # frame = [window PRECEDING, 1 PRECEDING]: end at the previous row
+        cs_end = pd.Series(cs).groupby(keys, sort=False).shift(1).fillna(0).to_numpy()
+        cq_end = pd.Series(cq).groupby(keys, sort=False).shift(1).fillna(0).to_numpy()
+        cs_start = pd.Series(cs).groupby(keys, sort=False).shift(window + 1).fillna(0).to_numpy()
+        cq_start = pd.Series(cq).groupby(keys, sort=False).shift(window + 1).fillna(0).to_numpy()
+        s = (cs_end - cs_start).astype(np.int64)
+        q = (cq_end - cq_start).astype(np.int64)
+        n = np.minimum(pos - 1, window).astype(np.float64)
+        has = n >= 1
+        n_safe = np.where(has, n, 1.0)
+        mean = s / n_safe
+        var = (q - (s.astype(np.float64) * s.astype(np.float64)) / n_safe) / n_safe
+        var = np.maximum(var, 0.0)
+        std = np.sqrt(var)
+        anomaly = (n >= MIN_HISTORY) & (np.abs(vc - mean) > k * std)
+        rm = np.round(mean, 6)
+        rs = np.round(std, 6)
+        return pd.DataFrame(
+            {
+                key_col: g[key_col],
+                order_col: g[order_col],
+                "value_cents": vc,
+                "roll_mean": np.where(has, rm, np.nan),
+                "roll_std": np.where(has, rs, np.nan),
+                "anomaly": anomaly,
+            }
+        )
+
+    return hash_partitioned_groups(
+        ds.select_columns([key_col, value_col, order_col]),
+        [key_col],
+        per_part,
+        num_partitions=num_partitions,
+    )

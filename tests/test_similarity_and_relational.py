@@ -1902,3 +1902,39 @@ class TestGroupedWelchTtest:
         assert got["n_a"].iloc[0] == 40 and got["n_b"].iloc[0] == 25
         assert abs(got["mean_diff"].iloc[0] - round(ma - mb, 6)) < 1e-9
         assert abs(got["t_welch"].iloc[0] - want_t) < 1e-5
+
+
+class TestGroupedRollingAnomaly:
+    def test_spike_flagged(self, ray_session):
+        import numpy as np
+
+        from clawrag_ray.stages.relational import grouped_rolling_anomaly
+
+        vals = [10.0] * 10 + [10.2] * 10 + [500.0] + [10.1] * 5
+        t = pa.table(
+            {
+                "u": pa.array([1] * len(vals), pa.int64()),
+                "v": pa.array(vals, pa.float64()),
+                "o": pa.array(range(len(vals)), pa.int64()),
+            }
+        )
+        got = (
+            grouped_rolling_anomaly(
+                ray.data.from_arrow(t).repartition(2), "u", "v", "o", window=10, k=3.0, num_partitions=4
+            )
+            .to_pandas()
+            .sort_values("o")
+            .reset_index(drop=True)
+        )
+        flagged = got[got["anomaly"]]["o"].tolist()
+        assert 20 in flagged            # the 500.0 spike vs its PRECEDING window
+        assert 0 not in flagged         # cold start never flags
+        assert 21 in flagged or got.loc[21, "roll_std"] > 0  # spike now in 21's window
+        # pandas replay: mean of up to 10 PRECEDING rows
+        import pandas as pd
+
+        vc = pd.Series(np.floor(np.array(vals) * 100).astype("int64"))
+        rm = vc.shift(1).rolling(10, min_periods=1).mean()
+        assert np.allclose(
+            got["roll_mean"].to_numpy(), np.round(rm.to_numpy(), 6), equal_nan=True
+        )
