@@ -1777,6 +1777,15 @@ def _q_event_value_anomalies(sf_dir: str):
     )
 
 
+def _q_label_similarity(sf_dir: str):
+    """Pairwise cosine between class centroids (label-prototype confusion
+    monitor) — distributed (sum, count) partials, label-sized reduce,
+    cosine over the rounded means."""
+    from clawrag_ray.stages.similarity import label_centroid_similarity
+
+    return label_centroid_similarity(_read(sf_dir, "embeddings", ["label", "embedding"]))
+
+
 def _q_image_dhash(sf_dir: str):
     """Perceptual dHash over REAL decoded PNG pixels (same deterministic
     fixtures as media_resize): decode -> 9x8 nearest resample -> 64
@@ -2802,6 +2811,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_ab_test": _q_event_value_ab_test,
         "image_dhash": _q_image_dhash,
         "event_value_anomalies": _q_event_value_anomalies,
+        "label_similarity": _q_label_similarity,
         "edit_near_dups": _q_edit_near_dups,
         "event_value_winsorized": _q_event_value_winsorized,
         "props_k_by_type": _q_props_k_by_type,
@@ -4313,6 +4323,18 @@ def oracle_sql() -> dict[str, str]:
             f"FROM p, unnest(generate_series(1, {RESIZE_H})) AS ty(y), unnest(generate_series(1, {RESIZE_W})) AS tx(x)) "
             f"SELECT CAST(doc_id AS VARCHAR) AS media_id, {RESIZE_W}::INTEGER AS width, "
             f"{RESIZE_H}::INTEGER AS height, sum(v)::BIGINT AS pixel_sum FROM px GROUP BY doc_id"
+        ),
+        # centroid-cosine replay: means rounded FIRST (identical inputs
+        # both engines), then dot / norms over the rounded table
+        "label_similarity": (
+            "WITH e AS (SELECT label, unnest(embedding) AS v, "
+            "generate_subscripts(embedding, 1) AS dim FROM embeddings), "
+            "c AS (SELECT label, dim, round(sum(v::DOUBLE) / count(*), 6) AS m FROM e GROUP BY 1, 2), "
+            "d AS (SELECT a.label AS label_a, b.label AS label_b, sum(a.m * b.m) AS dot "
+            "FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label GROUP BY 1, 2), "
+            "n AS (SELECT label, sqrt(sum(m * m)) AS nrm FROM c GROUP BY 1) "
+            "SELECT label_a, label_b, round(dot / (na.nrm * nb.nrm), 6) AS cosine "
+            "FROM d JOIN n na ON na.label = label_a JOIN n nb ON nb.label = label_b"
         ),
         # rolling-anomaly replay: floor-cents fixed point makes window
         # sums exact integers; mean/var/std are fixed-order IEEE ops

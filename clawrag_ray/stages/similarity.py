@@ -982,3 +982,31 @@ def kmeans_fit(
             "mean_val": np.round(centroids.reshape(-1), ndigits),
         }
     )
+
+
+def label_centroid_similarity(ds: Dataset, label_col: str = "label", ndigits: int = 6) -> Dataset:
+    """Pairwise cosine similarity between class centroids — the confusion
+    /drift monitor over label prototypes (which classes are collapsing
+    toward each other). Rides label_centroids' distributed (sum-vector,
+    count) partial aggregate — vectors never leave the workers; only the
+    label x dim mean table (label-sized, the bounded-driver contract)
+    comes back, and the cosine matrix is computed over the ROUNDED means
+    so both engines see identical inputs. Output: (label_a, label_b,
+    cosine) for label_a < label_b."""
+    import ray.data as rd
+
+    cent = label_centroids(ds, label_col=label_col, ndigits=ndigits).to_pandas()
+    mat = cent.pivot(index=label_col, columns="dim", values="mean_val").sort_index()
+    labels = mat.index.to_numpy()
+    m = mat.to_numpy(dtype=np.float64)
+    norms = np.sqrt((m * m).sum(axis=1))
+    out_a, out_b, out_c = [], [], []
+    for i in range(len(labels)):
+        for j in range(i + 1, len(labels)):
+            c = float(m[i] @ m[j] / (norms[i] * norms[j]))
+            out_a.append(labels[i])
+            out_b.append(labels[j])
+            out_c.append(round(c, ndigits))
+    return rd.from_pandas(
+        pd.DataFrame({"label_a": out_a, "label_b": out_b, "cosine": out_c})
+    )

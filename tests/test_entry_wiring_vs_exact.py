@@ -46,3 +46,33 @@ def test_doc_embedding_near_dups_wiring_equals_exact_sweep(ray_session):
     # the corpus genuinely contains near-dups at this threshold — an empty
     # intersection would make the equality vacuous
     assert len(exact) >= 1
+
+
+class TestLabelCentroidSimilarity:
+    def test_identical_and_orthogonal_labels(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from clawrag_ray.stages.similarity import label_centroid_similarity
+
+        # labels 0 and 1 share the same centroid direction; label 2 orthogonal
+        rows = []
+        for i in range(10):
+            rows.append((0, [1.0, 0.0, 0.0, float(i % 2)]))
+            rows.append((1, [2.0, 0.0, 0.0, 2.0 * (i % 2)]))
+            rows.append((2, [0.0, 3.0, 0.0, 0.0]))
+        t = pa.table(
+            {
+                "label": pa.array([r[0] for r in rows], pa.int32()),
+                "embedding": pa.array([r[1] for r in rows], pa.list_(pa.float32())),
+            }
+        )
+        got = (
+            label_centroid_similarity(ray.data.from_arrow(t).repartition(3))
+            .to_pandas()
+            .set_index(["label_a", "label_b"])["cosine"]
+        )
+        assert abs(got.loc[(0, 1)] - 1.0) < 1e-6
+        assert abs(got.loc[(0, 2)]) < 1e-6
+        assert abs(got.loc[(1, 2)]) < 1e-6
