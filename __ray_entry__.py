@@ -1777,6 +1777,17 @@ def _q_event_value_anomalies(sf_dir: str):
     )
 
 
+def _q_signup_click_purchase_funnel(sf_dir: str):
+    """Three-step sequential funnel (signup -> first click after ->
+    first purchase after that), NULLs cascading at the drop-off step."""
+    from clawrag_ray.stages.relational import funnel_steps
+
+    return funnel_steps(
+        _read(sf_dir, "events", ["user_id", "ts", "event_type"]),
+        ["signup", "click", "purchase"],
+    )
+
+
 def _q_label_similarity(sf_dir: str):
     """Pairwise cosine between class centroids (label-prototype confusion
     monitor) — distributed (sum, count) partials, label-sized reduce,
@@ -2812,6 +2823,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_dhash": _q_image_dhash,
         "event_value_anomalies": _q_event_value_anomalies,
         "label_similarity": _q_label_similarity,
+        "signup_click_purchase_funnel": _q_signup_click_purchase_funnel,
         "edit_near_dups": _q_edit_near_dups,
         "event_value_winsorized": _q_event_value_winsorized,
         "props_k_by_type": _q_props_k_by_type,
@@ -4323,6 +4335,20 @@ def oracle_sql() -> dict[str, str]:
             f"FROM p, unnest(generate_series(1, {RESIZE_H})) AS ty(y), unnest(generate_series(1, {RESIZE_W})) AS tx(x)) "
             f"SELECT CAST(doc_id AS VARCHAR) AS media_id, {RESIZE_W}::INTEGER AS width, "
             f"{RESIZE_H}::INTEGER AS height, sum(v)::BIGINT AS pixel_sum FROM px GROUP BY doc_id"
+        ),
+        # n-step funnel replay: chained first-after mins, NULLs cascade
+        "signup_click_purchase_funnel": (
+            "WITH s1 AS (SELECT user_id, min(ts) AS ts_1 FROM events "
+            "WHERE event_type = 'signup' GROUP BY 1), "
+            "s2 AS (SELECT e.user_id, min(e.ts) AS ts_2 FROM events e "
+            "JOIN s1 ON s1.user_id = e.user_id AND e.ts > s1.ts_1 "
+            "WHERE e.event_type = 'click' GROUP BY 1), "
+            "s3 AS (SELECT e.user_id, min(e.ts) AS ts_3 FROM events e "
+            "JOIN s2 ON s2.user_id = e.user_id AND e.ts > s2.ts_2 "
+            "WHERE e.event_type = 'purchase' GROUP BY 1) "
+            "SELECT s1.user_id, s1.ts_1, s2.ts_2, s3.ts_3 FROM s1 "
+            "LEFT JOIN s2 ON s2.user_id = s1.user_id "
+            "LEFT JOIN s3 ON s3.user_id = s1.user_id"
         ),
         # centroid-cosine replay: means rounded FIRST (identical inputs
         # both engines), then dot / norms over the rounded table

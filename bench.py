@@ -130,6 +130,8 @@ TIMED_QUERIES = [
     "event_value_ab_test",
     "image_dhash",
     "event_value_anomalies",
+    "label_similarity",
+    "signup_click_purchase_funnel",
 ]
 
 

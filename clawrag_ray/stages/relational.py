@@ -2526,3 +2526,56 @@ def grouped_rolling_anomaly(
         per_part,
         num_partitions=num_partitions,
     )
+
+
+def funnel_steps(
+    ds: Dataset,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    num_partitions: int = 64,
+) -> Dataset:
+    """N-step sequential funnel — the generalization of funnel_conversion
+    to arbitrary step chains: per user, t_1 = first ``steps[0]`` event,
+    t_i = first ``steps[i-1]`` event STRICTLY AFTER t_{i-1}; a NULL at
+    step i cascades (the user fell out of the funnel there). Map-side
+    type prune to funnel events only, ONE user-keyed shuffle; inside each
+    partition the per-step first-after scan is a vectorized grouped min
+    per step (len(steps) passes over funnel-event rows — k is small, the
+    rows are the pruned stream). Output: (user, ts_1..ts_k) for every
+    user with at least a step-1 event."""
+    import numpy as np
+
+    step_set = set(steps)
+
+    def prune(b: pa.Table) -> pa.Table:
+        mask = pc.is_in(b[type_col], value_set=pa.array(sorted(step_set)))
+        return b.filter(mask)
+
+    pruned = ds.select_columns([user_col, ts_col, type_col]).map_batches(
+        prune, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([user_col, ts_col], kind="mergesort")
+        users_all = g[user_col].to_numpy()
+        out: dict = {}
+        # step 1: plain grouped min over step-1 rows
+        s1 = g[g[type_col] == steps[0]]
+        cur = s1.groupby(user_col, sort=True)[ts_col].min()
+        idx0 = cur.index  # every user with a step-1 event: the output rows
+        out[user_col] = idx0.to_numpy()
+        out["ts_1"] = cur.to_numpy()
+        prev = cur  # users who reached the previous step (non-null times)
+        for i, st in enumerate(steps[1:], start=2):
+            si = g[g[type_col] == st][[user_col, ts_col]].copy()
+            prev_df = prev.rename("prev").rename_axis(user_col).reset_index()
+            si = si.merge(prev_df, on=user_col, how="inner")
+            si = si[si[ts_col] > si["prev"]]
+            cur = si.groupby(user_col, sort=True)[ts_col].min()
+            out[f"ts_{i}"] = cur.reindex(idx0).to_numpy()
+            prev = cur
+        return pd.DataFrame(out)
+
+    return hash_partitioned_groups(pruned, [user_col], per_part, num_partitions=num_partitions)

@@ -1938,3 +1938,38 @@ class TestGroupedRollingAnomaly:
         assert np.allclose(
             got["roll_mean"].to_numpy(), np.round(rm.to_numpy(), 6), equal_nan=True
         )
+
+
+class TestFunnelSteps:
+    def test_three_step_cascade(self, ray_session):
+        from clawrag_ray.stages.relational import funnel_steps
+
+        rows = [
+            # u1 completes A(1) -> B(3) -> C(5); B at t=0 (before A) ignored
+            (1, 0, "B"), (1, 1, "A"), (1, 3, "B"), (1, 5, "C"),
+            # u2 signs up, clicks, never purchases
+            (2, 10, "A"), (2, 11, "B"),
+            # u3: C before B-after-A chain -> drops at step 3
+            (3, 20, "A"), (3, 19, "C"), (3, 22, "B"),
+            # u4 never does A -> absent entirely
+            (4, 30, "B"), (4, 31, "C"),
+        ]
+        t = pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.int64()),
+                "event_type": [r[2] for r in rows],
+            }
+        )
+        got = (
+            funnel_steps(
+                ray.data.from_arrow(t).repartition(3), ["A", "B", "C"], num_partitions=4
+            )
+            .to_pandas()
+            .sort_values("user_id")
+            .set_index("user_id")
+        )
+        assert got.index.tolist() == [1, 2, 3]
+        assert got.loc[1].tolist() == [1, 3, 5]
+        assert got.loc[2, "ts_1"] == 10 and got.loc[2, "ts_2"] == 11 and pd.isna(got.loc[2, "ts_3"])
+        assert got.loc[3, "ts_1"] == 20 and got.loc[3, "ts_2"] == 22 and pd.isna(got.loc[3, "ts_3"])
