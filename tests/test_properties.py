@@ -168,3 +168,56 @@ def test_window_hash_equals_direct_polynomial(codes, window):
         for t in range(window):
             want = (want + int(arr[j + t]) * pow(_RH_B, t, _RH_M1)) % _RH_M1
         assert int(got[j]) == want
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(alphabet=" abcXYZ09\t\n", min_size=0, max_size=60), min_size=1, max_size=8
+    ),
+    n_buckets=st.sampled_from([16, 64, 1024]),
+)
+def test_bigram_buckets_match_bruteforce(texts, n_buckets):
+    """_bigram_buckets (Arrow split + filtered adjacency) emits exactly
+    the hashed bigrams a per-row regex tokenizer would."""
+    import hashlib
+    import re
+
+    import pyarrow as pa
+
+    from clawrag_ray.stages.curation import _bigram_buckets
+
+    b = pa.table({"text": pa.array(texts, pa.string())})
+    rows, buckets = _bigram_buckets(b, "text", n_buckets)
+    got = sorted(zip(rows.tolist(), buckets.tolist()))
+    want = []
+    for i, t in enumerate(texts):
+        toks = re.findall(r"\S+", t.lower())
+        for a, c in zip(toks, toks[1:]):
+            h = int(hashlib.md5((a + " " + c).encode()).hexdigest()[:8], 16) % n_buckets
+            want.append((i, h))
+    assert got == sorted(want)
+
+
+@settings(max_examples=25, deadline=None)
+@given(seed=st.integers(0, 10**6), w=st.integers(9, 40), h=st.integers(8, 40))
+def test_image_dhash_matches_direct_bits(seed, w, h):
+    """ImageDHash (decode -> 9x8 resample -> adjacent bits) equals the
+    direct bit computation from the generator pixels."""
+    import numpy as np
+    import pyarrow as pa
+
+    from clawrag_ray.functions.mediafixtures import encode_png
+    from clawrag_ray.stages.multimodal import ImageDHash
+
+    batch = pa.table({"media_id": ["x"], "payload": [encode_png(w, h, seed=seed)]})
+    out = ImageDHash()(batch)
+    hi, lo = out["dhash_hi"][0].as_py(), out["dhash_lo"][0].as_py()
+    val = 0
+    for y in range(8):
+        for x in range(8):
+            va = (seed + (y * h // 8) * 31 + (x * w // 9) * 7) % 256
+            vb = (seed + (y * h // 8) * 31 + ((x + 1) * w // 9) * 7) % 256
+            if va > vb:
+                val |= 1 << (y * 8 + x)
+    assert lo == val & 0xFFFFFFFF and hi == val >> 32
