@@ -499,3 +499,41 @@ class TestContainmentNearDups:
         # while Jaccard is 4/45 — far below any dedup threshold
         assert (row["doc_a"], row["doc_b"]) == (1, 2)
         assert row["n_shared"] == 4 and row["containment"] == 1.0
+
+
+class TestContainmentPrefixPath:
+    def test_prefix_equals_exact(self, ray_session):
+        import numpy as np
+
+        from clawrag_ray.stages.dedup import (
+            containment_near_dup_pairs,
+            containment_near_dup_pairs_prefix,
+        )
+
+        rng = np.random.RandomState(5)
+        vocab = [f"w{i}" for i in range(30)]
+        texts = [" ".join(rng.choice(vocab, size=rng.randint(4, 25))) for _ in range(40)]
+        # plant a short-in-long pair and an exact dup
+        texts[3] = texts[7] + " extra tail words beyond the shared part here now"
+        texts[11] = texts[20]
+        t = pa.table(
+            {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": texts}
+        )
+        ds = ray.data.from_arrow(t).repartition(3)
+        for thr in (0.5, 0.8):
+            exact = (
+                containment_near_dup_pairs(ds, threshold=thr, num_partitions=4)
+                .to_pandas()
+                .sort_values(["doc_a", "doc_b"])
+                .reset_index(drop=True)
+            )
+            pref = (
+                containment_near_dup_pairs_prefix(ds, threshold=thr, num_partitions=4)
+                .to_pandas()
+                .sort_values(["doc_a", "doc_b"])
+                .reset_index(drop=True)
+            )
+            pd.testing.assert_frame_equal(exact, pref, check_dtype=False)
+            assert ((exact["doc_a"] == 7) & (exact["doc_b"] == 3)).any() or (
+                (exact["doc_a"] == 3) & (exact["doc_b"] == 7)
+            ).any()
