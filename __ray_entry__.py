@@ -1788,6 +1788,14 @@ def _q_signup_click_purchase_funnel(sf_dir: str):
     )
 
 
+def _q_blocklist(sf_dir: str):
+    """Blocklist page filter (C4 dirty-word rule shape): whole-word hits
+    of the frozen term list via one RE2 alternation scan, keep iff 0."""
+    from clawrag_ray.stages.text_analysis import blocklist_filter
+
+    return blocklist_filter(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def _q_label_similarity(sf_dir: str):
     """Pairwise cosine between class centroids (label-prototype confusion
     monitor) — distributed (sum, count) partials, label-sized reduce,
@@ -2824,6 +2832,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_anomalies": _q_event_value_anomalies,
         "label_similarity": _q_label_similarity,
         "signup_click_purchase_funnel": _q_signup_click_purchase_funnel,
+        "blocklist": _q_blocklist,
         "edit_near_dups": _q_edit_near_dups,
         "event_value_winsorized": _q_event_value_winsorized,
         "props_k_by_type": _q_props_k_by_type,
@@ -4335,6 +4344,13 @@ def oracle_sql() -> dict[str, str]:
             f"FROM p, unnest(generate_series(1, {RESIZE_H})) AS ty(y), unnest(generate_series(1, {RESIZE_W})) AS tx(x)) "
             f"SELECT CAST(doc_id AS VARCHAR) AS media_id, {RESIZE_W}::INTEGER AS width, "
             f"{RESIZE_H}::INTEGER AS height, sum(v)::BIGINT AS pixel_sum FROM px GROUP BY doc_id"
+        ),
+        # blocklist replay: identical RE2 alternation count
+        "blocklist": (
+            "SELECT doc_id, "
+            "length(regexp_extract_all(lower(text), '\\b(?:spark|vector)\\b'))::BIGINT AS n_blocked, "
+            "length(regexp_extract_all(lower(text), '\\b(?:spark|vector)\\b')) <= 0 AS keep "
+            "FROM documents"
         ),
         # n-step funnel replay: chained first-after mins, NULLs cascade
         "signup_click_purchase_funnel": (

@@ -810,3 +810,44 @@ def readability_scores(ds: Dataset, id_col: str = "doc_id", text_col: str = "tex
     return ds.select_columns([id_col, text_col]).map_batches(
         score, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+# Deterministic stand-in blocklist (the C4 "List of Dirty, Naughty ..."
+# filter shape — the real list is a drop-in replacement via the terms=
+# argument; these tokens exist in the synthetic corpus so both keep
+# classes are exercised)
+DEFAULT_BLOCKLIST = ("spark", "vector")
+
+
+def blocklist_filter(
+    ds: Dataset,
+    terms: tuple[str, ...] = DEFAULT_BLOCKLIST,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hits: int = 0,
+) -> Dataset:
+    """Blocklist page filter (the C4 §2.2 dirty-word rule, public): count
+    whole-word occurrences of any blocklist term (case-insensitive) and
+    keep docs with <= max_hits. One alternation regex compiled from the
+    term list — a single RE2 scan per doc regardless of list size (the
+    Aho-Corasick-equivalent RE2 builds internally), MAP-ONLY and
+    vectorized. Output: (id, n_blocked, keep)."""
+    import re as _re
+
+    pattern = r"\b(?:" + "|".join(_re.escape(t.lower()) for t in terms) + r")\b"
+
+    def scan(b: pa.Table) -> pa.Table:
+        n = pc.cast(
+            pc.count_substring_regex(pc.utf8_lower(b[text_col]), pattern), pa.int64()
+        )
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "n_blocked": n,
+                "keep": pc.less_equal(n, max_hits),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        scan, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -439,3 +439,27 @@ class TestReadabilityScores:
         assert got.loc[2, "n_syllables"] == 0 and got.loc[2, "n_sentences"] == 0
         # min-1 guards: 206.835 - 1.015*2 - 84.6*0 = 204.805
         assert abs(got.loc[2, "flesch"] - 204.805) < 1e-9
+
+
+class TestBlocklistFilter:
+    def test_whole_word_hits_and_custom_terms(self, ray_session):
+        from clawrag_ray.stages.text_analysis import blocklist_filter
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": [
+                    "clean words only here",
+                    "the Spark engine sparked a sparkle",  # 1 whole-word hit only
+                    "bad BAD bad",
+                ],
+            }
+        )
+        got = (
+            blocklist_filter(ray.data.from_arrow(t), terms=("spark", "bad"))
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        assert got.loc[1, "n_blocked"] == 0 and bool(got.loc[1, "keep"])
+        assert got.loc[2, "n_blocked"] == 1 and not bool(got.loc[2, "keep"])
+        assert got.loc[3, "n_blocked"] == 3
