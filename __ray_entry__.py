@@ -1788,6 +1788,15 @@ def _q_signup_click_purchase_funnel(sf_dir: str):
     )
 
 
+def _q_cdc_chunks(sf_dir: str):
+    """Content-defined chunking (Manber anchors): boundary after every
+    position whose trailing 16-char rolling hash is 0 mod 64 — the
+    edit-stable split under chunk-level dedup storage."""
+    from clawrag_ray.stages.curation import cdc_chunks
+
+    return cdc_chunks(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def _q_blocklist(sf_dir: str):
     """Blocklist page filter (C4 dirty-word rule shape): whole-word hits
     of the frozen term list via one RE2 alternation scan, keep iff 0."""
@@ -2833,6 +2842,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_similarity": _q_label_similarity,
         "signup_click_purchase_funnel": _q_signup_click_purchase_funnel,
         "blocklist": _q_blocklist,
+        "cdc_chunks": _q_cdc_chunks,
         "edit_near_dups": _q_edit_near_dups,
         "event_value_winsorized": _q_event_value_winsorized,
         "props_k_by_type": _q_props_k_by_type,
@@ -4344,6 +4354,27 @@ def oracle_sql() -> dict[str, str]:
             f"FROM p, unnest(generate_series(1, {RESIZE_H})) AS ty(y), unnest(generate_series(1, {RESIZE_W})) AS tx(x)) "
             f"SELECT CAST(doc_id AS VARCHAR) AS media_id, {RESIZE_W}::INTEGER AS width, "
             f"{RESIZE_H}::INTEGER AS height, sum(v)::BIGINT AS pixel_sum FROM px GROUP BY doc_id"
+        ),
+        # CDC replay: prefix recurrence h_i = h*257 + c mod 2147483629,
+        # window difference (257^16 = 2068015241), anchors wh % 64 = 0,
+        # LAG spans, per-chunk md5 prefix int
+        "cdc_chunks": (
+            "WITH RECURSIVE pre AS ("
+            "SELECT doc_id, 0 AS i, 0::HUGEINT AS h FROM documents "
+            "UNION ALL SELECT pre.doc_id, pre.i + 1, "
+            "(pre.h * 257 + unicode(d.text[pre.i + 1])) % 2147483629 "
+            "FROM pre JOIN documents d ON pre.doc_id = d.doc_id WHERE pre.i < length(d.text)), "
+            "win AS (SELECT a.doc_id, b.i AS e, "
+            "((b.h - (a.h * 2068015241::HUGEINT) % 2147483629) % 2147483629 + 2147483629) % 2147483629 AS wh "
+            "FROM pre a JOIN pre b ON a.doc_id = b.doc_id AND b.i = a.i + 16), "
+            "edges AS (SELECT doc_id, e FROM win WHERE wh % 64 = 0 "
+            "UNION SELECT doc_id, length(text) FROM documents WHERE length(text) > 0), "
+            "ch AS (SELECT doc_id, e AS endpos, "
+            "coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0) AS prev FROM edges) "
+            "SELECT c.doc_id, row_number() OVER (PARTITION BY c.doc_id ORDER BY c.endpos)::BIGINT AS chunk_idx, "
+            "(c.prev + 1)::BIGINT AS start, (c.endpos - c.prev)::BIGINT AS length, "
+            "('0x' || substr(md5(substr(d.text, c.prev + 1, c.endpos - c.prev)), 1, 8))::UBIGINT::BIGINT AS chunk_hash "
+            "FROM ch c JOIN documents d USING (doc_id) WHERE c.endpos > c.prev"
         ),
         # blocklist replay: identical RE2 alternation count
         "blocklist": (

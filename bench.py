@@ -132,6 +132,8 @@ TIMED_QUERIES = [
     "event_value_anomalies",
     "label_similarity",
     "signup_click_purchase_funnel",
+    "blocklist",
+    "cdc_chunks",
 ]
 
 

@@ -1779,3 +1779,93 @@ def apply_changes(
         )
 
     return j.map_batches(resolve, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _window_hashes_leading(
+    codes: "np.ndarray", window: int, pows: "np.ndarray", ipows: "np.ndarray", mod: int
+) -> "np.ndarray":
+    """Rolling hashes in the LEADING-coefficient orientation
+    ``H_j = sum_t codes[j+t] * B^(w-1-t) mod m`` — the exact value the
+    SQL prefix recurrence ``h_i = h_{i-1}*B + c_i`` yields for a window
+    difference, so boundary rules on the VALUE (not just equality) are
+    replayable cross-engine. Same vectorized prefix-sum algebra as
+    _window_hashes, with B^{-t} products and a B^{j+w-1} unskew."""
+    mm = np.uint64(mod)
+    n = len(codes)
+    prod = (codes.astype(np.uint64) * ipows[:n]) % mm
+    q = np.zeros(n + 1, dtype=np.uint64)
+    np.cumsum(prod, out=q[1:])
+    q %= mm
+    diff = (q[window:] + mm - q[:-window]) % mm
+    return (diff * pows[window - 1 : n]) % mm
+
+
+def cdc_chunks(
+    ds: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 16,
+    mask_bits: int = 6,
+) -> Dataset:
+    """Content-defined chunking (Manber 1994 fingerprint anchors, public —
+    the split rule under rsync/LBFS/dedup storage and chunk-level corpus
+    dedup): a chunk boundary falls after every position whose trailing
+    ``window``-char rolling hash satisfies ``h % 2^mask_bits == 0``
+    (expected chunk length 2^mask_bits). Content-defined means an edit
+    only reshapes the chunks it touches — insertions re-align, unlike
+    fixed-size splitting — so chunk-hash dedup survives shifted content.
+    Classic FastCDC min/max bounds are a sequential-greedy variant
+    (documented; the pure anchor rule keeps the op fully declarative and
+    oracle-replayable). MAP-ONLY: vectorized window hashes (numpy prefix
+    algebra), sparse anchor positions, per-chunk md5. Docs shorter than
+    ``window`` are one whole-doc chunk. Output: (id, chunk_idx, start
+    1-based, length, chunk_hash)."""
+    from clawrag_ray.functions.kernels import md5_prefix_ints
+
+    mask = (1 << mask_bits) - 1
+
+    def split(b: pa.Table) -> pa.Table:
+        texts = b[text_col].to_pylist()
+        ids = b[id_col].to_pylist()
+        max_n = max((len(t or "") for t in texts), default=1)
+        pows, ipows = _modpow_tables(_RH_B, max_n + window + 1, _RH_M1)
+        out_id: list = []
+        out_idx: list[int] = []
+        out_start: list[int] = []
+        out_len: list[int] = []
+        chunk_texts: list[str] = []
+        for doc_id, t in zip(ids, texts):
+            t = t or ""
+            n = len(t)
+            if n == 0:
+                continue
+            if n >= window:
+                codes = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+                wh = _window_hashes_leading(codes, window, pows, ipows, _RH_M1)
+                ends = (np.flatnonzero((wh & np.uint64(mask)) == 0) + window).tolist()
+            else:
+                ends = []
+            if not ends or ends[-1] != n:
+                ends.append(n)
+            prev = 0
+            for k, e in enumerate(ends, start=1):
+                out_id.append(doc_id)
+                out_idx.append(k)
+                out_start.append(prev + 1)
+                out_len.append(e - prev)
+                chunk_texts.append(t[prev:e])
+                prev = e
+        hashes = md5_prefix_ints(chunk_texts) if chunk_texts else np.empty(0, dtype=np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(out_id, b[id_col].type),
+                "chunk_idx": pa.array(out_idx, pa.int64()),
+                "start": pa.array(out_start, pa.int64()),
+                "length": pa.array(out_len, pa.int64()),
+                "chunk_hash": pa.array(hashes, pa.int64()),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        split, batch_format="pyarrow", zero_copy_batch=True
+    )

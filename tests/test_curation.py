@@ -1067,3 +1067,39 @@ class TestApplyChanges:
         assert got.loc[1, "text"] == "one" and got.loc[1, "change"] == "kept"
         assert got.loc[2, "text"] == "two-new" and got.loc[2, "change"] == "updated"
         assert got.loc[4, "text"] == "four" and got.loc[4, "change"] == "inserted"
+
+
+class TestCdcChunks:
+    def test_edit_stability_and_coverage(self, ray_session):
+        import hashlib
+
+        from clawrag_ray.stages.curation import cdc_chunks
+
+        import numpy as np
+
+        rng = np.random.RandomState(9)
+        base = " ".join(
+            "".join(rng.choice(list("abcdefghijklmnop"), size=rng.randint(2, 9)))
+            for _ in range(400)
+        )
+        shifted = "INSERTED PREFIX !! " + base  # shifts all content right
+        t = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": [base, shifted, "tiny"],
+            }
+        )
+        got = cdc_chunks(ray.data.from_arrow(t).repartition(2)).to_pandas()
+        g1 = got[got.doc_id == 1].sort_values("chunk_idx")
+        g2 = got[got.doc_id == 2].sort_values("chunk_idx")
+        # chunks tile the doc exactly
+        assert g1["length"].sum() == len(base)
+        assert g1["start"].iloc[0] == 1
+        assert (g1["start"].to_numpy()[1:] == (g1["start"] + g1["length"]).to_numpy()[:-1]).all()
+        # content-defined: most of base's chunk hashes survive the prefix insertion
+        h1, h2 = set(g1["chunk_hash"]), set(g2["chunk_hash"])
+        assert len(h1 & h2) >= max(1, len(h1) - 2)
+        # short doc: one whole-doc chunk with the canonical md5 id
+        g3 = got[got.doc_id == 3]
+        assert len(g3) == 1 and g3["length"].iloc[0] == 4
+        assert g3["chunk_hash"].iloc[0] == int(hashlib.md5(b"tiny").hexdigest()[:8], 16)
