@@ -1797,6 +1797,55 @@ def _q_cdc_chunks(sf_dir: str):
     return cdc_chunks(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def _q_cdc_shared_chunks(sf_dir: str):
+    """Chunk-level cross-doc dedup over the CDC split: content-defined
+    chunk hashes shared by >= 2 distinct docs, with doc and occurrence
+    counts — the storage-dedup readout (composition: cdc_chunks ->
+    two-level grouped distinct/count)."""
+    from clawrag_ray.stages.curation import cdc_chunks
+    from clawrag_ray.stages.relational import distinct_count, pre_aggregate
+
+    chunks = cdc_chunks(_read(sf_dir, "documents", ["doc_id", "text"])).materialize()
+    occ = pre_aggregate(chunks.select_columns(["chunk_hash"]), ["chunk_hash"], [], count_alias="n_occ")
+    docs = distinct_count(chunks.select_columns(["chunk_hash", "doc_id"]), ["chunk_hash"], "doc_id")
+    from clawrag_ray.stages.dedup import _keyed_join
+
+    j = _keyed_join(
+        occ.select_columns(["chunk_hash", "n_occ"]),
+        "chunk_hash",
+        docs.map_batches(
+            lambda b: pa.table(
+                {"ch_f": b["chunk_hash"], "n_docs": pc_cast_int64(b["n_distinct_doc_id"])}
+            ),
+            batch_format="pyarrow",
+        ),
+        "ch_f",
+        ["n_docs"],
+        num_partitions=8,
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.greater_equal(b["n_docs"], 2)
+        t = b.filter(keep)
+        return pa.table(
+            {
+                "chunk_hash": t["chunk_hash"],
+                "n_docs": t["n_docs"],
+                "n_occ": pc.cast(t["n_occ"], pa.int64()),
+            }
+        )
+
+    return j.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pc_cast_int64(col):
+    import pyarrow.compute as pc
+
+    return pc.cast(col, pa.int64())
+
+
 def _q_blocklist(sf_dir: str):
     """Blocklist page filter (C4 dirty-word rule shape): whole-word hits
     of the frozen term list via one RE2 alternation scan, keep iff 0."""
@@ -2843,6 +2892,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "signup_click_purchase_funnel": _q_signup_click_purchase_funnel,
         "blocklist": _q_blocklist,
         "cdc_chunks": _q_cdc_chunks,
+        "cdc_shared_chunks": _q_cdc_shared_chunks,
         "edit_near_dups": _q_edit_near_dups,
         "event_value_winsorized": _q_event_value_winsorized,
         "props_k_by_type": _q_props_k_by_type,
@@ -4375,6 +4425,26 @@ def oracle_sql() -> dict[str, str]:
             "(c.prev + 1)::BIGINT AS start, (c.endpos - c.prev)::BIGINT AS length, "
             "('0x' || substr(md5(substr(d.text, c.prev + 1, c.endpos - c.prev)), 1, 8))::UBIGINT::BIGINT AS chunk_hash "
             "FROM ch c JOIN documents d USING (doc_id) WHERE c.endpos > c.prev"
+        ),
+        # shared-chunk replay: same CDC CTEs, md5 chunk ids, >= 2 docs
+        "cdc_shared_chunks": (
+            "WITH RECURSIVE pre AS ("
+            "SELECT doc_id, 0 AS i, 0::HUGEINT AS h FROM documents "
+            "UNION ALL SELECT pre.doc_id, pre.i + 1, "
+            "(pre.h * 257 + unicode(d.text[pre.i + 1])) % 2147483629 "
+            "FROM pre JOIN documents d ON pre.doc_id = d.doc_id WHERE pre.i < length(d.text)), "
+            "win AS (SELECT a.doc_id, b.i AS e, "
+            "((b.h - (a.h * 2068015241::HUGEINT) % 2147483629) % 2147483629 + 2147483629) % 2147483629 AS wh "
+            "FROM pre a JOIN pre b ON a.doc_id = b.doc_id AND b.i = a.i + 16), "
+            "edges AS (SELECT doc_id, e FROM win WHERE wh % 64 = 0 "
+            "UNION SELECT doc_id, length(text) FROM documents WHERE length(text) > 0), "
+            "ch AS (SELECT doc_id, e AS endpos, "
+            "coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0) AS prev FROM edges), "
+            "chunks AS (SELECT c.doc_id, "
+            "('0x' || substr(md5(substr(d.text, c.prev + 1, c.endpos - c.prev)), 1, 8))::UBIGINT::BIGINT AS chunk_hash "
+            "FROM ch c JOIN documents d USING (doc_id) WHERE c.endpos > c.prev) "
+            "SELECT chunk_hash, count(DISTINCT doc_id)::BIGINT AS n_docs, count(*)::BIGINT AS n_occ "
+            "FROM chunks GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2"
         ),
         # blocklist replay: identical RE2 alternation count
         "blocklist": (
