@@ -1846,6 +1846,27 @@ def pc_cast_int64(col):
     return pc.cast(col, pa.int64())
 
 
+def _q_doc_pagerank_seeded(sf_dir: str):
+    """Personalized PageRank (Haveliwala): restart mass on the seed set
+    {node % 5 == 0} over the same deterministic link graph — proximity-
+    to-seeds scoring; non-seed nodes with no in-edges settle at 0."""
+    from clawrag_ray.stages.graph import pagerank
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+
+    def edges(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        d1 = pa.array((ids * 7 + 13) % 97, pa.int64())
+        d2 = pa.array((ids * 3 + 5) % 31, pa.int64())
+        src = pa.array(ids, pa.int64())
+        return pa.concat_tables([pa.table({"src": src, "dst": d1}), pa.table({"src": src, "dst": d2})])
+
+    e = docs.map_batches(edges, batch_format="pyarrow", zero_copy_batch=True)
+    n_docs = int(pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows)
+    seeds = [v for v in range(max(n_docs, 97)) if v % 5 == 0]
+    return pagerank(e, n_iters=3, damping=0.85, ndigits=8, seeds=seeds)
+
+
 def _q_blocklist(sf_dir: str):
     """Blocklist page filter (C4 dirty-word rule shape): whole-word hits
     of the frozen term list via one RE2 alternation scan, keep iff 0."""
@@ -2893,6 +2914,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "blocklist": _q_blocklist,
         "cdc_chunks": _q_cdc_chunks,
         "cdc_shared_chunks": _q_cdc_shared_chunks,
+        "doc_pagerank_seeded": _q_doc_pagerank_seeded,
         "edit_near_dups": _q_edit_near_dups,
         "event_value_winsorized": _q_event_value_winsorized,
         "props_k_by_type": _q_props_k_by_type,
@@ -4404,6 +4426,27 @@ def oracle_sql() -> dict[str, str]:
             f"FROM p, unnest(generate_series(1, {RESIZE_H})) AS ty(y), unnest(generate_series(1, {RESIZE_W})) AS tx(x)) "
             f"SELECT CAST(doc_id AS VARCHAR) AS media_id, {RESIZE_W}::INTEGER AS width, "
             f"{RESIZE_H}::INTEGER AS height, sum(v)::BIGINT AS pixel_sum FROM px GROUP BY doc_id"
+        ),
+        # personalized-pagerank replay: unrolled iterations with the seed
+        # indicator s(v) = (v % 5 = 0); round-8 = identity on the rank
+        # lattice (same 17/20, deg-2 denominators as doc_pagerank)
+        "doc_pagerank_seeded": (
+            "WITH e AS (SELECT doc_id AS src, (doc_id * 7 + 13) % 97 AS dst FROM documents "
+            "UNION ALL SELECT doc_id, (doc_id * 3 + 5) % 31 FROM documents), "
+            "n AS (SELECT DISTINCT node, CASE WHEN node % 5 = 0 THEN 1.0 ELSE 0.0 END AS s "
+            "FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)), "
+            "d AS (SELECT src, count(*)::DOUBLE AS deg FROM e GROUP BY 1), "
+            "r0 AS (SELECT node, s AS rank FROM n), "
+            "r1 AS (SELECT n.node, 0.15 * n.s + 0.85 * coalesce(t.c, 0) AS rank FROM n LEFT JOIN "
+            "(SELECT e.dst AS node, sum(r0.rank / d.deg) AS c FROM e JOIN r0 ON r0.node = e.src "
+            "JOIN d USING (src) GROUP BY e.dst) t USING (node)), "
+            "r2 AS (SELECT n.node, 0.15 * n.s + 0.85 * coalesce(t.c, 0) AS rank FROM n LEFT JOIN "
+            "(SELECT e.dst AS node, sum(r1.rank / d.deg) AS c FROM e JOIN r1 ON r1.node = e.src "
+            "JOIN d USING (src) GROUP BY e.dst) t USING (node)), "
+            "r3 AS (SELECT n.node, 0.15 * n.s + 0.85 * coalesce(t.c, 0) AS rank FROM n LEFT JOIN "
+            "(SELECT e.dst AS node, sum(r2.rank / d.deg) AS c FROM e JOIN r2 ON r2.node = e.src "
+            "JOIN d USING (src) GROUP BY e.dst) t USING (node)) "
+            "SELECT node, round(rank, 8) AS rank FROM r3"
         ),
         # CDC replay: prefix recurrence h_i = h*257 + c mod 2147483629,
         # window difference (257^16 = 2068015241), anchors wh % 64 = 0,

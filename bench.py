@@ -134,6 +134,8 @@ TIMED_QUERIES = [
     "signup_click_purchase_funnel",
     "blocklist",
     "cdc_chunks",
+    "cdc_shared_chunks",
+    "doc_pagerank_seeded",
 ]
 
 

@@ -24,14 +24,19 @@ def pagerank(
     ndigits: int = 6,
     num_partitions: int = 64,
     state: str = "broadcast",
+    seeds=None,
 ) -> Dataset:
     """Unnormalized PageRank over a directed edge list, ``n_iters`` fixed
-    power iterations of r(v) = (1-d) + d * sum_{u->v} r(u)/outdeg(u),
-    starting from r = 1 (the classic Brin/Page formulation without
+    power iterations of r(v) = (1-d)·s(v) + d * sum_{u->v} r(u)/outdeg(u),
+    starting from r = s (the classic Brin/Page formulation without
     dangling-mass redistribution — documented simplification mirrored by
-    the SQL oracle). Nodes = union of sources and destinations; a node
-    with no in-edges settles at (1-d). Returns (node, rank rounded to
-    ``ndigits``).
+    the SQL oracle). By default s = 1 everywhere (global PageRank); pass
+    ``seeds`` (an iterable of node ids) for PERSONALIZED PageRank
+    (Haveliwala 2002, public): s = 1 on the seed set, 0 elsewhere — the
+    topic-/trust-rank restart that scores nodes by proximity to the
+    seeds. Nodes = union of sources and destinations; a non-seed node
+    with no in-edges settles at 0 under personalization. Returns (node,
+    rank rounded to ``ndigits``).
 
     ``state="broadcast"`` (default): the rank/degree state is NODE-sized,
     so it broadcasts once per iteration (ray.put) and each round is one
@@ -43,6 +48,11 @@ def pagerank(
     ~8 s of fixed shuffle-stage overhead per join on the dev VM, which
     is why it is not the default at bench scale)."""
     if state == "distributed":
+        if seeds is not None:
+            raise ValueError(
+                "personalized restart is broadcast-mode only today (the "
+                "distributed swap joins s like the rank table — not built)"
+            )
         return _pagerank_distributed(
             edges, n_iters, damping, src_col, dst_col, ndigits, num_partitions
         )
@@ -67,8 +77,14 @@ def pagerank(
     ).to_pandas()[src_col]
     all_nodes = pd.Index(np.union1d(deg_df[src_col].to_numpy(), dst_nodes.to_numpy()), name="node")
     deg = deg_df.set_index(src_col)["deg"].astype("float64").reindex(all_nodes)  # NaN: no out-edges
-    ranks = pd.Series(1.0, index=all_nodes)
-    base = 1.0 - damping
+    if seeds is None:
+        ranks = pd.Series(1.0, index=all_nodes)
+        base = 1.0 - damping
+    else:
+        s = pd.Series(0.0, index=all_nodes)
+        s[s.index.isin(np.asarray(list(seeds)))] = 1.0
+        ranks = s.copy()
+        base = (1.0 - damping) * s
 
     for _ in range(n_iters):
         ratio_ref = ray.put((ranks / deg).dropna())  # rank/outdeg per source

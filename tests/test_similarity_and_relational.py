@@ -1973,3 +1973,35 @@ class TestFunnelSteps:
         assert got.loc[1].tolist() == [1, 3, 5]
         assert got.loc[2, "ts_1"] == 10 and got.loc[2, "ts_2"] == 11 and pd.isna(got.loc[2, "ts_3"])
         assert got.loc[3, "ts_1"] == 20 and got.loc[3, "ts_2"] == 22 and pd.isna(got.loc[3, "ts_3"])
+
+
+class TestPersonalizedPagerank:
+    def test_seed_proximity_and_zero_far_nodes(self, ray_session):
+        from clawrag_ray.stages.graph import pagerank
+
+        # chain 1 -> 2 -> 3, isolated 4 -> 5; seed = {1}
+        t = pa.table(
+            {
+                "src": pa.array([1, 2, 4], pa.int64()),
+                "dst": pa.array([2, 3, 5], pa.int64()),
+            }
+        )
+        got = (
+            pagerank(ray.data.from_arrow(t), n_iters=3, damping=0.85, ndigits=8, seeds=[1])
+            .to_pandas()
+            .set_index("node")["rank"]
+        )
+        # hand-computed: r(1)=0.15 after iter1 stays 0.15 (no in-edges);
+        # r(2)=0.85*r(1); r(3)=0.85*r(2); nodes 4,5 get zero mass
+        assert abs(got.loc[1] - 0.15) < 1e-8
+        assert abs(got.loc[2] - 0.85 * 0.15) < 1e-8
+        assert abs(got.loc[3] - 0.85 * 0.85 * 0.15) < 1e-8
+        assert got.loc[4] == 0.0 and got.loc[5] == 0.0
+
+    def test_unseeded_unchanged(self, ray_session):
+        from clawrag_ray.stages.graph import pagerank
+
+        t = pa.table({"src": pa.array([1, 2], pa.int64()), "dst": pa.array([2, 1], pa.int64())})
+        a = pagerank(ray.data.from_arrow(t), n_iters=2).to_pandas().set_index("node")["rank"]
+        # symmetric 2-cycle: both nodes settle at the same value
+        assert a.loc[1] == a.loc[2] and a.loc[1] > 0.9
