@@ -1867,6 +1867,25 @@ def _q_doc_pagerank_seeded(sf_dir: str):
     return pagerank(e, n_iters=3, damping=0.85, ndigits=8, seeds=seeds)
 
 
+def _q_events_zorder(sf_dir: str):
+    """Z-order clustering keys over (user_id, floor-cents value) — the
+    Morton interleave under multi-column file clustering, with the
+    16-bucket partition assignment readout (z >> 28)."""
+    from clawrag_ray.stages.relational import zorder_keys
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        v = np.floor(b["value"].to_numpy(zero_copy_only=False) * 100.0).astype(np.int64)
+        return pa.table(
+            {"event_id": b["event_id"], "user_id": b["user_id"], "vc": pa.array(v)}
+        )
+
+    prepped = ev.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+    out = zorder_keys(prepped, "user_id", "vc", bits=16, bucket_shift=28)
+    return out.select_columns(["event_id", "z", "z_bucket"])
+
+
 def _q_blocklist(sf_dir: str):
     """Blocklist page filter (C4 dirty-word rule shape): whole-word hits
     of the frozen term list via one RE2 alternation scan, keep iff 0."""
@@ -2915,6 +2934,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_chunks": _q_cdc_chunks,
         "cdc_shared_chunks": _q_cdc_shared_chunks,
         "doc_pagerank_seeded": _q_doc_pagerank_seeded,
+        "events_zorder": _q_events_zorder,
         "edit_near_dups": _q_edit_near_dups,
         "event_value_winsorized": _q_event_value_winsorized,
         "props_k_by_type": _q_props_k_by_type,
@@ -4426,6 +4446,15 @@ def oracle_sql() -> dict[str, str]:
             f"FROM p, unnest(generate_series(1, {RESIZE_H})) AS ty(y), unnest(generate_series(1, {RESIZE_W})) AS tx(x)) "
             f"SELECT CAST(doc_id AS VARCHAR) AS media_id, {RESIZE_W}::INTEGER AS width, "
             f"{RESIZE_H}::INTEGER AS height, sum(v)::BIGINT AS pixel_sum FROM px GROUP BY doc_id"
+        ),
+        # z-order replay: per-bit interleave sum over generate_series
+        "events_zorder": (
+            "WITH p AS (SELECT event_id, user_id & 65535 AS x, "
+            "CAST(floor(value * 100) AS BIGINT) & 65535 AS y FROM events), "
+            "z AS (SELECT event_id, sum(((x >> k) & 1) * (1::BIGINT << (2 * k)) + "
+            "((y >> k) & 1) * (1::BIGINT << (2 * k + 1)))::BIGINT AS z "
+            "FROM p, unnest(generate_series(0, 15)) t(k) GROUP BY event_id) "
+            "SELECT event_id, z, (z >> 28)::BIGINT AS z_bucket FROM z"
         ),
         # personalized-pagerank replay: unrolled iterations with the seed
         # indicator s(v) = (v % 5 = 0); round-8 = identity on the rank

@@ -136,6 +136,7 @@ TIMED_QUERIES = [
     "cdc_chunks",
     "cdc_shared_chunks",
     "doc_pagerank_seeded",
+    "events_zorder",
 ]
 
 

@@ -2005,3 +2005,32 @@ class TestPersonalizedPagerank:
         a = pagerank(ray.data.from_arrow(t), n_iters=2).to_pandas().set_index("node")["rank"]
         # symmetric 2-cycle: both nodes settle at the same value
         assert a.loc[1] == a.loc[2] and a.loc[1] > 0.9
+
+
+class TestZorderKeys:
+    def test_interleave_and_locality(self, ray_session):
+        import numpy as np
+
+        from clawrag_ray.stages.relational import zorder_keys
+
+        t = pa.table(
+            {
+                "x": pa.array([0, 1, 0b1010, 65535], pa.int64()),
+                "y": pa.array([0, 1, 0b0101, 65535], pa.int64()),
+            }
+        )
+        got = zorder_keys(ray.data.from_arrow(t), "x", "y", bits=16).to_pandas()
+
+        # reference interleave: x on even bits, y on odd bits
+        def morton(x, y):
+            z = 0
+            for k in range(16):
+                z |= ((x >> k) & 1) << (2 * k)
+                z |= ((y >> k) & 1) << (2 * k + 1)
+            return z
+
+        assert got["z"].tolist() == [morton(0, 0), morton(1, 1), morton(0b1010, 0b0101), morton(65535, 65535)]
+        # locality: nearby (x, y) points differ in fewer high bits than far ones
+        near = morton(100, 100) ^ morton(101, 101)
+        far = morton(100, 100) ^ morton(40000, 40000)
+        assert near.bit_length() < far.bit_length()
