@@ -1867,6 +1867,19 @@ def _q_doc_pagerank_seeded(sf_dir: str):
     return pagerank(e, n_iters=3, damping=0.85, ndigits=8, seeds=seeds)
 
 
+def _q_event_value_cusum(sf_dir: str):
+    """Per-user CUSUM drift statistic over event values (integer-cents
+    exact; reflection-identity vectorization, no sequential loop)."""
+    from clawrag_ray.stages.relational import grouped_cusum
+
+    return grouped_cusum(
+        _read(sf_dir, "events", ["user_id", "value", "event_id"]),
+        "user_id",
+        "value",
+        "event_id",
+    )
+
+
 def _q_events_zorder(sf_dir: str):
     """Z-order clustering keys over (user_id, floor-cents value) — the
     Morton interleave under multi-column file clustering, with the
@@ -2935,6 +2948,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_shared_chunks": _q_cdc_shared_chunks,
         "doc_pagerank_seeded": _q_doc_pagerank_seeded,
         "events_zorder": _q_events_zorder,
+        "event_value_cusum": _q_event_value_cusum,
         "edit_near_dups": _q_edit_near_dups,
         "event_value_winsorized": _q_event_value_winsorized,
         "props_k_by_type": _q_props_k_by_type,
@@ -4446,6 +4460,19 @@ def oracle_sql() -> dict[str, str]:
             f"FROM p, unnest(generate_series(1, {RESIZE_H})) AS ty(y), unnest(generate_series(1, {RESIZE_W})) AS tx(x)) "
             f"SELECT CAST(doc_id AS VARCHAR) AS media_id, {RESIZE_W}::INTEGER AS width, "
             f"{RESIZE_H}::INTEGER AS height, sum(v)::BIGINT AS pixel_sum FROM px GROUP BY doc_id"
+        ),
+        # CUSUM replay: reflection identity cs - min(0, running_min(cs)),
+        # all-integer arithmetic (floor-cents, floor-division baseline)
+        "event_value_cusum": (
+            "WITH e AS (SELECT user_id, event_id, CAST(floor(value * 100) AS BIGINT) AS vc FROM events), "
+            "m AS (SELECT user_id, sum(vc)::BIGINT AS s, count(*)::BIGINT AS n FROM e GROUP BY 1), "
+            "y AS (SELECT e.user_id, event_id, vc, vc - (s // n) - 50 AS yv FROM e JOIN m USING (user_id)), "
+            "w AS (SELECT user_id, event_id, vc, sum(yv) OVER (PARTITION BY user_id ORDER BY event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs FROM y), "
+            "r AS (SELECT user_id, event_id, vc, cs, min(cs) OVER (PARTITION BY user_id ORDER BY event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rmin FROM w) "
+            "SELECT user_id, event_id, vc AS value_cents, (cs - least(rmin, 0))::BIGINT AS cusum, "
+            "cs - least(rmin, 0) > 500 AS alarm FROM r"
         ),
         # z-order replay: per-bit interleave sum over generate_series
         "events_zorder": (

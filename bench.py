@@ -137,6 +137,7 @@ TIMED_QUERIES = [
     "cdc_shared_chunks",
     "doc_pagerank_seeded",
     "events_zorder",
+    "event_value_cusum",
 ]
 
 

@@ -2613,3 +2613,55 @@ def zorder_keys(
         return t
 
     return ds.map_batches(interleave, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def grouped_cusum(
+    ds: Dataset,
+    key_col: str,
+    value_col: str,
+    order_col: str,
+    slack_cents: int = 50,
+    alarm_cents: int = 500,
+    num_partitions: int = 64,
+) -> Dataset:
+    """One-sided CUSUM drift detection per key (Page 1954, public — the
+    classic sequential change-point statistic): S_i = max(0, S_{i-1} +
+    (v_i - mu - k)) with alarm at S > h, computed VECTORIZED via the
+    reflection identity ``S_i = cs_i - min(0, running_min(cs))`` (cs the
+    plain cumsum of the slacked deviations) — no sequential loop, one
+    grouped cumsum + one grouped cummin inside ONE hash-partitioned
+    shuffle. Everything is exact int64 arithmetic: values fixed-pointed
+    to floor-cents, the per-key baseline mu = floor(sum/n) (integer
+    division of the exact sums — non-negative values assumed, the floor
+    semantics both engines share), and k/h given in cents — so the alarm
+    comparison is bit-exact cross-engine. Output: (key, order,
+    value_cents, cusum, alarm)."""
+    import numpy as np
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, order_col], kind="mergesort").reset_index(drop=True)
+        vc = np.floor(g[value_col].to_numpy(dtype=np.float64) * 100.0).astype(np.int64)
+        keys = g[key_col].to_numpy()
+        s = pd.Series(vc).groupby(keys, sort=False).transform("sum").to_numpy()
+        n = pd.Series(vc).groupby(keys, sort=False).transform("size").to_numpy()
+        mu = s // n
+        y = vc - mu - slack_cents
+        cs = pd.Series(y).groupby(keys, sort=False).cumsum().to_numpy()
+        rmin = pd.Series(cs).groupby(keys, sort=False).cummin().to_numpy()
+        cusum = cs - np.minimum(rmin, 0)
+        return pd.DataFrame(
+            {
+                key_col: g[key_col],
+                order_col: g[order_col],
+                "value_cents": vc,
+                "cusum": cusum.astype("int64"),
+                "alarm": cusum > alarm_cents,
+            }
+        )
+
+    return hash_partitioned_groups(
+        ds.select_columns([key_col, value_col, order_col]),
+        [key_col],
+        per_part,
+        num_partitions=num_partitions,
+    )

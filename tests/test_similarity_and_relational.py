@@ -2034,3 +2034,36 @@ class TestZorderKeys:
         near = morton(100, 100) ^ morton(101, 101)
         far = morton(100, 100) ^ morton(40000, 40000)
         assert near.bit_length() < far.bit_length()
+
+
+class TestGroupedCusum:
+    def test_reflection_equals_recurrence(self, ray_session):
+        import numpy as np
+
+        from clawrag_ray.stages.relational import grouped_cusum
+
+        rng = np.random.RandomState(2)
+        vals = np.concatenate([rng.uniform(8, 12, 30), rng.uniform(18, 22, 10)])  # level shift
+        t = pa.table(
+            {
+                "u": pa.array([1] * len(vals), pa.int64()),
+                "v": pa.array(vals, pa.float64()),
+                "o": pa.array(range(len(vals)), pa.int64()),
+            }
+        )
+        got = (
+            grouped_cusum(ray.data.from_arrow(t).repartition(2), "u", "v", "o", num_partitions=4)
+            .to_pandas()
+            .sort_values("o")
+            .reset_index(drop=True)
+        )
+        # sequential recurrence replay
+        vc = np.floor(vals * 100).astype("int64")
+        mu = vc.sum() // len(vc)
+        s, want = 0, []
+        for v in vc:
+            s = max(0, s + int(v - mu - 50))
+            want.append(s)
+        assert got["cusum"].tolist() == want
+        # the level shift raises an alarm in the tail, none in the head
+        assert not got["alarm"][:25].any() and got["alarm"][35:].all()
