@@ -1880,6 +1880,34 @@ def _q_event_value_cusum(sf_dir: str):
     )
 
 
+def _q_event_value_auc(sf_dir: str):
+    """Mann-Whitney U / AUC of event value between even/odd user cohorts
+    per event type — doubled average ranks keep everything integer-exact
+    until the single AUC division."""
+    from clawrag_ray.stages.relational import grouped_mannwhitney
+
+    ev = _read(sf_dir, "events", ["event_type", "user_id", "value"])
+
+    def arm(b: pa.Table) -> pa.Table:
+        ids = b["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": b["event_type"],
+                "arm": pa.array(np.where(ids % 2 == 0, "a", "b").tolist(), pa.string()),
+                "value": b["value"],
+            }
+        )
+
+    return grouped_mannwhitney(
+        ev.map_batches(arm, batch_format="pyarrow", zero_copy_batch=True),
+        "event_type",
+        "arm",
+        "value",
+        "a",
+        "b",
+    )
+
+
 def _q_events_zorder(sf_dir: str):
     """Z-order clustering keys over (user_id, floor-cents value) — the
     Morton interleave under multi-column file clustering, with the
@@ -2949,6 +2977,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pagerank_seeded": _q_doc_pagerank_seeded,
         "events_zorder": _q_events_zorder,
         "event_value_cusum": _q_event_value_cusum,
+        "event_value_auc": _q_event_value_auc,
         "edit_near_dups": _q_edit_near_dups,
         "event_value_winsorized": _q_event_value_winsorized,
         "props_k_by_type": _q_props_k_by_type,
@@ -4460,6 +4489,22 @@ def oracle_sql() -> dict[str, str]:
             f"FROM p, unnest(generate_series(1, {RESIZE_H})) AS ty(y), unnest(generate_series(1, {RESIZE_W})) AS tx(x)) "
             f"SELECT CAST(doc_id AS VARCHAR) AS media_id, {RESIZE_W}::INTEGER AS width, "
             f"{RESIZE_H}::INTEGER AS height, sum(v)::BIGINT AS pixel_sum FROM px GROUP BY doc_id"
+        ),
+        # Mann-Whitney replay: doubled average ranks (2*min_rank+ties-1)
+        # stay integers; U and AUC from exact int sums, one division
+        "event_value_auc": (
+            "WITH e AS (SELECT event_type, CASE WHEN user_id % 2 = 0 THEN 'a' ELSE 'b' END AS arm, "
+            "CAST(floor(value * 100) AS BIGINT) AS vc FROM events), "
+            "r AS (SELECT event_type, arm, "
+            "2 * rank() OVER (PARTITION BY event_type ORDER BY vc) + "
+            "count(*) OVER (PARTITION BY event_type, vc) - 1 AS avg2 FROM e), "
+            "agg AS (SELECT event_type, arm, count(*)::BIGINT AS n, sum(avg2)::BIGINT AS r2 "
+            "FROM r GROUP BY 1, 2), "
+            "j AS (SELECT a.event_type, a.n AS na, b.n AS nb, a.r2 AS ra FROM agg a JOIN agg b "
+            "ON a.event_type = b.event_type AND a.arm = 'a' AND b.arm = 'b') "
+            "SELECT event_type, na AS n_a, nb AS n_b, "
+            "(ra - na * (na + 1))::DOUBLE / 2.0 AS u_stat, "
+            "round((ra - na * (na + 1))::DOUBLE / (2.0 * (na * nb)::DOUBLE), 6) AS auc FROM j"
         ),
         # CUSUM replay: reflection identity cs - min(0, running_min(cs)),
         # all-integer arithmetic (floor-cents, floor-division baseline)

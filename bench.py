@@ -138,6 +138,7 @@ TIMED_QUERIES = [
     "doc_pagerank_seeded",
     "events_zorder",
     "event_value_cusum",
+    "event_value_auc",
 ]
 
 

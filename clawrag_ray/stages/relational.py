@@ -2665,3 +2665,61 @@ def grouped_cusum(
         per_part,
         num_partitions=num_partitions,
     )
+
+
+def grouped_mannwhitney(
+    ds: Dataset,
+    key_col: str,
+    arm_col: str,
+    value_col: str,
+    arm_a,
+    arm_b,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Per-key Mann-Whitney U / AUC between two arms (Mann & Whitney
+    1947, public) — the nonparametric sibling of grouped_welch_ttest and
+    the exact ROC-AUC of "does arm a stochastically dominate arm b":
+    U = R_a - n_a(n_a+1)/2 with R_a the rank sum of arm a in the pooled
+    per-key ordering (average ranks on ties), AUC = U / (n_a·n_b).
+
+    Exactness: values fixed-pointed to floor-cents and ranks DOUBLED so
+    tie-averages stay integers (avg2 = 2·min_rank + ties - 1); U and the
+    rank sums are exact int64, AUC is one IEEE division of two exact
+    integers — bit-equal cross-engine. ONE hash-partitioned shuffle;
+    per partition everything is pandas grouped rank/transform, no Python
+    loops. Keys missing either arm are excluded.
+    Output: (key, n_a, n_b, u_stat, auc round-6)."""
+    import numpy as np
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        vc = np.floor(g[value_col].to_numpy(dtype=np.float64) * 100.0).astype(np.int64)
+        d = pd.DataFrame({key_col: g[key_col].to_numpy(), "arm": g[arm_col].to_numpy(), "vc": vc})
+        minrank = d.groupby(key_col, sort=False)["vc"].rank(method="min").astype("int64")
+        ties = d.groupby([key_col, "vc"], sort=False)["vc"].transform("size").astype("int64")
+        d["avg2"] = 2 * minrank + ties - 1
+        agg = (
+            d.groupby([key_col, "arm"], sort=False)
+            .agg(n=("vc", "size"), r2=("avg2", "sum"))
+            .reset_index()
+        )
+        a = agg[agg["arm"] == arm_a].set_index(key_col)
+        b = agg[agg["arm"] == arm_b].set_index(key_col)
+        common = a.index.intersection(b.index)
+        a, b = a.loc[common], b.loc[common]
+        na = a["n"].to_numpy(dtype=np.int64)
+        nb = b["n"].to_numpy(dtype=np.int64)
+        u2 = a["r2"].to_numpy(dtype=np.int64) - na * (na + 1)
+        auc = u2.astype(np.float64) / (2.0 * (na * nb).astype(np.float64))
+        return pd.DataFrame(
+            {
+                key_col: np.asarray(common),
+                "n_a": na,
+                "n_b": nb,
+                "u_stat": u2.astype(np.float64) / 2.0,
+                "auc": np.round(auc, 6),
+            }
+        )
+
+    return hash_partitioned_groups(
+        ds.select_columns([key_col, arm_col, value_col]), [key_col], per_part, num_partitions=num_partitions
+    )

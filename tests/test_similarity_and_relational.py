@@ -2067,3 +2067,42 @@ class TestGroupedCusum:
         assert got["cusum"].tolist() == want
         # the level shift raises an alarm in the tail, none in the head
         assert not got["alarm"][:25].any() and got["alarm"][35:].all()
+
+
+class TestGroupedMannWhitney:
+    def test_matches_scipy_definition(self, ray_session):
+        import numpy as np
+
+        from clawrag_ray.stages.relational import grouped_mannwhitney
+
+        rng = np.random.RandomState(4)
+        va = np.round(rng.uniform(5, 15, 30), 2)
+        vb = np.round(rng.uniform(3, 12, 20), 2)
+        t = pa.table(
+            {
+                "k": ["x"] * 50,
+                "arm": ["a"] * 30 + ["b"] * 20,
+                "v": pa.array(np.concatenate([va, vb]), pa.float64()),
+            }
+        )
+        got = grouped_mannwhitney(
+            ray.data.from_arrow(t).repartition(3), "k", "arm", "v", "a", "b"
+        ).to_pandas()
+        # brute force: U = # (a > b) pairs + 0.5 * # ties (on cents)
+        ca = np.floor(va * 100).astype(int)
+        cb = np.floor(vb * 100).astype(int)
+        gt = sum((x > y) for x in ca for y in cb)
+        eq = sum((x == y) for x in ca for y in cb)
+        want_u = gt + 0.5 * eq
+        assert got["u_stat"].iloc[0] == want_u
+        assert abs(got["auc"].iloc[0] - round(want_u / (30 * 20), 6)) < 1e-12
+        # perfect separation: AUC = 1
+        t2 = pa.table(
+            {
+                "k": ["y"] * 4,
+                "arm": ["a", "a", "b", "b"],
+                "v": pa.array([10.0, 11.0, 1.0, 2.0], pa.float64()),
+            }
+        )
+        g2 = grouped_mannwhitney(ray.data.from_arrow(t2), "k", "arm", "v", "a", "b").to_pandas()
+        assert g2["auc"].iloc[0] == 1.0
