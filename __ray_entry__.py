@@ -1908,6 +1908,17 @@ def _q_event_value_auc(sf_dir: str):
     )
 
 
+def _q_record_clusters(sf_dir: str):
+    """End-to-end entity resolution: sorted-neighborhood blocking on
+    (length, id) -> capped-Levenshtein verify (d<=5) -> connected
+    components; every doc gets (cluster_id, cluster_size)."""
+    from clawrag_ray.stages.dedup import record_linkage_clusters
+
+    return record_linkage_clusters(
+        _read(sf_dir, "documents", ["doc_id", "text"]), d=5, window=3, num_partitions=8
+    )
+
+
 def _q_events_zorder(sf_dir: str):
     """Z-order clustering keys over (user_id, floor-cents value) — the
     Morton interleave under multi-column file clustering, with the
@@ -2978,6 +2989,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_zorder": _q_events_zorder,
         "event_value_cusum": _q_event_value_cusum,
         "event_value_auc": _q_event_value_auc,
+        "record_clusters": _q_record_clusters,
         "edit_near_dups": _q_edit_near_dups,
         "event_value_winsorized": _q_event_value_winsorized,
         "props_k_by_type": _q_props_k_by_type,
@@ -4489,6 +4501,22 @@ def oracle_sql() -> dict[str, str]:
             f"FROM p, unnest(generate_series(1, {RESIZE_H})) AS ty(y), unnest(generate_series(1, {RESIZE_W})) AS tx(x)) "
             f"SELECT CAST(doc_id AS VARCHAR) AS media_id, {RESIZE_W}::INTEGER AS width, "
             f"{RESIZE_H}::INTEGER AS height, sum(v)::BIGINT AS pixel_sum FROM px GROUP BY doc_id"
+        ),
+        # record-linkage replay: blocking rn self-join + levenshtein +
+        # recursive transitive closure (the near_dup_clusters pattern).
+        # NOTE length(text) == n_chars on this corpus; rank packs (len, id)
+        "record_clusters": (
+            "WITH RECURSIVE r AS (SELECT doc_id, text, "
+            "row_number() OVER (ORDER BY length(text), doc_id) AS rn FROM documents), "
+            "p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b FROM r a "
+            "JOIN r b ON b.rn - a.rn BETWEEN 1 AND 3 "
+            "WHERE levenshtein(a.text, b.text) <= 5), "
+            "e AS (SELECT doc_a AS src, doc_b AS dst FROM p UNION SELECT doc_b, doc_a FROM p), "
+            "reach AS (SELECT doc_id AS node, doc_id AS rr FROM documents "
+            "UNION SELECT reach.node, e.dst FROM reach JOIN e ON e.src = reach.rr), "
+            "lab AS (SELECT node AS doc_id, min(rr) AS cluster_id FROM reach GROUP BY 1), "
+            "sz AS (SELECT cluster_id, count(*)::BIGINT AS cluster_size FROM lab GROUP BY 1) "
+            "SELECT lab.doc_id, lab.cluster_id, sz.cluster_size FROM lab JOIN sz USING (cluster_id)"
         ),
         # Mann-Whitney replay: doubled average ranks (2*min_rank+ties-1)
         # stay integers; U and AUC from exact int sums, one division

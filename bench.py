@@ -139,6 +139,7 @@ TIMED_QUERIES = [
     "events_zorder",
     "event_value_cusum",
     "event_value_auc",
+    "record_clusters",
 ]
 
 

@@ -1645,3 +1645,73 @@ def containment_near_dup_pairs_prefix(
         return m[["doc_a", "doc_b", "n_shared", "containment"]]
 
     return hash_partitioned_groups(joined, ["doc_a", "doc_b"], per_part, num_partitions=num_partitions)
+
+
+def record_linkage_clusters(
+    ds: Dataset,
+    d: int = 5,
+    window: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_partitions: int = 64,
+) -> Dataset:
+    """End-to-end entity resolution (the Hernandez-Stolfo merge/purge
+    pipeline shape): sorted-neighborhood BLOCKING on the (length, id)
+    key -> capped-Levenshtein VERIFY of the linear candidate stream
+    (pair legs join the corpus texts once, the minhash verify machinery)
+    -> connected-component CLUSTERING with min-id labels (label_clusters,
+    shared with every near-dup consolidation here). Every record gets a
+    (cluster_id, cluster_size); singletons label themselves. Linear
+    candidate volume (n·window), candidate-bounded verify, nothing
+    driver-sized."""
+    from clawrag_ray.stages.curation import global_rank  # noqa: F401  (via sorted_neighborhood)
+    from clawrag_ray.stages.relational import sorted_neighborhood_pairs
+
+    def pack(b: pa.Table) -> pa.Table:
+        n = pc.utf8_length(b[text_col]).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        i = b[id_col].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {id_col: b[id_col], "__ord": pa.array(n * (1 << 32) + i, pa.int64())}
+        )
+
+    packed = ds.select_columns([id_col, text_col]).map_batches(
+        pack, batch_format="pyarrow", zero_copy_batch=True
+    )
+    cand = (
+        sorted_neighborhood_pairs(packed, "__ord", id_col, window=window, num_partitions=num_partitions)
+        .map_batches(
+            lambda b: pa.table({"doc_a": b["id_a"], "doc_b": b["id_b"]}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .materialize()
+    )
+    if cand.count() == 0:
+        verified = None
+    else:
+        legs = _explode_pair_legs(cand)
+        joined = _join_legs(
+            legs,
+            ds.select_columns([id_col, text_col]).map_batches(
+                lambda b: pa.table({"doc_id": b[id_col], "text": b[text_col]}), batch_format="pyarrow"
+            ),
+            ["text"],
+            num_partitions=num_partitions,
+        )
+
+        def verify(g: pd.DataFrame) -> pd.DataFrame:
+            a = g[g["side"] == 0][["doc_a", "doc_b", "text"]].rename(columns={"text": "ta"})
+            b = g[g["side"] == 1][["doc_a", "doc_b", "text"]].rename(columns={"text": "tb"})
+            m = a.merge(b, on=["doc_a", "doc_b"])
+            dists = [_levenshtein_capped(ta or "", tb or "", d) for ta, tb in zip(m["ta"], m["tb"])]
+            m = m.assign(dist=np.asarray(dists, dtype=np.int64))
+            return m[m["dist"] <= d][["doc_a", "doc_b"]]
+
+        from clawrag_ray.stages.relational import hash_partitioned_groups
+
+        verified = hash_partitioned_groups(
+            joined, ["doc_a", "doc_b"], verify, num_partitions=num_partitions
+        )
+    return label_clusters(
+        ds.select_columns([id_col]), verified, id_col=id_col, num_partitions=num_partitions
+    )

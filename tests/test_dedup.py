@@ -537,3 +537,33 @@ class TestContainmentPrefixPath:
             assert ((exact["doc_a"] == 7) & (exact["doc_b"] == 3)).any() or (
                 (exact["doc_a"] == 3) & (exact["doc_b"] == 7)
             ).any()
+
+
+class TestRecordLinkageClusters:
+    def test_planted_cluster_and_singletons(self, ray_session):
+        from clawrag_ray.stages.dedup import record_linkage_clusters
+
+        base = "johnathan smith 123 main street springfield apartment four"
+        rows = [
+            (1, base),
+            (2, base.replace("johnathan", "jonathan")),   # 1 edit
+            (3, base.replace("four", "főur")),            # tiny edit, same length
+            (4, "completely different record about quarterly revenue numbers"),
+            (5, "x"),
+        ]
+        t = pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": [r[1] for r in rows],
+            }
+        )
+        got = (
+            record_linkage_clusters(
+                ray.data.from_arrow(t).repartition(2), d=5, window=3, num_partitions=4
+            )
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        assert got.loc[1, "cluster_id"] == 1 and got.loc[2, "cluster_id"] == 1
+        assert got.loc[3, "cluster_id"] == 1 and got.loc[1, "cluster_size"] == 3
+        assert got.loc[4, "cluster_size"] == 1 and got.loc[5, "cluster_size"] == 1
