@@ -165,6 +165,18 @@ def web_curate(
 
     survivors = clf.map_batches(keep_clf, batch_format="pyarrow", zero_copy_batch=True).materialize()
 
+    # a corpus where no page survives the filters yields a schemaless
+    # empty Dataset — return the typed empty result instead of feeding
+    # it to the keyed join (whose schema probe would die)
+    if survivors.count() == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.schema(
+                [(id_col, pa.int64()), ("n_words", pa.int64()), ("clf_margin", pa.float64())]
+            ).empty_table()
+        )
+
     hashed = with_text_hash(survivors, text_col)
 
     def partial_min(b: pa.Table) -> pa.Table:

@@ -1103,3 +1103,19 @@ class TestCdcChunks:
         g3 = got[got.doc_id == 3]
         assert len(g3) == 1 and g3["length"].iloc[0] == 4
         assert g3["chunk_hash"].iloc[0] == int(hashlib.md5(b"tiny").hexdigest()[:8], 16)
+
+
+class TestWebCurateEmpty:
+    def test_no_survivors_returns_typed_empty(self, ray_session):
+        from clawrag_ray.pipelines.curation import web_curate
+
+        # no terminal punctuation anywhere -> C4 keeps nothing
+        t = pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": ["no punctuation here at all", "and none here either"],
+            }
+        )
+        got = web_curate(ray.data.from_arrow(t), num_partitions=4).to_pandas()
+        assert len(got) == 0
+        assert got.columns.tolist() == ["doc_id", "n_words", "clf_margin"]
