@@ -1116,6 +1116,8 @@ class TestWebCurateEmpty:
                 "text": ["no punctuation here at all", "and none here either"],
             }
         )
-        got = web_curate(ray.data.from_arrow(t), num_partitions=4).to_pandas()
-        assert len(got) == 0
-        assert got.columns.tolist() == ["doc_id", "n_words", "clf_margin"]
+        out = web_curate(ray.data.from_arrow(t), num_partitions=4)
+        # schema is pinned on the Dataset (to_pandas drops zero-row
+        # blocks — the documented Ray behavior)
+        assert out.schema().names == ["doc_id", "n_words", "clf_margin"]
+        assert out.count() == 0
