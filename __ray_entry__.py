@@ -1919,6 +1919,18 @@ def _q_record_clusters(sf_dir: str):
     )
 
 
+def _q_sessionize_micro(sf_dir: str):
+    """Micro-batch sessionization with per-user state carryover (the
+    structured-streaming model): 4 consecutive time slices fold into a
+    state table; final state == one-shot sessionize, so the ONE-SHOT SQL
+    is the oracle — the incremental execution itself is under the gate."""
+    from clawrag_ray.stages.relational import sessionize_incremental
+
+    return sessionize_incremental(
+        _read(sf_dir, "events", ["user_id", "ts"]), n_batches=4, num_partitions=8
+    )
+
+
 def _q_events_zorder(sf_dir: str):
     """Z-order clustering keys over (user_id, floor-cents value) — the
     Morton interleave under multi-column file clustering, with the
@@ -2990,6 +3002,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_cusum": _q_event_value_cusum,
         "event_value_auc": _q_event_value_auc,
         "record_clusters": _q_record_clusters,
+        "sessionize_micro": _q_sessionize_micro,
         "edit_near_dups": _q_edit_near_dups,
         "event_value_winsorized": _q_event_value_winsorized,
         "props_k_by_type": _q_props_k_by_type,
@@ -4505,6 +4518,18 @@ def oracle_sql() -> dict[str, str]:
         # record-linkage replay: blocking rn self-join + levenshtein +
         # recursive transitive closure (the near_dup_clusters pattern).
         # NOTE length(text) == n_chars on this corpus; rank packs (len, id)
+        # micro-batch sessionize: incremental state fold == one-shot, so
+        # the one-shot window SQL IS the oracle for the streaming execution
+        "sessionize_micro": (
+            "WITH diffs AS (SELECT user_id, ts, CASE WHEN lag(ts) OVER w IS NULL THEN 0 "
+            "WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+            "sess AS (SELECT user_id, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts "
+            "ROWS UNBOUNDED PRECEDING) AS sid FROM diffs), "
+            "per_sess AS (SELECT user_id, sid, count(*) AS cnt FROM sess GROUP BY 1, 2) "
+            "SELECT user_id, count(*) AS n_sessions, sum(cnt)::BIGINT AS n_events, "
+            "max(cnt)::BIGINT AS longest_session_events FROM per_sess GROUP BY user_id"
+        ),
         "record_clusters": (
             "WITH RECURSIVE r AS (SELECT doc_id, text, "
             "row_number() OVER (ORDER BY length(text), doc_id) AS rn FROM documents), "

@@ -140,6 +140,7 @@ TIMED_QUERIES = [
     "event_value_cusum",
     "event_value_auc",
     "record_clusters",
+    "sessionize_micro",
 ]
 
 

@@ -2723,3 +2723,186 @@ def grouped_mannwhitney(
     return hash_partitioned_groups(
         ds.select_columns([key_col, arm_col, value_col]), [key_col], per_part, num_partitions=num_partitions
     )
+
+
+def sessionize_incremental(
+    ds: Dataset,
+    n_batches: int = 4,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: float = 30.0,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Micro-batch sessionization with per-user STATE CARRYOVER — the
+    structured-streaming execution model over this engine's batch
+    machinery: events arrive as ``n_batches`` consecutive time slices,
+    and each slice folds into a per-user state table
+    (last_ts, open-session length, session/event counters, longest) via
+    ONE hash-partitioned pass; a session spanning a batch boundary is
+    stitched by the carried last_ts/open-length, never recomputed. The
+    final state projects to EXACTLY sessionize()'s output — incremental
+    == one-shot is the correctness contract (pinned in pytest and by
+    sharing the one-shot SQL oracle), the property that lets a 100 TB
+    event log be absorbed crawl-by-crawl instead of reprocessed.
+
+    ``longest`` tracks the max over all realized session lengths
+    including the open one (monotone, so carryover is just max); batch
+    slicing uses equal-width time cuts from one (min, max) aggregate —
+    any deterministic time-ordered slicing yields the same final state."""
+    import numpy as np
+
+    from ray.data.aggregate import Max as AggMax
+    from ray.data.aggregate import Min as AggMin
+
+    gap = pd.Timedelta(minutes=gap_minutes)
+    src = ds.select_columns([user_col, ts_col]).materialize()
+    mm = src.aggregate(AggMin(ts_col), AggMax(ts_col))
+    lo, hi = mm[f"min({ts_col})"], mm[f"max({ts_col})"]
+    cuts = pd.date_range(pd.Timestamp(lo), pd.Timestamp(hi), periods=n_batches + 1)
+
+    state: pd.DataFrame | None = None  # folded via Datasets; see below
+    state_ds = None
+
+    def fold(batch_ds: Dataset, state_ds: Dataset | None) -> Dataset:
+        def tag_events(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            return pa.table(
+                {
+                    user_col: b[user_col],
+                    ts_col: b[ts_col],
+                    "__last": pa.nulls(n, pa.timestamp("us")),
+                    "__curr": pa.nulls(n, pa.int64()),
+                    "__ns": pa.nulls(n, pa.int64()),
+                    "__ne": pa.nulls(n, pa.int64()),
+                    "__lg": pa.nulls(n, pa.int64()),
+                    "__side": pa.array(np.zeros(n, dtype=np.int8)),
+                }
+            )
+
+        def tag_state(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            return pa.table(
+                {
+                    user_col: b[user_col],
+                    ts_col: pa.nulls(n, pa.timestamp("us")),
+                    "__last": b["__last"],
+                    "__curr": b["__curr"],
+                    "__ns": b["__ns"],
+                    "__ne": b["__ne"],
+                    "__lg": b["__lg"],
+                    "__side": pa.array(np.ones(n, dtype=np.int8)),
+                }
+            )
+
+        unioned = batch_ds.map_batches(tag_events, batch_format="pyarrow", zero_copy_batch=True)
+        if state_ds is not None:
+            unioned = unioned.union(
+                state_ds.map_batches(tag_state, batch_format="pyarrow", zero_copy_batch=True)
+            )
+
+        def per_part(g: pd.DataFrame) -> pd.DataFrame:
+            st = g[g["__side"] == 1]
+            ev = g[g["__side"] == 0].sort_values([user_col, ts_col], kind="mergesort")
+            st = st.set_index(user_col)
+            out_rows = []
+            if len(ev):
+                users = ev[user_col].to_numpy()
+                ts = ev[ts_col]
+                new_user = ev[user_col] != ev[user_col].shift()
+                carry_last = pd.Series(
+                    st["__last"].reindex(ev[user_col]).to_numpy(), index=ev.index
+                )
+                eff_prev = ts.shift().where(~new_user, carry_last)
+                brk = (ts - eff_prev > gap) | eff_prev.isna()
+                sid = brk.cumsum()
+                seg = (
+                    pd.DataFrame({user_col: users, "sid": sid.to_numpy()})
+                    .groupby([user_col, "sid"], sort=False)
+                    .size()
+                    .reset_index(name="cnt")
+                )
+                first_brk = brk.groupby(users, sort=False).first()
+                carry_curr = st["__curr"].reindex(first_brk.index).fillna(0).astype("int64")
+                # first segment continues the carried open session when the
+                # user's first event did NOT break
+                fseg = seg.groupby(user_col, sort=False).head(1).set_index(user_col)["cnt"]
+                add = carry_curr.where(~first_brk, 0)
+                seg_first_adj = fseg + add
+                seg = seg.set_index(user_col)
+                per_user = seg.groupby(level=0, sort=False)["cnt"]
+                n_breaks = brk.groupby(users, sort=False).sum().astype("int64")
+                max_mid = per_user.max()
+                last_seg = seg.groupby(level=0, sort=False)["cnt"].last()
+                batch_cnt = pd.Series(np.ones(len(ev), dtype=np.int64)).groupby(users, sort=False).sum()
+                last_ts_new = ts.groupby(users, sort=False).max()
+                prev_ns = st["__ns"].reindex(n_breaks.index).fillna(0).astype("int64")
+                prev_ne = st["__ne"].reindex(n_breaks.index).fillna(0).astype("int64")
+                prev_lg = st["__lg"].reindex(n_breaks.index).fillna(0).astype("int64")
+                # candidates for longest: every batch segment total (first
+                # adjusted by carry), plus the carried longest
+                longest_new = np.maximum.reduce(
+                    [
+                        prev_lg.to_numpy(),
+                        max_mid.reindex(n_breaks.index).to_numpy(),
+                        seg_first_adj.reindex(n_breaks.index).to_numpy(),
+                    ]
+                )
+                # open session length: last segment, adjusted if the user
+                # had exactly one segment that continued the carry
+                one_seg = per_user.count() == 1
+                curr_new = last_seg + add.where(one_seg, 0)
+                upd = pd.DataFrame(
+                    {
+                        user_col: n_breaks.index,
+                        "__last": last_ts_new.to_numpy(),
+                        "__curr": curr_new.reindex(n_breaks.index).astype("int64").to_numpy(),
+                        "__ns": (prev_ns + n_breaks).to_numpy(),
+                        "__ne": (prev_ne + batch_cnt.reindex(n_breaks.index)).to_numpy(),
+                        "__lg": np.maximum(
+                            longest_new, curr_new.reindex(n_breaks.index).to_numpy()
+                        ).astype("int64"),
+                    }
+                )
+                out_rows.append(upd)
+            untouched = st[~st.index.isin(ev[user_col])].reset_index()
+            if len(untouched):
+                out_rows.append(
+                    untouched[[user_col, "__last", "__curr", "__ns", "__ne", "__lg"]]
+                )
+            if not out_rows:
+                return pd.DataFrame(
+                    {
+                        user_col: pd.array([], dtype="int64"),
+                        "__last": pd.array([], dtype="datetime64[us]"),
+                        "__curr": pd.array([], dtype="int64"),
+                        "__ns": pd.array([], dtype="int64"),
+                        "__ne": pd.array([], dtype="int64"),
+                        "__lg": pd.array([], dtype="int64"),
+                    }
+                )
+            return pd.concat(out_rows, ignore_index=True)
+
+        return hash_partitioned_groups(unioned, [user_col], per_part, num_partitions=num_partitions)
+
+    for i in range(n_batches):
+        lo_c, hi_c = cuts[i], cuts[i + 1]
+
+        def in_slice(b: pa.Table, lo_c=lo_c, hi_c=hi_c, last=(i == n_batches - 1)) -> pa.Table:
+            ts = b[ts_col].to_pandas()
+            m = (ts >= lo_c) & ((ts <= hi_c) if last else (ts < hi_c))
+            return b.filter(pa.array(m.to_numpy()))
+
+        batch_ds = src.map_batches(in_slice, batch_format="pyarrow", zero_copy_batch=True)
+        state_ds = fold(batch_ds, state_ds).materialize()
+
+    def project(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                user_col: b[user_col],
+                "n_sessions": b["__ns"],
+                "n_events": b["__ne"],
+                "longest_session_events": b["__lg"],
+            }
+        )
+
+    return state_ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)

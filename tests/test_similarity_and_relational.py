@@ -2106,3 +2106,38 @@ class TestGroupedMannWhitney:
         )
         g2 = grouped_mannwhitney(ray.data.from_arrow(t2), "k", "arm", "v", "a", "b").to_pandas()
         assert g2["auc"].iloc[0] == 1.0
+
+
+class TestSessionizeIncremental:
+    def test_boundary_stitching_and_equality(self, ray_session):
+        import numpy as np
+
+        from clawrag_ray.stages.relational import sessionize, sessionize_incremental
+
+        base = pd.Timestamp("2024-01-01")
+        rows = []
+        # u1: one 6-event session spanning every batch boundary (5-min gaps)
+        rows += [(1, base + pd.Timedelta(minutes=5 * i)) for i in range(6)]
+        # u2: two sessions split by a 2h gap
+        rows += [(2, base + pd.Timedelta(minutes=m)) for m in (0, 10, 140, 150, 155)]
+        # u3: appears only in the last slice
+        rows += [(3, base + pd.Timedelta(minutes=27))]
+        t = pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            }
+        )
+        ds = ray.data.from_arrow(t).repartition(3)
+        one = sessionize(ds, num_partitions=4).to_pandas().sort_values("user_id").reset_index(drop=True)
+        for nb in (2, 5):
+            inc = (
+                sessionize_incremental(ds, n_batches=nb, num_partitions=4)
+                .to_pandas()
+                .sort_values("user_id")
+                .reset_index(drop=True)
+            )
+            pd.testing.assert_frame_equal(one, inc, check_dtype=False)
+        # the spanning session counts ONCE with all 6 events
+        u1 = one[one.user_id == 1].iloc[0]
+        assert u1["n_sessions"] == 1 and u1["longest_session_events"] == 6
