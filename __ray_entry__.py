@@ -1931,6 +1931,53 @@ def _q_sessionize_micro(sf_dir: str):
     )
 
 
+def _q_events_scd2(sf_dir: str):
+    """SCD-2 enrichment: each event attaches the user-tier version in
+    effect at its timestamp (v0 valid 12h, a 12h validity GAP yielding
+    NULL tiers, then v1 open-ended) — as-of join + vectorized expiry."""
+    import pandas as pd
+
+    from clawrag_ray.stages.relational import scd2_enrich
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    users = _read(sf_dir, "events", ["user_id"]).map_batches(
+        lambda b: pa.table({"user_id": b["user_id"]}).group_by("user_id").aggregate([]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    T0 = pd.Timestamp("2024-01-01")
+
+    def mk_dim(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        u = np.unique(u)
+        tiers0 = [f"t{int(x) % 3}" for x in u]
+        tiers1 = [f"t{(int(x) % 3) + 1}" for x in u]
+        v0 = pa.table(
+            {
+                "user_id": pa.array(u, pa.int64()),
+                "valid_from": pa.array([T0.to_pydatetime()] * len(u), pa.timestamp("us")),
+                "valid_to": pa.array([(T0 + pd.Timedelta(hours=12)).to_pydatetime()] * len(u), pa.timestamp("us")),
+                "tier": pa.array(tiers0, pa.string()),
+            }
+        )
+        v1 = pa.table(
+            {
+                "user_id": pa.array(u, pa.int64()),
+                "valid_from": pa.array([(T0 + pd.Timedelta(days=1)).to_pydatetime()] * len(u), pa.timestamp("us")),
+                "valid_to": pa.array([None] * len(u), pa.timestamp("us")),
+                "tier": pa.array(tiers1, pa.string()),
+            }
+        )
+        return pa.concat_tables([v0, v1])
+
+    dim = users.map_batches(mk_dim, batch_format="pyarrow", zero_copy_batch=True)
+    out = scd2_enrich(ev, dim, "user_id", "ts", ["tier"], num_partitions=8)
+    return out.select_columns(["event_id", "user_id", "tier"])
+
+
 def _q_events_zorder(sf_dir: str):
     """Z-order clustering keys over (user_id, floor-cents value) — the
     Morton interleave under multi-column file clustering, with the
@@ -3003,6 +3050,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_auc": _q_event_value_auc,
         "record_clusters": _q_record_clusters,
         "sessionize_micro": _q_sessionize_micro,
+        "events_scd2": _q_events_scd2,
         "edit_near_dups": _q_edit_near_dups,
         "event_value_winsorized": _q_event_value_winsorized,
         "props_k_by_type": _q_props_k_by_type,
@@ -4518,6 +4566,18 @@ def oracle_sql() -> dict[str, str]:
         # record-linkage replay: blocking rn self-join + levenshtein +
         # recursive transitive closure (the near_dup_clusters pattern).
         # NOTE length(text) == n_chars on this corpus; rank packs (len, id)
+        # SCD-2 replay: interval LEFT join over the synthesized version
+        # table — gap rows get NULL tier
+        "events_scd2": (
+            "WITH u AS (SELECT DISTINCT user_id FROM events), "
+            "dim AS (SELECT user_id, TIMESTAMP '2024-01-01' AS vf, "
+            "TIMESTAMP '2024-01-01 12:00:00' AS vt, 't' || (user_id % 3) AS tier FROM u "
+            "UNION ALL SELECT user_id, TIMESTAMP '2024-01-02', NULL, "
+            "'t' || ((user_id % 3) + 1) FROM u) "
+            "SELECT e.event_id, e.user_id, d.tier FROM events e "
+            "LEFT JOIN dim d ON d.user_id = e.user_id AND e.ts >= d.vf "
+            "AND (d.vt IS NULL OR e.ts < d.vt)"
+        ),
         # micro-batch sessionize: incremental state fold == one-shot, so
         # the one-shot window SQL IS the oracle for the streaming execution
         "sessionize_micro": (

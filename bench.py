@@ -141,6 +141,7 @@ TIMED_QUERIES = [
     "event_value_auc",
     "record_clusters",
     "sessionize_micro",
+    "events_scd2",
 ]
 
 

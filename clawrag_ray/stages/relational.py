@@ -2906,3 +2906,51 @@ def sessionize_incremental(
         )
 
     return state_ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def scd2_enrich(
+    facts: Dataset,
+    dim: Dataset,
+    key: str,
+    ts_col: str,
+    value_cols: list[str],
+    right_key: str | None = None,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    num_partitions: int = 64,
+) -> Dataset:
+    """Slowly-changing-dimension (type 2) enrichment — the warehouse
+    lookup "which version of this entity was in effect when the fact
+    happened": each fact row attaches the dimension version with
+    ``valid_from <= ts`` and (``valid_to`` NULL or ``ts < valid_to``).
+    Composed from the as-of join (latest valid_from <= ts per key) plus a
+    vectorized expiry pass that NULLs the attached values when the
+    matched version had already closed (validity GAPS yield NULLs, same
+    as SQL's interval left join). One keyed exchange (the as-of union
+    shuffle); no per-row probing."""
+
+    j = asof_join(
+        facts,
+        dim,
+        by=key,
+        right_by=right_key or key,
+        left_ts=ts_col,
+        right_ts=valid_from,
+        right_value_cols=value_cols + [valid_to],
+        num_partitions=num_partitions,
+    )
+
+    def expire(b: pa.Table) -> pa.Table:
+        vt = b[valid_to]
+        expired = pc.and_kleene(pc.is_valid(vt), pc.greater_equal(b[ts_col], vt))
+        expired = pc.fill_null(expired, False)
+        t = b
+        for c in value_cols:
+            t = t.set_column(
+                t.schema.get_field_index(c),
+                c,
+                pc.if_else(expired, pa.nulls(b.num_rows, b.schema.field(c).type), b[c]),
+            )
+        return t.drop_columns([valid_to])
+
+    return j.map_batches(expire, batch_format="pyarrow", zero_copy_batch=True)

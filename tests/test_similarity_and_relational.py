@@ -2141,3 +2141,48 @@ class TestSessionizeIncremental:
         # the spanning session counts ONCE with all 6 events
         u1 = one[one.user_id == 1].iloc[0]
         assert u1["n_sessions"] == 1 and u1["longest_session_events"] == 6
+
+
+class TestScd2Enrich:
+    def test_versions_gap_and_open_end(self, ray_session):
+        from clawrag_ray.stages.relational import scd2_enrich
+
+        T = pd.Timestamp("2024-06-01")
+        facts = ray.data.from_arrow(
+            pa.table(
+                {
+                    "fid": pa.array([1, 2, 3, 4], pa.int64()),
+                    "k": pa.array([7, 7, 7, 7], pa.int64()),
+                    "ts": pa.array(
+                        [
+                            T + pd.Timedelta(hours=1),   # inside v0
+                            T + pd.Timedelta(hours=13),  # validity gap -> NULL
+                            T + pd.Timedelta(days=2),    # inside open-ended v1
+                            T - pd.Timedelta(hours=1),   # before any version -> NULL
+                        ],
+                        pa.timestamp("us"),
+                    ),
+                }
+            )
+        ).repartition(2)
+        dim = ray.data.from_arrow(
+            pa.table(
+                {
+                    "k": pa.array([7, 7], pa.int64()),
+                    "valid_from": pa.array(
+                        [T.to_pydatetime(), (T + pd.Timedelta(days=1)).to_pydatetime()],
+                        pa.timestamp("us"),
+                    ),
+                    "valid_to": pa.array(
+                        [(T + pd.Timedelta(hours=12)).to_pydatetime(), None], pa.timestamp("us")
+                    ),
+                    "attr": ["old", "new"],
+                }
+            )
+        )
+        got = (
+            scd2_enrich(facts, dim, "k", "ts", ["attr"], num_partitions=4)
+            .to_pandas()
+            .sort_values("fid")
+        )
+        assert got["attr"].tolist() == ["old", None, "new", None]
