@@ -1978,6 +1978,30 @@ def _q_events_scd2(sf_dir: str):
     return out.select_columns(["event_id", "user_id", "tier"])
 
 
+def _q_minhash_incremental(sf_dir: str):
+    """Incremental MinHash dedup: docs doc_id%10==0 arrive as the new
+    crawl batch, the rest are the indexed corpus — near-dup pairs
+    touching >= 1 new doc only (the seen x seen mass never re-pairs);
+    oracle = the exact Jaccard sweep restricted the same way."""
+    import pyarrow.compute as pc
+
+    from clawrag_ray.stages.dedup import minhash_incremental_near_dups
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def split(is_new: bool):
+        def fn(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            m = (ids % 10 == 0) if is_new else (ids % 10 != 0)
+            return b.filter(pa.array(m))
+
+        return fn
+
+    new = docs.map_batches(split(True), batch_format="pyarrow", zero_copy_batch=True)
+    seen = docs.map_batches(split(False), batch_format="pyarrow", zero_copy_batch=True)
+    return minhash_incremental_near_dups(new, seen, threshold=0.5, num_partitions=8)
+
+
 def _q_events_zorder(sf_dir: str):
     """Z-order clustering keys over (user_id, floor-cents value) — the
     Morton interleave under multi-column file clustering, with the
@@ -3051,6 +3075,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "record_clusters": _q_record_clusters,
         "sessionize_micro": _q_sessionize_micro,
         "events_scd2": _q_events_scd2,
+        "minhash_incremental": _q_minhash_incremental,
         "edit_near_dups": _q_edit_near_dups,
         "event_value_winsorized": _q_event_value_winsorized,
         "props_k_by_type": _q_props_k_by_type,
@@ -4566,6 +4591,13 @@ def oracle_sql() -> dict[str, str]:
         # record-linkage replay: blocking rn self-join + levenshtein +
         # recursive transitive closure (the near_dup_clusters pattern).
         # NOTE length(text) == n_chars on this corpus; rank packs (len, id)
+        # incremental-minhash replay: the exact pair sweep restricted to
+        # pairs touching the new batch (LSH miss < 1e-8 at J >= 0.5)
+        "minhash_incremental": (
+            "WITH " + _JACCARD_CTE + " "
+            "SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM jac "
+            "WHERE j >= 0.5 AND (doc_a % 10 = 0 OR doc_b % 10 = 0)"
+        ),
         # SCD-2 replay: interval LEFT join over the synthesized version
         # table — gap rows get NULL tier
         "events_scd2": (

@@ -142,6 +142,7 @@ TIMED_QUERIES = [
     "record_clusters",
     "sessionize_micro",
     "events_scd2",
+    "minhash_incremental",
 ]
 
 

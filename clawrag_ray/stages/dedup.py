@@ -1715,3 +1715,81 @@ def record_linkage_clusters(
     return label_clusters(
         ds.select_columns([id_col]), verified, id_col=id_col, num_partitions=num_partitions
     )
+
+
+def minhash_incremental_near_dups(
+    new_ds: Dataset,
+    seen_ds: Dataset,
+    threshold: float = 0.5,
+    shingle_k: int = 3,
+    n_perm: int = 128,
+    n_bands: int = 64,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Incremental MinHash dedup — near-dup pairs for a NEW crawl batch
+    against an already-indexed corpus (plus within the batch itself)
+    WITHOUT re-pairing the seen corpus against itself: band rows from
+    both sides share the LSH bucket space, but bucket pair generation
+    emits only pairs touching >= 1 new doc — the seen x seen quadratic
+    mass (the bulk, forever re-found by a full re-run) never exists. The
+    seen side's band rows are exactly what an index persists, so at
+    10^12 docs this is one banding pass over the BATCH plus a bucket
+    join against stored bands. Exact Jaccard verify via the pair-leg
+    bucket join over the union corpus; same (1 - J^r)^b miss bound as
+    minhash_near_dups, so at threshold >= 0.5 the output equals the
+    exact cross-pair sweep (the oracle). Returns (doc_a, doc_b, jaccard)
+    as a Dataset."""
+    from clawrag_ray.stages.relational import hash_partitioned_groups
+
+    minhash_kw = {"shingle_k": shingle_k, "n_perm": n_perm, "n_bands": n_bands}
+
+    def band_side(ds: Dataset, is_new: int) -> Dataset:
+        def band_rows(batch: pa.Table) -> pa.Table:
+            t = _cached_hasher(**minhash_kw)(batch)
+            return t.append_column(
+                "is_new", pa.array(np.full(t.num_rows, is_new, dtype=np.int8))
+            )
+
+        return ds.select_columns(["doc_id", "text"]).map_batches(
+            band_rows, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    bands = band_side(new_ds, 1).union(band_side(seen_ds, 0))
+
+    def part_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        colliding = g[g.duplicated(subset=["band_id", "band_hash"], keep=False)]
+        out_a, out_b = [], []
+        for _, grp in colliding.groupby(["band_id", "band_hash"], sort=False):
+            rows = sorted(zip(grp["doc_id"].tolist(), grp["is_new"].tolist()))
+            for i in range(len(rows)):
+                for j in range(i + 1, len(rows)):
+                    if rows[i][1] or rows[j][1]:
+                        out_a.append(rows[i][0])
+                        out_b.append(rows[j][0])
+        return pd.DataFrame(
+            {
+                "doc_a": pd.Series(out_a, dtype=g["doc_id"].dtype),
+                "doc_b": pd.Series(out_b, dtype=g["doc_id"].dtype),
+            }
+        ).drop_duplicates()
+
+    cand = hash_partitioned_groups(bands, ["band_id", "band_hash"], part_pairs, num_partitions=num_partitions)
+
+    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates()
+
+    cand = hash_partitioned_groups(cand, ["doc_a", "doc_b"], dedup_pairs, num_partitions=num_partitions).materialize()
+
+    corpus = new_ds.select_columns(["doc_id", "text"]).union(
+        seen_ds.select_columns(["doc_id", "text"])
+    )
+    verified = _verify_pairs_jaccard_ds(corpus, cand, threshold, shingle_k, num_partitions)
+    if verified is None:
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.schema(
+                [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("jaccard", pa.float64())]
+            ).empty_table()
+        )
+    return verified

@@ -567,3 +567,33 @@ class TestRecordLinkageClusters:
         assert got.loc[1, "cluster_id"] == 1 and got.loc[2, "cluster_id"] == 1
         assert got.loc[3, "cluster_id"] == 1 and got.loc[1, "cluster_size"] == 3
         assert got.loc[4, "cluster_size"] == 1 and got.loc[5, "cluster_size"] == 1
+
+
+class TestMinhashIncremental:
+    def test_cross_and_within_batch_pairs_only(self, ray_session):
+        from clawrag_ray.stages.dedup import minhash_incremental_near_dups
+
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+        seen_rows = [(1, base), (2, "totally unrelated seen text with many words here"),
+                     (3, base + "tail one")]  # 1~3 near-dup WITHIN seen: must NOT appear
+        new_rows = [(10, base + "tail two"),  # near-dup with seen 1 and 3
+                    (11, base + "tail two"),  # exact dup of 10: within-batch pair
+                    (12, "fresh unique content nothing like anything else at all")]
+        seen = ray.data.from_arrow(
+            pa.table({"doc_id": pa.array([r[0] for r in seen_rows], pa.int64()),
+                      "text": [r[1] for r in seen_rows]})
+        ).repartition(2)
+        new = ray.data.from_arrow(
+            pa.table({"doc_id": pa.array([r[0] for r in new_rows], pa.int64()),
+                      "text": [r[1] for r in new_rows]})
+        )
+        got = (
+            minhash_incremental_near_dups(new, seen, threshold=0.5, num_partitions=4)
+            .to_pandas()
+            .sort_values(["doc_a", "doc_b"])
+        )
+        pairs = set(zip(got["doc_a"], got["doc_b"]))
+        assert (10, 11) in pairs            # within-batch
+        assert (1, 10) in pairs and (3, 10) in pairs  # cross batch-vs-seen
+        assert (1, 3) not in pairs          # seen x seen never emitted
+        assert not any(a == 12 or b == 12 for a, b in pairs)
