@@ -2002,6 +2002,42 @@ def _q_minhash_incremental(sf_dir: str):
     return minhash_incremental_near_dups(new, seen, threshold=0.5, num_partitions=8)
 
 
+def _q_concurrent_users(sf_dir: str):
+    """Interval-overlap self-join: each user's activity span ([first
+    event, first event + (user%5+1) hours]) against every other's —
+    overlapping pairs + exact overlap length, each pair found exactly
+    once (emitted from the overlap's start bucket)."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Min as AggMin
+
+    from clawrag_ray.stages.relational import interval_overlap_join
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def pmin(b: pa.Table) -> pa.Table:
+        t = pa.table({"user_id": b["user_id"], "tsu": b["ts"].cast(pa.int64())})
+        g = t.group_by("user_id").aggregate([("tsu", "min")])
+        return g.rename_columns(["user_id", "p"])
+
+    mins = (
+        ev.map_batches(pmin, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(AggMin("p", alias_name="s"))
+    )
+
+    def mk_iv(b: pa.Table) -> pa.Table:
+        u = b["user_id"].to_numpy(zero_copy_only=False)
+        s = pc.cast(b["s"], pa.int64()).to_numpy(zero_copy_only=False)
+        dur = (u % 5 + 1) * 3_600_000_000
+        return pa.table(
+            {"user_id": b["user_id"], "s": pa.array(s), "e": pa.array(s + dur)}
+        )
+
+    iv = mins.map_batches(mk_iv, batch_format="pyarrow", zero_copy_batch=True)
+    return interval_overlap_join(iv, "user_id", "s", "e", num_partitions=8)
+
+
 def _q_events_zorder(sf_dir: str):
     """Z-order clustering keys over (user_id, floor-cents value) — the
     Morton interleave under multi-column file clustering, with the
@@ -3076,6 +3112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_micro": _q_sessionize_micro,
         "events_scd2": _q_events_scd2,
         "minhash_incremental": _q_minhash_incremental,
+        "concurrent_users": _q_concurrent_users,
         "edit_near_dups": _q_edit_near_dups,
         "event_value_winsorized": _q_event_value_winsorized,
         "props_k_by_type": _q_props_k_by_type,
@@ -4591,6 +4628,15 @@ def oracle_sql() -> dict[str, str]:
         # record-linkage replay: blocking rn self-join + levenshtein +
         # recursive transitive closure (the near_dup_clusters pattern).
         # NOTE length(text) == n_chars on this corpus; rank packs (len, id)
+        # overlap-join replay: per-user span CTE + plain overlap self-join
+        "concurrent_users": (
+            "WITH m AS (SELECT user_id, min(epoch_us(ts)) AS s FROM events GROUP BY 1), "
+            "iv AS (SELECT user_id, s, s + (user_id % 5 + 1) * 3600000000 AS e FROM m) "
+            "SELECT a.user_id AS id_a, b.user_id AS id_b, "
+            "(least(a.e, b.e) - greatest(a.s, b.s))::BIGINT AS overlap_us "
+            "FROM iv a JOIN iv b ON a.user_id < b.user_id "
+            "AND a.s < b.e AND b.s < a.e"
+        ),
         # incremental-minhash replay: the exact pair sweep restricted to
         # pairs touching the new batch (LSH miss < 1e-8 at J >= 0.5)
         "minhash_incremental": (

@@ -143,6 +143,7 @@ TIMED_QUERIES = [
     "sessionize_micro",
     "events_scd2",
     "minhash_incremental",
+    "concurrent_users",
 ]
 
 

@@ -2954,3 +2954,73 @@ def scd2_enrich(
         return t.drop_columns([valid_to])
 
     return j.map_batches(expire, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def interval_overlap_join(
+    ds: Dataset,
+    id_col: str,
+    s_col: str,
+    e_col: str,
+    bucket_us: int = 6 * 3600 * 1_000_000,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Interval x interval overlap self-join: all pairs with
+    ``a.s < b.e AND b.s < a.e`` plus the overlap length — the
+    concurrency/conflict detector (overlapping sessions, double
+    bookings, co-active sensors). Each interval replicates only to the
+    time buckets it spans, and a pair is emitted ONLY from the bucket
+    containing ``max(a.s, b.s)`` (the overlap's start bucket) — exactly
+    once, no cross-bucket dedup pass. Inside each hash partition the
+    per-bucket pairing is one vectorized self-merge + mask; int64
+    microseconds end-to-end so overlap lengths are exact. Size
+    ``bucket_us`` near the typical interval length: replication factor
+    ~len/bucket, per-bucket pair work ~density² (the documented skew
+    knob; a sweep-line per bucket is the swap for pathological
+    densities). Output: (id_a, id_b, overlap_us)."""
+    import numpy as np
+
+    def explode(b: pa.Table) -> pa.Table:
+        s = b[s_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        e = b[e_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        b0 = s // bucket_us
+        b1 = (e - 1) // bucket_us
+        reps = (b1 - b0 + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(s)), reps)
+        bkt = np.concatenate([np.arange(a, z + 1) for a, z in zip(b0, b1)]) if len(s) else np.empty(0, dtype=np.int64)
+        return pa.table(
+            {
+                "__bkt": pa.array(bkt, pa.int64()),
+                id_col: pa.array(ids[idx], b[id_col].type),
+                "s": pa.array(s[idx]),
+                "e": pa.array(e[idx]),
+            }
+        )
+
+    rows = ds.select_columns([id_col, s_col, e_col]).map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on="__bkt")
+        m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
+        if m.empty:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.array([], dtype="int64"),
+                    "id_b": pd.array([], dtype="int64"),
+                    "overlap_us": pd.array([], dtype="int64"),
+                }
+            )
+        os_ = np.maximum(m["s_x"].to_numpy(), m["s_y"].to_numpy())
+        oe = np.minimum(m["e_x"].to_numpy(), m["e_y"].to_numpy())
+        keep = (os_ < oe) & (os_ // bucket_us == m["__bkt"].to_numpy())
+        return pd.DataFrame(
+            {
+                "id_a": m[f"{id_col}_x"].to_numpy()[keep],
+                "id_b": m[f"{id_col}_y"].to_numpy()[keep],
+                "overlap_us": (oe - os_)[keep].astype("int64"),
+            }
+        )
+
+    return hash_partitioned_groups(rows, ["__bkt"], per_part, num_partitions=num_partitions)

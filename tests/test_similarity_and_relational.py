@@ -2186,3 +2186,31 @@ class TestScd2Enrich:
             .sort_values("fid")
         )
         assert got["attr"].tolist() == ["old", None, "new", None]
+
+
+class TestIntervalOverlapJoin:
+    def test_exactly_once_across_buckets(self, ray_session):
+        import numpy as np
+
+        from clawrag_ray.stages.relational import interval_overlap_join
+
+        B = 100  # tiny buckets so spans cross many
+        t = pa.table(
+            {
+                "id": pa.array([1, 2, 3, 4], pa.int64()),
+                "s": pa.array([0, 50, 410, 1000], pa.int64()),
+                "e": pa.array([500, 450, 420, 1100], pa.int64()),
+            }
+        )
+        got = (
+            interval_overlap_join(
+                ray.data.from_arrow(t).repartition(2), "id", "s", "e", bucket_us=B, num_partitions=4
+            )
+            .to_pandas()
+            .sort_values(["id_a", "id_b"])
+            .reset_index(drop=True)
+        )
+        # expected: (1,2) overlap 400, (1,3) overlap 10, (2,3) overlap 10;
+        # 4 overlaps nothing; every pair appears exactly once despite
+        # spanning multiple buckets
+        assert list(map(tuple, got.to_numpy())) == [(1, 2, 400), (1, 3, 10), (2, 3, 10)]
