@@ -1999,7 +1999,53 @@ def _q_minhash_incremental(sf_dir: str):
 
     new = docs.map_batches(split(True), batch_format="pyarrow", zero_copy_batch=True)
     seen = docs.map_batches(split(False), batch_format="pyarrow", zero_copy_batch=True)
-    return minhash_incremental_near_dups(new, seen, threshold=0.5, num_partitions=8)
+    # the %10 split is provably id-disjoint -> skip the prefer-new dedup pass
+    return minhash_incremental_near_dups(
+        new, seen, threshold=0.5, num_partitions=8, assume_disjoint_ids=True
+    )
+
+
+def _q_minhash_incremental_persisted(sf_dir: str):
+    """Incremental MinHash against a PERSISTED band index: the indexed
+    corpus' (doc_id, band_id, band_hash) rows are written to parquet once
+    (the index a deployment maintains alongside the corpus), and the new
+    crawl batch (doc_id%10==0) bucket-joins against the STORED rows — the
+    seen corpus is never re-shingled. Result-identical to
+    minhash_incremental on the same split (shared oracle), which is the
+    end-to-end proof the persisted-index path works."""
+    import tempfile
+
+    import ray
+
+    from clawrag_ray.stages.dedup import minhash_band_table, minhash_incremental_near_dups
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def split(is_new: bool):
+        def fn(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            m = (ids % 10 == 0) if is_new else (ids % 10 != 0)
+            return b.filter(pa.array(m))
+
+        return fn
+
+    new = docs.map_batches(split(True), batch_format="pyarrow", zero_copy_batch=True)
+    seen = docs.map_batches(split(False), batch_format="pyarrow", zero_copy_batch=True)
+    band_dir = tempfile.mkdtemp(prefix="clawrag_bands_", dir="/tmp")
+    minhash_band_table(seen, shingle_k=3, n_perm=128, n_bands=64).write_parquet(band_dir)
+    seen_bands = ray.data.read_parquet(band_dir, columns=["doc_id", "band_id", "band_hash"])
+    out = minhash_incremental_near_dups(
+        new,
+        seen,
+        threshold=0.5,
+        num_partitions=8,
+        seen_bands=seen_bands,
+        assume_disjoint_ids=True,
+    ).materialize()
+    import shutil as _sh
+
+    _sh.rmtree(band_dir, ignore_errors=True)
+    return out
 
 
 def _q_concurrent_users(sf_dir: str):
@@ -3112,6 +3158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize_micro": _q_sessionize_micro,
         "events_scd2": _q_events_scd2,
         "minhash_incremental": _q_minhash_incremental,
+        "minhash_incremental_persisted": _q_minhash_incremental_persisted,
         "concurrent_users": _q_concurrent_users,
         "edit_near_dups": _q_edit_near_dups,
         "event_value_winsorized": _q_event_value_winsorized,
@@ -4640,6 +4687,13 @@ def oracle_sql() -> dict[str, str]:
         # incremental-minhash replay: the exact pair sweep restricted to
         # pairs touching the new batch (LSH miss < 1e-8 at J >= 0.5)
         "minhash_incremental": (
+            "WITH " + _JACCARD_CTE + " "
+            "SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM jac "
+            "WHERE j >= 0.5 AND (doc_a % 10 = 0 OR doc_b % 10 = 0)"
+        ),
+        # persisted-band path must be result-identical to the re-banding
+        # path: same exact-sweep oracle on the same split
+        "minhash_incremental_persisted": (
             "WITH " + _JACCARD_CTE + " "
             "SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM jac "
             "WHERE j >= 0.5 AND (doc_a % 10 = 0 OR doc_b % 10 = 0)"

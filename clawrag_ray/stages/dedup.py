@@ -329,7 +329,55 @@ def _cached_hasher(**kw) -> "MinHasher":
     return _HASHER_CACHE[key]
 
 
-def minhash_candidate_pairs(ds: Dataset, concurrency=None, **minhash_kw) -> Dataset:
+def _sorted_group_pair_indices(codes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """All within-group (i < j, group-local) index pairs over rows whose
+    group codes are CONTIGUOUS (rows pre-sorted by group) — pure numpy
+    index algebra, no Python loop over groups. For a group of n rows
+    emits its n*(n-1)/2 ordered row-index pairs; callers index any
+    row-aligned array (ids, flags) with the result."""
+    n = len(codes)
+    if n == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z
+    idx = np.arange(n, dtype=np.int64)
+    new_grp = np.empty(n, dtype=bool)
+    new_grp[0] = True
+    new_grp[1:] = codes[1:] != codes[:-1]
+    starts = idx[new_grp]
+    sizes = np.diff(np.append(starts, n))
+    group_end = np.repeat(starts + sizes, sizes)  # exclusive end per row
+    reps = group_end - idx - 1  # row i pairs with every later row in its group
+    total = int(reps.sum())
+    if total == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z
+    a_idx = np.repeat(idx, reps)
+    seg_start = np.repeat(np.cumsum(reps) - reps, reps)
+    b_idx = np.repeat(idx + 1, reps) + (np.arange(total, dtype=np.int64) - seg_start)
+    return a_idx, b_idx
+
+
+def minhash_band_table(ds: Dataset, concurrency=None, **minhash_kw) -> Dataset:
+    """documents(doc_id, text) -> the persistable LSH index rows
+    (doc_id, band_id:int32, band_hash:string). Writing this table once
+    per indexed corpus is what makes minhash_incremental_near_dups'
+    ``seen_bands=`` path real: a new crawl batch bands only ITSELF and
+    bucket-joins against the stored rows — the 10^12-doc corpus is never
+    re-shingled. Runs as tasks with a per-worker cached hasher (the state
+    is ~2 KB of permutation params)."""
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        return _cached_hasher(**minhash_kw)(batch)
+
+    kw = {"concurrency": concurrency} if concurrency else {}
+    return ds.select_columns(["doc_id", "text"]).map_batches(
+        band_rows, batch_format="pyarrow", zero_copy_batch=True, **kw
+    )
+
+
+def minhash_candidate_pairs(
+    ds: Dataset, concurrency=None, max_bucket_size: int | None = None, **minhash_kw
+) -> Dataset:
     """documents(doc_id, text) -> candidate near-dup pairs (doc_a, doc_b)
     via LSH band buckets. Pairs are deduped across bands.
 
@@ -339,39 +387,43 @@ def minhash_candidate_pairs(ds: Dataset, concurrency=None, **minhash_kw) -> Data
     ~2 s on 5k docs). Bucket formation and cross-band pair dedup both run
     as hash-partitioned group passes (64 partitions each, NOT one group
     per bucket/pair): per-partition pandas drops the overwhelmingly-
-    singleton buckets vectorized before the tiny Python pair loop, and the
-    per-group aggregate overhead of 300k+ singleton groups disappears
-    (measured: the sf0.1 candidate stage dropped ~11 s -> ~4 s). Fully
-    distributed — nothing corpus-sized ever lands on the driver."""
+    singleton buckets vectorized, and pair emission is one numpy
+    index-algebra pass over the sorted colliding rows (no Python loop
+    at all). ``max_bucket_size`` caps the quadratic bucket blow-up on
+    exact-duplicate-heavy crawls (a hot page's million copies share every
+    band bucket -> 5e11 pairs from ONE bucket): oversized buckets drop
+    with a documented recall trade — their members are exact/boilerplate
+    duplicates the cheap exact-dedup pass (with_text_hash) catches first,
+    the standard pipeline order (SimHash-parity knob, dedup.py simhash
+    ``max_bucket_size``). Fully distributed — nothing corpus-sized ever
+    lands on the driver."""
     from clawrag_ray.stages.relational import hash_partitioned_groups
 
-    def band_rows(batch: pa.Table) -> pa.Table:
-        return _cached_hasher(**minhash_kw)(batch)
-
-    kw = {"concurrency": concurrency} if concurrency else {}
-    bands = ds.select_columns(["doc_id", "text"]).map_batches(
-        band_rows,
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        **kw,
-    )
+    bands = minhash_band_table(ds, concurrency=concurrency, **minhash_kw)
 
     def part_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "doc_a": pd.Series([], dtype=g["doc_id"].dtype),
+                "doc_b": pd.Series([], dtype=g["doc_id"].dtype),
+            }
+        )
         # singleton buckets (the vast majority) drop in one vectorized mask
         colliding = g[g.duplicated(subset=["band_id", "band_hash"], keep=False)]
-        out_a, out_b = [], []
-        for _, grp in colliding.groupby(["band_id", "band_hash"], sort=False):
-            ids = sorted(grp["doc_id"].tolist())
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
-        return pd.DataFrame(
-            {
-                "doc_a": pd.Series(out_a, dtype=g["doc_id"].dtype),
-                "doc_b": pd.Series(out_b, dtype=g["doc_id"].dtype),
-            }
-        ).drop_duplicates()
+        if colliding.empty:
+            return empty
+        srt = colliding.sort_values(["band_id", "band_hash", "doc_id"], kind="mergesort")
+        codes = srt.groupby(["band_id", "band_hash"], sort=False).ngroup().to_numpy()
+        ids = srt["doc_id"].to_numpy()
+        if max_bucket_size:
+            sizes = np.bincount(codes)
+            keep = sizes[codes] <= max_bucket_size
+            ids, codes = ids[keep], codes[keep]
+        ai, bi = _sorted_group_pair_indices(codes)
+        mask = ids[ai] != ids[bi]  # duplicate doc_id rows never self-pair
+        if not mask.any():
+            return empty
+        return pd.DataFrame({"doc_a": ids[ai][mask], "doc_b": ids[bi][mask]}).drop_duplicates()
 
     cand = hash_partitioned_groups(bands, ["band_id", "band_hash"], part_pairs)
     # cross-band duplicates span partitions; dedup with one more 64-group pass
@@ -552,15 +604,24 @@ def minhash_near_dups(
     n_perm: int = 128,
     n_bands: int = 64,
     concurrency=None,
+    max_bucket_size: int | None = None,
 ) -> pd.DataFrame:
     """Full near-dup pipeline: LSH candidates -> exact n-gram Jaccard
     verification (the production near-dup path). With the default r =
     n_perm/n_bands = 2 rows per band and b = 64 bands, the probability a
     pair at Jaccard J is MISSED is (1 - J^2)^64 — below 1e-8 at J = 0.5 —
     so at thresholds >= 0.5 the output equals the exact all-pairs result
-    (and shares its DuckDB oracle). Returns (doc_a, doc_b, jaccard)."""
+    (and shares its DuckDB oracle). ``max_bucket_size`` is the
+    production skew guard (see minhash_candidate_pairs); at test scale
+    buckets stay far below any sane cap, so the oracle is unaffected.
+    Returns (doc_a, doc_b, jaccard)."""
     pairs = minhash_candidate_pairs(
-        ds, concurrency=concurrency, shingle_k=shingle_k, n_perm=n_perm, n_bands=n_bands
+        ds,
+        concurrency=concurrency,
+        max_bucket_size=max_bucket_size,
+        shingle_k=shingle_k,
+        n_perm=n_perm,
+        n_bands=n_bands,
     )
     return _verify_pairs_jaccard(ds, pairs, threshold, shingle_k)
 
@@ -1725,53 +1786,79 @@ def minhash_incremental_near_dups(
     n_perm: int = 128,
     n_bands: int = 64,
     num_partitions: int = 64,
+    max_bucket_size: int | None = None,
+    seen_bands: Dataset | None = None,
+    assume_disjoint_ids: bool = False,
 ) -> Dataset:
     """Incremental MinHash dedup — near-dup pairs for a NEW crawl batch
     against an already-indexed corpus (plus within the batch itself)
     WITHOUT re-pairing the seen corpus against itself: band rows from
     both sides share the LSH bucket space, but bucket pair generation
     emits only pairs touching >= 1 new doc — the seen x seen quadratic
-    mass (the bulk, forever re-found by a full re-run) never exists. The
-    seen side's band rows are exactly what an index persists, so at
-    10^12 docs this is one banding pass over the BATCH plus a bucket
-    join against stored bands. Exact Jaccard verify via the pair-leg
-    bucket join over the union corpus; same (1 - J^r)^b miss bound as
-    minhash_near_dups, so at threshold >= 0.5 the output equals the
-    exact cross-pair sweep (the oracle). Returns (doc_a, doc_b, jaccard)
-    as a Dataset."""
+    mass (the bulk, forever re-found by a full re-run) never exists.
+
+    Pass ``seen_bands`` (a Dataset of persisted (doc_id, band_id,
+    band_hash) rows — minhash_band_table's output, written once when the
+    corpus was indexed) and the seen corpus is never re-shingled: one
+    banding pass over the BATCH plus a bucket join against the stored
+    rows, the real 10^12-doc deployment shape. ``seen_ds`` is still
+    required — the exact-Jaccard verify needs the seen TEXTS (joined
+    once, distributed; only candidate docs' texts move).
+
+    doc_id collisions across sides (a re-crawled doc) are handled: bucket
+    pair emission never self-pairs, and the verify corpus dedupes by
+    doc_id PREFERRING THE NEW side's text. Set
+    ``assume_disjoint_ids=True`` when the caller guarantees disjoint ids
+    to skip that dedup shuffle. ``max_bucket_size`` drops degenerate
+    band buckets (see minhash_candidate_pairs — exact-dup-heavy crawls).
+
+    Exact Jaccard verify via the pair-leg bucket join over the union
+    corpus; same (1 - J^r)^b miss bound as minhash_near_dups, so at
+    threshold >= 0.5 the output equals the exact cross-pair sweep (the
+    oracle). Returns (doc_a, doc_b, jaccard) as a Dataset."""
     from clawrag_ray.stages.relational import hash_partitioned_groups
 
     minhash_kw = {"shingle_k": shingle_k, "n_perm": n_perm, "n_bands": n_bands}
 
-    def band_side(ds: Dataset, is_new: int) -> Dataset:
-        def band_rows(batch: pa.Table) -> pa.Table:
-            t = _cached_hasher(**minhash_kw)(batch)
+    def tag(ds: Dataset, is_new: int) -> Dataset:
+        def add_flag(t: pa.Table) -> pa.Table:
             return t.append_column(
                 "is_new", pa.array(np.full(t.num_rows, is_new, dtype=np.int8))
             )
 
-        return ds.select_columns(["doc_id", "text"]).map_batches(
-            band_rows, batch_format="pyarrow", zero_copy_batch=True
-        )
+        return ds.map_batches(add_flag, batch_format="pyarrow", zero_copy_batch=True)
 
-    bands = band_side(new_ds, 1).union(band_side(seen_ds, 0))
+    seen_band_rows = (
+        seen_bands.select_columns(["doc_id", "band_id", "band_hash"])
+        if seen_bands is not None
+        else minhash_band_table(seen_ds, **minhash_kw)
+    )
+    bands = tag(minhash_band_table(new_ds, **minhash_kw), 1).union(tag(seen_band_rows, 0))
 
     def part_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        colliding = g[g.duplicated(subset=["band_id", "band_hash"], keep=False)]
-        out_a, out_b = [], []
-        for _, grp in colliding.groupby(["band_id", "band_hash"], sort=False):
-            rows = sorted(zip(grp["doc_id"].tolist(), grp["is_new"].tolist()))
-            for i in range(len(rows)):
-                for j in range(i + 1, len(rows)):
-                    if rows[i][1] or rows[j][1]:
-                        out_a.append(rows[i][0])
-                        out_b.append(rows[j][0])
-        return pd.DataFrame(
+        empty = pd.DataFrame(
             {
-                "doc_a": pd.Series(out_a, dtype=g["doc_id"].dtype),
-                "doc_b": pd.Series(out_b, dtype=g["doc_id"].dtype),
+                "doc_a": pd.Series([], dtype=g["doc_id"].dtype),
+                "doc_b": pd.Series([], dtype=g["doc_id"].dtype),
             }
-        ).drop_duplicates()
+        )
+        colliding = g[g.duplicated(subset=["band_id", "band_hash"], keep=False)]
+        if colliding.empty:
+            return empty
+        srt = colliding.sort_values(["band_id", "band_hash", "doc_id"], kind="mergesort")
+        codes = srt.groupby(["band_id", "band_hash"], sort=False).ngroup().to_numpy()
+        ids = srt["doc_id"].to_numpy()
+        isnew = srt["is_new"].to_numpy() != 0
+        if max_bucket_size:
+            sizes = np.bincount(codes)
+            keep = sizes[codes] <= max_bucket_size
+            ids, codes, isnew = ids[keep], codes[keep], isnew[keep]
+        ai, bi = _sorted_group_pair_indices(codes)
+        # >= 1 new side, and never a self-pair (re-crawled doc_id on both sides)
+        mask = (isnew[ai] | isnew[bi]) & (ids[ai] != ids[bi])
+        if not mask.any():
+            return empty
+        return pd.DataFrame({"doc_a": ids[ai][mask], "doc_b": ids[bi][mask]}).drop_duplicates()
 
     cand = hash_partitioned_groups(bands, ["band_id", "band_hash"], part_pairs, num_partitions=num_partitions)
 
@@ -1780,9 +1867,18 @@ def minhash_incremental_near_dups(
 
     cand = hash_partitioned_groups(cand, ["doc_a", "doc_b"], dedup_pairs, num_partitions=num_partitions).materialize()
 
-    corpus = new_ds.select_columns(["doc_id", "text"]).union(
-        seen_ds.select_columns(["doc_id", "text"])
+    corpus = tag(new_ds.select_columns(["doc_id", "text"]), 1).union(
+        tag(seen_ds.select_columns(["doc_id", "text"]), 0)
     )
+    if assume_disjoint_ids:
+        corpus = corpus.select_columns(["doc_id", "text"])
+    else:
+        # re-crawled ids carry two texts; keep the NEW side's (stable sort)
+        def prefer_new(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values("is_new", ascending=False, kind="mergesort")
+            return g.drop_duplicates("doc_id")[["doc_id", "text"]]
+
+        corpus = hash_partitioned_groups(corpus, ["doc_id"], prefer_new, num_partitions=num_partitions)
     verified = _verify_pairs_jaccard_ds(corpus, cand, threshold, shingle_k, num_partitions)
     if verified is None:
         import ray.data as rd

@@ -597,3 +597,131 @@ class TestMinhashIncremental:
         assert (1, 10) in pairs and (3, 10) in pairs  # cross batch-vs-seen
         assert (1, 3) not in pairs          # seen x seen never emitted
         assert not any(a == 12 or b == 12 for a, b in pairs)
+
+
+class TestMinhashBucketCap:
+    """max_bucket_size: the skew guard for exact-duplicate-heavy crawls —
+    oversized band buckets (every copy of a hot page) drop instead of
+    emitting B^2/2 candidate pairs."""
+
+    def _corpus(self):
+        hot = "hot boilerplate page " * 20
+        rows = [(i, hot) for i in range(1, 9)]  # 8 exact copies: bucket size 8
+        rows += [(100, BASE), (101, NEAR)]      # a small legit near-dup pair
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": [r[1] for r in rows],
+                }
+            )
+        ).repartition(3)
+
+    def test_oversized_bucket_dropped_small_kept(self, ray_session):
+        got = minhash_near_dups(self._corpus(), threshold=0.5, max_bucket_size=4)
+        pairs = set(zip(got["doc_a"], got["doc_b"]))
+        assert (100, 101) in pairs                       # size-2 bucket survives
+        assert not any(a < 100 for a, _ in pairs)        # hot-copy pairs all dropped
+
+    def test_uncapped_matches_default(self, ray_session):
+        got = minhash_near_dups(self._corpus(), threshold=0.5)
+        pairs = set(zip(got["doc_a"], got["doc_b"]))
+        assert (100, 101) in pairs
+        assert (1, 2) in pairs and len([p for p in pairs if p[0] < 100]) == 28  # C(8,2)
+
+    def test_incremental_cap(self, ray_session):
+        from clawrag_ray.stages.dedup import minhash_incremental_near_dups
+
+        hot = "hot boilerplate page " * 20
+        seen = ray.data.from_arrow(
+            pa.table({"doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()), "text": [hot] * 5})
+        )
+        new = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([10, 11, 100], pa.int64()),
+                    "text": [hot, hot, BASE],
+                }
+            )
+        )
+        got = minhash_incremental_near_dups(
+            new, seen, threshold=0.5, num_partitions=4, max_bucket_size=4
+        ).to_pandas()
+        assert got.empty  # the only colliding bucket is oversized (7 docs)
+
+
+class TestMinhashIncrementalRecrawl:
+    """A re-crawled doc carries its EXISTING doc_id: no self-pairs, and the
+    verify corpus prefers the new side's text."""
+
+    def test_self_pair_filtered_and_new_text_wins(self, ray_session):
+        from clawrag_ray.stages.dedup import minhash_incremental_near_dups
+
+        seen = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([1, 3], pa.int64()),
+                    # doc 1's OLD text is unrelated; doc 3 matches the re-crawl
+                    "text": [FAR, BASE + " tail"],
+                }
+            )
+        )
+        new = ray.data.from_arrow(
+            pa.table({"doc_id": pa.array([1], pa.int64()), "text": [BASE]})
+        )
+        got = (
+            minhash_incremental_near_dups(new, seen, threshold=0.5, num_partitions=4)
+            .to_pandas()
+            .sort_values(["doc_a", "doc_b"])
+        )
+        pairs = set(zip(got["doc_a"], got["doc_b"]))
+        assert (1, 3) in pairs          # found via the NEW text's bands
+        assert all(a != b for a, b in pairs)
+        # prefer-new: jaccard computed on (BASE, BASE+" tail"), not (FAR, ...)
+        j = float(got.set_index(["doc_a", "doc_b"]).loc[(1, 3), "jaccard"])
+        assert j >= 0.5
+
+    def test_identical_recrawl_no_self_pair(self, ray_session):
+        from clawrag_ray.stages.dedup import minhash_incremental_near_dups
+
+        seen = ray.data.from_arrow(
+            pa.table({"doc_id": pa.array([1, 3], pa.int64()), "text": [BASE, BASE + " tail"]})
+        )
+        new = ray.data.from_arrow(
+            pa.table({"doc_id": pa.array([1], pa.int64()), "text": [BASE]})
+        )
+        got = minhash_incremental_near_dups(new, seen, threshold=0.5, num_partitions=4).to_pandas()
+        pairs = set(zip(got["doc_a"], got["doc_b"]))
+        assert (1, 3) in pairs and (1, 1) not in pairs
+
+
+class TestMinhashPersistedBands:
+    def test_seen_bands_path_identical(self, ray_session, tmp_path):
+        from clawrag_ray.stages.dedup import minhash_band_table, minhash_incremental_near_dups
+
+        seen_rows = [(1, BASE), (2, FAR), (3, BASE + " tail one")]
+        new_rows = [(10, BASE + " tail two"), (11, BASE + " tail two"), (12, "nothing alike here at all")]
+        seen = ray.data.from_arrow(
+            pa.table({"doc_id": pa.array([r[0] for r in seen_rows], pa.int64()),
+                      "text": [r[1] for r in seen_rows]})
+        ).repartition(2)
+        new = ray.data.from_arrow(
+            pa.table({"doc_id": pa.array([r[0] for r in new_rows], pa.int64()),
+                      "text": [r[1] for r in new_rows]})
+        )
+        kw = dict(shingle_k=3, n_perm=128, n_bands=64)
+        band_dir = str(tmp_path / "bands")
+        minhash_band_table(seen, **kw).write_parquet(band_dir)
+        stored = ray.data.read_parquet(band_dir)
+        a = (
+            minhash_incremental_near_dups(new, seen, threshold=0.5, num_partitions=4, **kw)
+            .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+        )
+        b = (
+            minhash_incremental_near_dups(
+                new, seen, threshold=0.5, num_partitions=4, seen_bands=stored,
+                assume_disjoint_ids=True, **kw
+            )
+            .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
