@@ -2827,8 +2827,11 @@ def _q_blocking_pairs(sf_dir: str):
     docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
 
     def pack(b: pa.Table) -> pa.Table:
-        n = b["n_chars"].to_numpy(zero_copy_only=False)
-        i = b["doc_id"].to_numpy(zero_copy_only=False)
+        n = b["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        i = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # loud guard against silent int64 wrap (corrupts the sort order)
+        if len(i) and (int(i.max()) >= (1 << 32) or int(i.min()) < 0 or int(n.max()) >= (1 << 31)):
+            raise ValueError("blocking_pairs: (len, id) pack needs doc_id < 2^32, n_chars < 2^31")
         return pa.table(
             {
                 "doc_id": b["doc_id"],

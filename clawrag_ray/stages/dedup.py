@@ -1445,6 +1445,7 @@ def containment_near_dup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     num_partitions: int = 64,
+    max_shingle_df: int | None = 100_000,
 ) -> Dataset:
     """Containment near-dup join (Broder 1997's resemblance companion
     measure, public): pairs scored by ``max(|A∩B|/|A|, |A∩B|/|B|)`` over
@@ -1461,10 +1462,14 @@ def containment_near_dup_pairs(
     keyed joins; the score is a single IEEE division per side — bit-equal
     cross-engine, so the threshold comparison is exact. Shingles join by
     their STRING (collision-free, mirrors the oracle); a k-docs-share-a-
-    shingle hot key produces k(k-1)/2 pair rows — at boilerplate-heavy
-    web corpora cap per-shingle doc lists (ubiquitous shingles are
-    boilerplate, not duplication signal) or route through the MinHash
-    candidate path; kept exact here to carry the oracle.
+    shingle hot key produces k(k-1)/2 pair rows, so ``max_shingle_df``
+    is the self-certifying guard (edit_distance_near_dups' max_key_df
+    parity): a shingle whose doc list exceeds it RAISES rather than
+    quadratically expanding — ubiquitous shingles are boilerplate, not
+    duplication signal; strip boilerplate (boilerplate_line_dedup) or
+    route through the MinHash candidate path first. The check is exact
+    (rows hash-partition BY shingle, so within-partition df == global
+    df) and the result stays exact whenever it completes.
     Output: (doc_a, doc_b, n_shared, containment) at containment >=
     threshold."""
     from clawrag_ray.stages.curation import _word_shingles
@@ -1486,6 +1491,15 @@ def containment_near_dup_pairs(
     card = pre_aggregate(rows, [id_col], [], count_alias="c").materialize()
 
     def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        if max_shingle_df:
+            sizes = g["s"].value_counts()
+            if len(sizes) and int(sizes.iloc[0]) > max_shingle_df:
+                raise ValueError(
+                    f"containment_near_dup_pairs: a shingle is shared by {int(sizes.iloc[0])} "
+                    f"docs (> max_shingle_df={max_shingle_df}) — boilerplate-hot shingle would "
+                    "expand quadratically; strip boilerplate first (boilerplate_line_dedup) or "
+                    "raise max_shingle_df"
+                )
         m = g.merge(g, on="s")
         m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
         out = (
@@ -1525,6 +1539,21 @@ def containment_near_dup_pairs(
         batch_format="pyarrow",
         zero_copy_batch=True,
     ).materialize()
+    if inter.count() == 0:
+        # typed empty result: the keyed-join schema probe cannot read a
+        # schemaless (all rows pruned) Dataset
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.schema(
+                [
+                    ("doc_a", pa.int64()),
+                    ("doc_b", pa.int64()),
+                    ("n_shared", pa.int64()),
+                    ("containment", pa.float64()),
+                ]
+            ).empty_table()
+        )
 
     with_ca = _keyed_join(
         inter.select_columns(["doc_a", "doc_b", "sum_p"]),
@@ -1572,6 +1601,7 @@ def containment_candidates_prefix(
     id_col: str = "doc_id",
     text_col: str = "text",
     num_partitions: int = 64,
+    max_shingle_df: int | None = 100_000,
 ) -> Dataset:
     """Prefix-filtered candidate pairs for the containment join (the
     PPJoin/All-Pairs prefix principle, Bayardo 2007 / Xiao 2008, public):
@@ -1584,7 +1614,11 @@ def containment_candidates_prefix(
     any) shingle occurrence: candidates = prefix-rows joined against all
     rows, a provable SUPERSET of the answer generated without touching
     the (boilerplate-hot) common-shingle mass that makes the naive
-    self-join quadratic. Output: distinct (doc_a, doc_b)."""
+    self-join quadratic. ``max_shingle_df`` self-certifies even the
+    prefix volume: a shingle whose doc list exceeds it raises (the
+    prefix x all merge for that shingle would still be quadratic-ish on
+    a degenerate corpus; strip boilerplate or dedup exactly first).
+    Output: distinct (doc_a, doc_b)."""
     from ray.data.aggregate import Sum as AggSum
 
     from clawrag_ray.stages.relational import hash_partitioned_groups, pre_aggregate
@@ -1633,6 +1667,14 @@ def containment_candidates_prefix(
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         p = g[g["side"] == 1][["s", id_col]].rename(columns={id_col: "dp"})
         a = g[g["side"] == 0][["s", id_col]].rename(columns={id_col: "da"})
+        if max_shingle_df:
+            sizes = a["s"].value_counts()
+            if len(sizes) and int(sizes.iloc[0]) > max_shingle_df:
+                raise ValueError(
+                    f"containment_candidates_prefix: a shingle is shared by {int(sizes.iloc[0])} "
+                    f"docs (> max_shingle_df={max_shingle_df}) — boilerplate-hot shingle; strip "
+                    "boilerplate first (boilerplate_line_dedup) or raise max_shingle_df"
+                )
         m = p.merge(a, on="s")
         m = m[m["dp"] != m["da"]]
         if m.empty:
@@ -1655,6 +1697,7 @@ def containment_near_dup_pairs_prefix(
     id_col: str = "doc_id",
     text_col: str = "text",
     num_partitions: int = 64,
+    max_shingle_df: int | None = 100_000,
 ) -> Dataset:
     """Scale path for the containment join: prefix-filtered candidates
     (containment_candidates_prefix — provable superset) + exact
@@ -1667,7 +1710,7 @@ def containment_near_dup_pairs_prefix(
     from clawrag_ray.stages.relational import hash_partitioned_groups
 
     cand = containment_candidates_prefix(
-        ds, threshold, shingle_k, id_col, text_col, num_partitions
+        ds, threshold, shingle_k, id_col, text_col, num_partitions, max_shingle_df
     ).materialize()
     if cand.count() == 0:
         import ray.data as rd
@@ -1700,9 +1743,13 @@ def containment_near_dup_pairs_prefix(
             sa, sb = sh(da, ta), sh(db, tb)
             inter = len(sa & sb)
             out_i.append(inter)
-            out_c.append(round(inter / min(len(sa), len(sb)), 6) if inter else 0.0)
-        m = m.assign(n_shared=pd.array(out_i, dtype="int64"), containment=out_c)
-        m = m[m["containment"] >= threshold]
+            out_c.append(inter / min(len(sa), len(sb)) if inter else 0.0)
+        # threshold the UNROUNDED ratio (exact-path parity — rounding first
+        # would keep a value 5e-7 below threshold the exact path drops),
+        # round only for the output column
+        m = m.assign(n_shared=pd.array(out_i, dtype="int64"), __c=out_c)
+        m = m[m["__c"] >= threshold]
+        m = m.assign(containment=np.round(m["__c"].to_numpy(), 6))
         return m[["doc_a", "doc_b", "n_shared", "containment"]]
 
     return hash_partitioned_groups(joined, ["doc_a", "doc_b"], per_part, num_partitions=num_partitions)
@@ -1731,6 +1778,14 @@ def record_linkage_clusters(
     def pack(b: pa.Table) -> pa.Table:
         n = pc.utf8_length(b[text_col]).cast(pa.int64()).to_numpy(zero_copy_only=False)
         i = b[id_col].to_numpy(zero_copy_only=False)
+        # int64 (len << 32) | id pack: silent wrap would corrupt the sort
+        # order sorted_neighborhood_pairs requires — fail loudly instead
+        if len(i) and (int(i.max()) >= (1 << 32) or int(i.min()) < 0 or int(n.max()) >= (1 << 31)):
+            raise ValueError(
+                "record_linkage_clusters: the (length, id) int64 pack requires "
+                "0 <= doc_id < 2^32 and text length < 2^31; map ids through a "
+                "surrogate rank (curation.global_rank) beyond that"
+            )
         return pa.table(
             {id_col: b[id_col], "__ord": pa.array(n * (1 << 32) + i, pa.int64())}
         )

@@ -725,3 +725,60 @@ class TestMinhashPersistedBands:
             .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestContainmentShingleGuard:
+    """max_shingle_df: a boilerplate-hot shingle raises (self-certifying)
+    instead of expanding quadratically — on BOTH containment paths."""
+
+    def _hot_corpus(self):
+        hot = "all rights reserved legal"  # one shingle shared by every doc
+        rows = [(i, f"{hot} unique{i} filler{i} words{i} here{i}") for i in range(1, 7)]
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "text": [r[1] for r in rows],
+                }
+            )
+        ).repartition(2)
+
+    def test_exact_path_raises(self, ray_session):
+        from clawrag_ray.stages.dedup import containment_near_dup_pairs
+
+        with pytest.raises(Exception, match="max_shingle_df"):
+            containment_near_dup_pairs(
+                self._hot_corpus(), threshold=0.5, num_partitions=4, max_shingle_df=4
+            ).materialize()
+
+    def test_prefix_path_raises(self, ray_session):
+        from clawrag_ray.stages.dedup import containment_near_dup_pairs_prefix
+
+        with pytest.raises(Exception, match="max_shingle_df"):
+            containment_near_dup_pairs_prefix(
+                self._hot_corpus(), threshold=0.5, num_partitions=4, max_shingle_df=4
+            ).materialize()
+
+    def test_default_cap_passes_normal_corpus(self, ray_session):
+        from clawrag_ray.stages.dedup import containment_near_dup_pairs
+
+        got = containment_near_dup_pairs(
+            self._hot_corpus(), threshold=0.9, num_partitions=4
+        ).to_pandas()
+        assert got.empty  # no qualifying pairs; guard silent below the cap
+
+
+class TestRecordLinkagePackGuard:
+    def test_oversized_id_raises(self, ray_session):
+        from clawrag_ray.stages.dedup import record_linkage_clusters
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([1, 2**33], pa.int64()),
+                "text": ["short text one", "short text two"],
+            }
+        )
+        with pytest.raises(Exception, match="2\\^32"):
+            record_linkage_clusters(
+                ray.data.from_arrow(t), d=5, window=3, num_partitions=4
+            ).materialize()
