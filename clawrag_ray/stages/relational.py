@@ -2963,6 +2963,7 @@ def interval_overlap_join(
     e_col: str,
     bucket_us: int = 6 * 3600 * 1_000_000,
     num_partitions: int = 64,
+    dense_bucket_threshold: int = 4096,
 ) -> Dataset:
     """Interval x interval overlap self-join: all pairs with
     ``a.s < b.e AND b.s < a.e`` plus the overlap length — the
@@ -2970,19 +2971,29 @@ def interval_overlap_join(
     bookings, co-active sensors). Each interval replicates only to the
     time buckets it spans, and a pair is emitted ONLY from the bucket
     containing ``max(a.s, b.s)`` (the overlap's start bucket) — exactly
-    once, no cross-bucket dedup pass. Inside each hash partition the
-    per-bucket pairing is one vectorized self-merge + mask; int64
-    microseconds end-to-end so overlap lengths are exact. Size
+    once, no cross-bucket dedup pass. Empty/inverted intervals
+    (``e <= s``) overlap nothing under the strict predicate and are
+    dropped map-side (they would also break the bucket-span algebra).
+
+    Inside each hash partition, buckets up to ``dense_bucket_threshold``
+    rows pair via one vectorized self-merge + mask (density² candidates
+    scanned — fine when small); denser buckets switch to a per-bucket
+    SWEEP LINE (sort by start + min-end heap of active intervals:
+    O(n log n + output) instead of density² for long buckets full of
+    short intervals). Identical output either way (pinned in pytest).
+    int64 microseconds end-to-end so overlap lengths are exact. Size
     ``bucket_us`` near the typical interval length: replication factor
-    ~len/bucket, per-bucket pair work ~density² (the documented skew
-    knob; a sweep-line per bucket is the swap for pathological
-    densities). Output: (id_a, id_b, overlap_us)."""
+    ~len/bucket. Output: (id_a, id_b, overlap_us)."""
+    import heapq
+
     import numpy as np
 
     def explode(b: pa.Table) -> pa.Table:
         s = b[s_col].to_numpy(zero_copy_only=False).astype(np.int64)
         e = b[e_col].to_numpy(zero_copy_only=False).astype(np.int64)
         ids = b[id_col].to_numpy(zero_copy_only=False)
+        valid = e > s  # empty/inverted intervals participate in no overlap
+        s, e, ids = s[valid], e[valid], ids[valid]
         b0 = s // bucket_us
         b1 = (e - 1) // bucket_us
         reps = (b1 - b0 + 1).astype(np.int64)
@@ -3001,17 +3012,17 @@ def interval_overlap_join(
         explode, batch_format="pyarrow", zero_copy_batch=True
     )
 
-    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+    _EMPTY = {
+        "id_a": pd.array([], dtype="int64"),
+        "id_b": pd.array([], dtype="int64"),
+        "overlap_us": pd.array([], dtype="int64"),
+    }
+
+    def _merge_pairs(g: pd.DataFrame) -> pd.DataFrame:
         m = g.merge(g, on="__bkt")
         m = m[m[f"{id_col}_x"] < m[f"{id_col}_y"]]
         if m.empty:
-            return pd.DataFrame(
-                {
-                    "id_a": pd.array([], dtype="int64"),
-                    "id_b": pd.array([], dtype="int64"),
-                    "overlap_us": pd.array([], dtype="int64"),
-                }
-            )
+            return pd.DataFrame(_EMPTY)
         os_ = np.maximum(m["s_x"].to_numpy(), m["s_y"].to_numpy())
         oe = np.minimum(m["e_x"].to_numpy(), m["e_y"].to_numpy())
         keep = (os_ < oe) & (os_ // bucket_us == m["__bkt"].to_numpy())
@@ -3022,5 +3033,51 @@ def interval_overlap_join(
                 "overlap_us": (oe - os_)[keep].astype("int64"),
             }
         )
+
+    def _sweep_bucket(sub: pd.DataFrame, bkt: int) -> pd.DataFrame:
+        ids = sub[id_col].to_numpy()
+        s = sub["s"].to_numpy()
+        e = sub["e"].to_numpy()
+        order = np.lexsort((ids, s))
+        ids, s, e = ids[order], s[order], e[order]
+        emit_here = (s // bucket_us) == bkt  # overlap start = s_i for sorted scan
+        active: list[tuple[int, int]] = []  # (end, row pos) min-end heap
+        out_a: list = []
+        out_b: list = []
+        out_ov: list = []
+        for i in range(len(s)):
+            si = int(s[i])
+            while active and active[0][0] <= si:
+                heapq.heappop(active)
+            if emit_here[i]:
+                for ej, j in active:  # every active j overlaps i (e_j > s_i)
+                    if ids[j] != ids[i]:
+                        a, b = (ids[i], ids[j]) if ids[i] < ids[j] else (ids[j], ids[i])
+                        out_a.append(a)
+                        out_b.append(b)
+                        out_ov.append(min(int(e[i]), ej) - si)
+            heapq.heappush(active, (int(e[i]), i))
+        return pd.DataFrame(
+            {
+                "id_a": np.asarray(out_a, dtype="int64"),
+                "id_b": np.asarray(out_b, dtype="int64"),
+                "overlap_us": np.asarray(out_ov, dtype="int64"),
+            }
+        )
+
+    def per_part(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty:
+            return pd.DataFrame(_EMPTY)
+        counts = g["__bkt"].value_counts()
+        dense = counts[counts > dense_bucket_threshold].index
+        if len(dense) == 0:
+            return _merge_pairs(g)
+        frames = []
+        sparse = g[~g["__bkt"].isin(set(dense))]
+        if len(sparse):
+            frames.append(_merge_pairs(sparse))
+        for bkt in dense:
+            frames.append(_sweep_bucket(g[g["__bkt"] == bkt], int(bkt)))
+        return pd.concat(frames, ignore_index=True) if frames else pd.DataFrame(_EMPTY)
 
     return hash_partitioned_groups(rows, ["__bkt"], per_part, num_partitions=num_partitions)

@@ -2214,3 +2214,82 @@ class TestIntervalOverlapJoin:
         # 4 overlaps nothing; every pair appears exactly once despite
         # spanning multiple buckets
         assert list(map(tuple, got.to_numpy())) == [(1, 2, 400), (1, 3, 10), (2, 3, 10)]
+
+    def test_empty_and_inverted_intervals_dropped(self, ray_session):
+        from clawrag_ray.stages.relational import interval_overlap_join
+
+        t = pa.table(
+            {
+                "id": pa.array([1, 2, 3, 4], pa.int64()),
+                "s": pa.array([0, 50, 70, 300], pa.int64()),
+                "e": pa.array([500, 50, 30, 400], pa.int64()),  # 2 empty, 3 inverted
+            }
+        )
+        got = (
+            interval_overlap_join(
+                ray.data.from_arrow(t), "id", "s", "e", bucket_us=100, num_partitions=4
+            )
+            .to_pandas()
+            .sort_values(["id_a", "id_b"])
+            .reset_index(drop=True)
+        )
+        # degenerate rows crash nothing and pair with nothing
+        assert list(map(tuple, got.to_numpy())) == [(1, 4, 100)]
+
+    def test_dense_bucket_sweep_equals_merge(self, ray_session):
+        import numpy as np
+
+        from clawrag_ray.stages.relational import interval_overlap_join
+
+        rng = np.random.RandomState(11)
+        n = 600
+        # one long bucket (bucket_us huge) holding every interval: dense path
+        s = rng.randint(0, 10_000, size=n).astype(np.int64)
+        e = s + rng.randint(1, 60, size=n)
+        t = pa.table(
+            {
+                "id": pa.array(np.arange(n), pa.int64()),
+                "s": pa.array(s),
+                "e": pa.array(e),
+            }
+        )
+        ds = ray.data.from_arrow(t).repartition(3)
+        kw = dict(bucket_us=1_000_000, num_partitions=4)
+        merge = (
+            interval_overlap_join(ds, "id", "s", "e", dense_bucket_threshold=10**9, **kw)
+            .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        )
+        sweep = (
+            interval_overlap_join(ds, "id", "s", "e", dense_bucket_threshold=8, **kw)
+            .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        )
+        assert len(merge) > 100  # the fixture actually generates overlap mass
+        pd.testing.assert_frame_equal(merge, sweep)
+
+    def test_dense_bucket_sweep_multi_bucket(self, ray_session):
+        import numpy as np
+
+        from clawrag_ray.stages.relational import interval_overlap_join
+
+        rng = np.random.RandomState(7)
+        n = 400
+        s = rng.randint(0, 3_000, size=n).astype(np.int64)
+        e = s + rng.randint(1, 900, size=n)  # spans cross buckets (bucket=500)
+        t = pa.table(
+            {
+                "id": pa.array(np.arange(n), pa.int64()),
+                "s": pa.array(s),
+                "e": pa.array(e),
+            }
+        )
+        ds = ray.data.from_arrow(t).repartition(3)
+        kw = dict(bucket_us=500, num_partitions=4)
+        merge = (
+            interval_overlap_join(ds, "id", "s", "e", dense_bucket_threshold=10**9, **kw)
+            .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        )
+        sweep = (
+            interval_overlap_join(ds, "id", "s", "e", dense_bucket_threshold=16, **kw)
+            .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(merge, sweep)
