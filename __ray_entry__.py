@@ -1797,6 +1797,17 @@ def _q_cdc_chunks(sf_dir: str):
     return cdc_chunks(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def _q_cdc_chunks_bounded(sf_dir: str):
+    """FastCDC-style bounded CDC: the anchor rule plus greedy min/max
+    (32/128) enforcement — no chunk over 128 chars, no non-final chunk
+    under 32; the oracle replays the greedy fold with a recursive CTE."""
+    from clawrag_ray.stages.curation import cdc_chunks_bounded
+
+    return cdc_chunks_bounded(
+        _read(sf_dir, "documents", ["doc_id", "text"]), min_len=32, max_len=128
+    )
+
+
 def _q_cdc_shared_chunks(sf_dir: str):
     """Chunk-level cross-doc dedup over the CDC split: content-defined
     chunk hashes shared by >= 2 distinct docs, with doc and occurrence
@@ -3132,6 +3143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-5 head: every query with NO driver full-pass in any round
         # (r1-r4 union) leads, so the 50-query/round gate closes the gap
         "minhash_incremental_persisted": _q_minhash_incremental_persisted,
+        "cdc_chunks_bounded": _q_cdc_chunks_bounded,
         "event_type_counts_cms": _q_event_type_counts_cms,
         "rich_inactive_customers": _q_rich_inactive_customers,
         "rrf_hybrid": _q_rrf_hybrid,
@@ -4819,6 +4831,33 @@ def oracle_sql() -> dict[str, str]:
             "(c.prev + 1)::BIGINT AS start, (c.endpos - c.prev)::BIGINT AS length, "
             "('0x' || substr(md5(substr(d.text, c.prev + 1, c.endpos - c.prev)), 1, 8))::UBIGINT::BIGINT AS chunk_hash "
             "FROM ch c JOIN documents d USING (doc_id) WHERE c.endpos > c.prev"
+        ),
+        # bounded-CDC replay: same anchor CTEs, then the greedy min/max
+        # fold as a recursive boundary walk (next boundary = smallest
+        # anchor in [pos+32, min(pos+128, n)], else forced cut)
+        "cdc_chunks_bounded": (
+            "WITH RECURSIVE pre AS ("
+            "SELECT doc_id, 0 AS i, 0::HUGEINT AS h FROM documents "
+            "UNION ALL SELECT pre.doc_id, pre.i + 1, "
+            "(pre.h * 257 + unicode(d.text[pre.i + 1])) % 2147483629 "
+            "FROM pre JOIN documents d ON pre.doc_id = d.doc_id WHERE pre.i < length(d.text)), "
+            "win AS (SELECT a.doc_id, b.i AS e, "
+            "((b.h - (a.h * 2068015241::HUGEINT) % 2147483629) % 2147483629 + 2147483629) % 2147483629 AS wh "
+            "FROM pre a JOIN pre b ON a.doc_id = b.doc_id AND b.i = a.i + 16), "
+            "anchor AS (SELECT doc_id, e FROM win WHERE wh % 64 = 0), "
+            "bnd AS ("
+            "SELECT doc_id, 0::BIGINT AS pos, length(text)::BIGINT AS n FROM documents WHERE length(text) > 0 "
+            "UNION ALL SELECT b.doc_id, "
+            "coalesce((SELECT min(a.e) FROM anchor a WHERE a.doc_id = b.doc_id "
+            "AND a.e >= b.pos + 32 AND a.e <= least(b.pos + 128, b.n)), "
+            "least(b.pos + 128, b.n))::BIGINT, b.n "
+            "FROM bnd b WHERE b.pos < b.n), "
+            "ch AS (SELECT doc_id, pos AS endpos, "
+            "lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM bnd) "
+            "SELECT c.doc_id, row_number() OVER (PARTITION BY c.doc_id ORDER BY c.endpos)::BIGINT AS chunk_idx, "
+            "(c.prev + 1)::BIGINT AS start, (c.endpos - c.prev)::BIGINT AS length, "
+            "('0x' || substr(md5(substr(d.text, c.prev + 1, c.endpos - c.prev)), 1, 8))::UBIGINT::BIGINT AS chunk_hash "
+            "FROM ch c JOIN documents d USING (doc_id) WHERE c.prev IS NOT NULL"
         ),
         # shared-chunk replay: same CDC CTEs, md5 chunk ids, >= 2 docs
         "cdc_shared_chunks": (

@@ -134,6 +134,7 @@ TIMED_QUERIES = [
     "signup_click_purchase_funnel",
     "blocklist",
     "cdc_chunks",
+    "cdc_chunks_bounded",
     "cdc_shared_chunks",
     "doc_pagerank_seeded",
     "events_zorder",

@@ -1869,3 +1869,84 @@ def cdc_chunks(
     return ds.select_columns([id_col, text_col]).map_batches(
         split, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def cdc_chunks_bounded(
+    ds: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 16,
+    mask_bits: int = 6,
+    min_len: int = 32,
+    max_len: int = 128,
+) -> Dataset:
+    """FastCDC-style BOUNDED content-defined chunking (Xia 2016, public):
+    the anchor rule of cdc_chunks plus greedy min/max enforcement — from
+    position ``pos`` the next boundary is the SMALLEST anchor in
+    ``[pos + min_len, min(pos + max_len, n)]``, else a forced cut at
+    ``min(pos + max_len, n)``. Bounds kill the anchor rule's two failure
+    modes at scale: pathological anchor-dense content (chunks of a few
+    bytes each -> hash-table blow-up downstream) and anchor deserts
+    (one giant chunk -> skewed blocks). Every chunk is <= max_len; every
+    non-final chunk is >= min_len; edits still only reshape the chunks
+    they touch until the next in-bound anchor re-aligns. The greedy fold
+    is sequential PER DOC but steps per CHUNK (binary search into the
+    sparse anchor array), so a batch stays one vectorized-hash pass plus
+    ~n/expected_len tiny steps; MAP-ONLY like cdc_chunks, and the
+    recursive-CTE oracle replays the identical rule. Output: (id,
+    chunk_idx, start 1-based, length, chunk_hash)."""
+    from clawrag_ray.functions.kernels import md5_prefix_ints
+
+    if not (0 < min_len <= max_len):
+        raise ValueError("cdc_chunks_bounded: need 0 < min_len <= max_len")
+    mask = (1 << mask_bits) - 1
+
+    def split(b: pa.Table) -> pa.Table:
+        texts = b[text_col].to_pylist()
+        ids = b[id_col].to_pylist()
+        max_n = max((len(t or "") for t in texts), default=1)
+        pows, ipows = _modpow_tables(_RH_B, max_n + window + 1, _RH_M1)
+        out_id: list = []
+        out_idx: list[int] = []
+        out_start: list[int] = []
+        out_len: list[int] = []
+        chunk_texts: list[str] = []
+        for doc_id, t in zip(ids, texts):
+            t = t or ""
+            n = len(t)
+            if n == 0:
+                continue
+            if n >= window:
+                codes = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+                wh = _window_hashes_leading(codes, window, pows, ipows, _RH_M1)
+                anchors = np.flatnonzero((wh & np.uint64(mask)) == 0) + window
+            else:
+                anchors = np.empty(0, dtype=np.int64)
+            pos, k = 0, 0
+            while pos < n:
+                lim = min(pos + max_len, n)
+                lo = int(np.searchsorted(anchors, pos + min_len, side="left"))
+                nxt = lim
+                if lo < len(anchors) and int(anchors[lo]) <= lim:
+                    nxt = int(anchors[lo])
+                k += 1
+                out_id.append(doc_id)
+                out_idx.append(k)
+                out_start.append(pos + 1)
+                out_len.append(nxt - pos)
+                chunk_texts.append(t[pos:nxt])
+                pos = nxt
+        hashes = md5_prefix_ints(chunk_texts) if chunk_texts else np.empty(0, dtype=np.int64)
+        return pa.table(
+            {
+                id_col: pa.array(out_id, b[id_col].type),
+                "chunk_idx": pa.array(out_idx, pa.int64()),
+                "start": pa.array(out_start, pa.int64()),
+                "length": pa.array(out_len, pa.int64()),
+                "chunk_hash": pa.array(hashes, pa.int64()),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        split, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -1105,6 +1105,77 @@ class TestCdcChunks:
         assert g3["chunk_hash"].iloc[0] == int(hashlib.md5(b"tiny").hexdigest()[:8], 16)
 
 
+class TestCdcChunksBounded:
+    def test_bounds_tiling_and_edit_stability(self, ray_session):
+        import numpy as np
+
+        from clawrag_ray.stages.curation import cdc_chunks, cdc_chunks_bounded
+
+        rng = np.random.RandomState(9)
+        base = " ".join(
+            "".join(rng.choice(list("abcdefghijklmnop"), size=rng.randint(2, 9)))
+            for _ in range(400)
+        )
+        shifted = "INSERTED PREFIX !! " + base
+        t = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": [base, shifted, "tiny"],
+            }
+        )
+        got = cdc_chunks_bounded(
+            ray.data.from_arrow(t).repartition(2), min_len=32, max_len=128
+        ).to_pandas()
+        for did, text in ((1, base), (2, shifted)):
+            g = got[got.doc_id == did].sort_values("chunk_idx")
+            assert g["length"].sum() == len(text)
+            assert g["start"].iloc[0] == 1
+            assert (g["start"].to_numpy()[1:] == (g["start"] + g["length"]).to_numpy()[:-1]).all()
+            assert (g["length"] <= 128).all()
+            assert (g["length"].to_numpy()[:-1] >= 32).all()  # only the tail may be short
+        # content-defined survives the shift: most chunk hashes shared
+        h1 = set(got[got.doc_id == 1]["chunk_hash"])
+        h2 = set(got[got.doc_id == 2]["chunk_hash"])
+        assert len(h1 & h2) >= len(h1) // 2
+        # short doc: one whole-doc chunk
+        assert len(got[got.doc_id == 3]) == 1
+
+    def test_greedy_matches_python_reference(self, ray_session):
+        import numpy as np
+
+        from clawrag_ray.stages.curation import cdc_chunks, cdc_chunks_bounded
+
+        rng = np.random.RandomState(21)
+        texts = [
+            "".join(rng.choice(list("abcdefgh ij"), size=rng.randint(0, 900)))
+            for _ in range(12)
+        ]
+        t = pa.table({"doc_id": pa.array(range(12), pa.int64()), "text": texts})
+        ds = ray.data.from_arrow(t).repartition(3)
+        minl, maxl = 20, 70
+        # reference greedy over the UNBOUNDED op's anchor set (chunk ends
+        # minus the forced final cut are exactly the anchors)
+        unb = cdc_chunks(ds).to_pandas()
+        got = cdc_chunks_bounded(ds, min_len=minl, max_len=maxl).to_pandas()
+        for did, text in enumerate(texts):
+            n = len(text)
+            g = unb[unb.doc_id == did].sort_values("chunk_idx")
+            ends = (g["start"] + g["length"] - 1).to_numpy()
+            anchors = [int(e) for e in ends if e != n] if n else []
+            # docs < window: unbounded yields one whole-doc chunk, no anchors
+            want = []
+            pos = 0
+            a = np.asarray(anchors, dtype=np.int64)
+            while pos < n:
+                lim = min(pos + maxl, n)
+                lo = int(np.searchsorted(a, pos + minl, side="left"))
+                nxt = int(a[lo]) if lo < len(a) and a[lo] <= lim else lim
+                want.append((pos + 1, nxt - pos))
+                pos = nxt
+            gb = got[got.doc_id == did].sort_values("chunk_idx")
+            assert list(zip(gb["start"], gb["length"])) == want, did
+
+
 class TestWebCurateEmpty:
     def test_no_survivors_returns_typed_empty(self, ray_session):
         from clawrag_ray.pipelines.curation import web_curate
