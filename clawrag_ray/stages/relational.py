@@ -2998,7 +2998,9 @@ def interval_overlap_join(
         b1 = (e - 1) // bucket_us
         reps = (b1 - b0 + 1).astype(np.int64)
         idx = np.repeat(np.arange(len(s)), reps)
-        bkt = np.concatenate([np.arange(a, z + 1) for a, z in zip(b0, b1)]) if len(s) else np.empty(0, dtype=np.int64)
+        # bucket ranges via index algebra (no per-row listcomp)
+        seg_start = np.repeat(np.cumsum(reps) - reps, reps)
+        bkt = b0[idx] + (np.arange(idx.size, dtype=np.int64) - seg_start)
         return pa.table(
             {
                 "__bkt": pa.array(bkt, pa.int64()),
