@@ -2905,6 +2905,16 @@ def _q_gopher_quality(sf_dir: str):
     return gopher_quality_filter(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def _q_gopher_repetition(sf_dir: str):
+    """Gopher §A1.2 repetition family beyond the token/2-gram pair:
+    duplicate-line fraction (+ char fraction) and top-{2,3,4}-gram
+    character coverage — each one IEEE division of exact int64 counts,
+    keep under the frozen thresholds."""
+    from clawrag_ray.stages.text_analysis import gopher_repetition_full
+
+    return gopher_repetition_full(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
 def _q_c4_clean(sf_dir: str):
     """C4 line/page rules over a deterministically punctuated variant of
     the corpus (periods injected before 'the'/'a' tokens so the
@@ -3144,6 +3154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (r1-r4 union) leads, so the 50-query/round gate closes the gap
         "minhash_incremental_persisted": _q_minhash_incremental_persisted,
         "cdc_chunks_bounded": _q_cdc_chunks_bounded,
+        "gopher_repetition": _q_gopher_repetition,
         "event_type_counts_cms": _q_event_type_counts_cms,
         "rich_inactive_customers": _q_rich_inactive_customers,
         "rrf_hybrid": _q_rrf_hybrid,
@@ -3673,6 +3684,44 @@ def oracle_sql() -> dict[str, str]:
         ),
         # Gopher-rules replay: the same RE2 count patterns, each ratio one
         # exact-integer division, thresholds compared on unrounded values
+        # Gopher §A1.2 replay: per-line dup counts via GROUP BY over split
+        # lines; per-n top n-gram via count + (count DESC, gram) QUALIFY;
+        # every fraction one int64/int64 IEEE division, keep thresholds
+        # applied to the ROUNDED values on both sides
+        "gopher_repetition": (
+            "WITH l0 AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents), "
+            "l AS (SELECT doc_id, line FROM l0 WHERE length(line) > 0), "
+            "lc AS (SELECT doc_id, line, count(*)::BIGINT AS c, sum(length(line))::BIGINT AS chars "
+            "FROM l GROUP BY 1, 2), "
+            "ls AS (SELECT doc_id, sum(c)::BIGINT AS t, sum(chars)::BIGINT AS tc, "
+            "sum(CASE WHEN c >= 2 THEN c ELSE 0 END)::BIGINT AS d, "
+            "sum(CASE WHEN c >= 2 THEN chars ELSE 0 END)::BIGINT AS dc FROM lc GROUP BY 1), "
+            "w AS (SELECT doc_id, length(text)::BIGINT AS n, "
+            "regexp_extract_all(lower(text), '\\S+') AS words FROM documents), "
+            "g2 AS (SELECT doc_id, unnest([words[i] || ' ' || words[i+1] "
+            "FOR i IN generate_series(1, len(words)-1)]) AS g FROM w WHERE len(words) >= 2), "
+            "t2 AS (SELECT doc_id, g, count(*)::BIGINT AS c FROM g2 GROUP BY 1, 2 "
+            "QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, g) = 1), "
+            "g3 AS (SELECT doc_id, unnest([words[i] || ' ' || words[i+1] || ' ' || words[i+2] "
+            "FOR i IN generate_series(1, len(words)-2)]) AS g FROM w WHERE len(words) >= 3), "
+            "t3 AS (SELECT doc_id, g, count(*)::BIGINT AS c FROM g3 GROUP BY 1, 2 "
+            "QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, g) = 1), "
+            "g4 AS (SELECT doc_id, unnest([words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' || words[i+3] "
+            "FOR i IN generate_series(1, len(words)-3)]) AS g FROM w WHERE len(words) >= 4), "
+            "t4 AS (SELECT doc_id, g, count(*)::BIGINT AS c FROM g4 GROUP BY 1, 2 "
+            "QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, g) = 1), "
+            "f AS (SELECT w.doc_id, "
+            "round(coalesce(ls.d::DOUBLE / ls.t, 0), 6) AS dup_line_frac, "
+            "round(coalesce(ls.dc::DOUBLE / ls.tc, 0), 6) AS dup_line_char_frac, "
+            "round(coalesce((t2.c * length(t2.g))::DOUBLE / w.n, 0), 6) AS top_2gram_char_frac, "
+            "round(coalesce((t3.c * length(t3.g))::DOUBLE / w.n, 0), 6) AS top_3gram_char_frac, "
+            "round(coalesce((t4.c * length(t4.g))::DOUBLE / w.n, 0), 6) AS top_4gram_char_frac "
+            "FROM w LEFT JOIN ls USING (doc_id) LEFT JOIN t2 USING (doc_id) "
+            "LEFT JOIN t3 USING (doc_id) LEFT JOIN t4 USING (doc_id)) "
+            "SELECT *, (dup_line_frac <= 0.30 AND dup_line_char_frac <= 0.20 "
+            "AND top_2gram_char_frac <= 0.20 AND top_3gram_char_frac <= 0.18 "
+            "AND top_4gram_char_frac <= 0.16) AS keep FROM f"
+        ),
         "gopher_quality": (
             "WITH m AS (SELECT doc_id, "
             "length(regexp_extract_all(text, '\\S+'))::BIGINT AS n_words, "

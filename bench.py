@@ -122,6 +122,7 @@ TIMED_QUERIES = [
     "token_pmi",
     "perplexity_bigram",
     "gopher_quality",
+    "gopher_repetition",
     "c4_clean",
     "web_curated",
     "corpus_merge",

@@ -28,6 +28,19 @@ def re2_tokens(text: str) -> list[str]:
     """Tokenize like RE2's \\S+ (the oracle-side definition), not like
     str.split() (unicode whitespace)."""
     return _RE2_TOKEN.findall(text)
+
+
+def round6_away(x: float) -> float:
+    """round(x, 6) with HALF-AWAY-FROM-ZERO ties for non-negative x — the
+    DuckDB/SQL convention, vs Python round()'s banker's rounding. Ratios
+    of exact integers land on exact .5 boundaries whenever the
+    denominator is a power of two (e.g. char fractions of a 256-char
+    doc: 18/256*1e6 = 70312.5), where the two conventions diverge and an
+    oracle hash flickers. x*1e6 is the same double on both engines, so
+    floor(x*1e6 + 0.5)/1e6 reproduces DuckDB's round() bit-for-bit."""
+    import math
+
+    return math.floor(x * 1e6 + 0.5) / 1e6
 # BPE-ish word/number/punct tokenizer (public GPT-2-style pattern shape).
 BPE_ISH_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 

@@ -225,6 +225,99 @@ def repetition_metrics(
     return ds.map_batches(metrics, batch_format="pyarrow", zero_copy_batch=True)
 
 
+# Frozen Gopher §A1.2 repetition thresholds (Rae et al. 2022 Table A1
+# shape; values chosen so both classes are non-empty on the synthetic
+# corpus — same convention as the §A1.1 constants above)
+REP_DUP_LINE_MAX = 0.30
+REP_DUP_LINE_CHAR_MAX = 0.20
+REP_TOP_NGRAM_CHAR_MAX = {2: 0.20, 3: 0.18, 4: 0.16}
+
+
+def gopher_repetition_full(
+    ds: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: list[str] | None = None,
+) -> Dataset:
+    """The rest of the Gopher repetition-rule family (arXiv:2112.11446
+    §A1.2, public formulation) beyond repetition_metrics' token/2-gram
+    pair: LINE-level duplication and TOP-n-GRAM character coverage.
+
+    - dup_line_frac: occurrences of non-empty '\\n'-lines whose value
+      appears >= 2 times in the doc, over total non-empty lines.
+    - dup_line_char_frac: characters in those duplicate occurrences over
+      total non-empty-line characters.
+    - top_{2,3,4}gram_char_frac: occurrences of the doc's most frequent
+      word n-gram (lowercase \\S+ tokens joined by one space; ties break
+      to the lexicographically smallest) x the n-gram's char length,
+      over len(text).
+
+    Every fraction is ONE IEEE division of exact int64 counts, so values
+    are bit-equal cross-engine and the DuckDB oracle replays each rule
+    verbatim. keep = all five fractions under the frozen thresholds.
+    Map-only; the per-doc Counter pass is the same inherent-loop shape
+    as repetition_metrics, batched at the Arrow level."""
+    from collections import Counter
+
+    from clawrag_ray.functions.kernels import round6_away
+
+    def metrics(batch: pa.Table) -> pa.Table:
+        dl, dlc = [], []
+        tng: dict[int, list[float]] = {2: [], 3: [], 4: []}
+        for text in batch[text_col].to_pylist():
+            t = text or ""
+            lines = [x for x in t.split("\n") if x]
+            if lines:
+                cnt = Counter(lines)
+                total = len(lines)
+                total_chars = sum(len(x) for x in lines)
+                dup = sum(c for c in cnt.values() if c >= 2)
+                dup_chars = sum(len(x) * c for x, c in cnt.items() if c >= 2)
+                # round6_away, not round(): power-of-two denominators sit
+                # exactly ON .5 rounding boundaries (see kernels.round6_away)
+                dl.append(round6_away(dup / total))
+                dlc.append(round6_away(dup_chars / total_chars) if total_chars else 0.0)
+            else:
+                dl.append(0.0)
+                dlc.append(0.0)
+            toks = re2_tokens(t.lower())
+            for n in (2, 3, 4):
+                if len(toks) < n or not t:
+                    tng[n].append(0.0)
+                    continue
+                grams = Counter(" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1))
+                best_c = max(grams.values())
+                best_g = min(g for g, c in grams.items() if c == best_c)
+                tng[n].append(round6_away(best_c * len(best_g) / len(t)))
+        cols = {id_col: batch[id_col]}
+        for c in keep_cols or []:
+            cols[c] = batch[c]
+        dl_a = pa.array(dl, pa.float64())
+        dlc_a = pa.array(dlc, pa.float64())
+        g_a = {n: pa.array(tng[n], pa.float64()) for n in (2, 3, 4)}
+        keep = pc.and_(
+            pc.less_equal(dl_a, REP_DUP_LINE_MAX),
+            pc.less_equal(dlc_a, REP_DUP_LINE_CHAR_MAX),
+        )
+        for n in (2, 3, 4):
+            keep = pc.and_(keep, pc.less_equal(g_a[n], REP_TOP_NGRAM_CHAR_MAX[n]))
+        cols.update(
+            {
+                "dup_line_frac": dl_a,
+                "dup_line_char_frac": dlc_a,
+                "top_2gram_char_frac": g_a[2],
+                "top_3gram_char_frac": g_a[3],
+                "top_4gram_char_frac": g_a[4],
+                "keep": keep,
+            }
+        )
+        return pa.table(cols)
+
+    return ds.select_columns(
+        [id_col, text_col] + [c for c in keep_cols or [] if c not in (id_col, text_col)]
+    ).map_batches(metrics, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def token_kl_divergence(ds: Dataset, group_col: str = "lang", text_col: str = "text") -> Dataset:
     """Per-group token-distribution drift from the corpus: KL(P_group ||
     P_corpus) over the corpus vocabulary with add-one smoothing — the

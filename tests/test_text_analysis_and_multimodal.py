@@ -463,3 +463,73 @@ class TestBlocklistFilter:
         assert got.loc[1, "n_blocked"] == 0 and bool(got.loc[1, "keep"])
         assert got.loc[2, "n_blocked"] == 1 and not bool(got.loc[2, "keep"])
         assert got.loc[3, "n_blocked"] == 3
+
+
+class TestGopherRepetitionFull:
+    def test_engineered_fixture(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from clawrag_ray.stages.text_analysis import gopher_repetition_full
+
+        dup_lines = "same line here\nsame line here\nunique one\nsame line here\n"
+        loop_gram = ("buy now " * 30) + "totally distinct ending words"
+        words = (
+            "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima "
+            "mike november oscar papa quebec romeo sierra tango uniform victor whiskey "
+            "xray yankee zulu amber birch cedar dune ember frost grove harbor inlet"
+        ).split()
+        clean = "\n".join(
+            " ".join(words[i * 4 : i * 4 + 4]) for i in range(8)
+        )
+        t = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": [dup_lines, loop_gram, clean],
+            }
+        )
+        got = (
+            gopher_repetition_full(ray.data.from_arrow(t).repartition(2))
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        # doc 1: 3 of 4 non-empty lines are duplicates (3/4 = .75)
+        assert got.loc[1, "dup_line_frac"] == 0.75
+        assert got.loc[1, "dup_line_char_frac"] > 0.7
+        assert not got.loc[1, "keep"]
+        # doc 2: 'buy now' dominates the 2-gram mass
+        assert got.loc[2, "top_2gram_char_frac"] > 0.5
+        assert not got.loc[2, "keep"]
+        # doc 3: clean
+        assert got.loc[3, "dup_line_frac"] == 0.0
+        assert bool(got.loc[3, "keep"])
+
+    def test_round6_away_boundary(self):
+        from clawrag_ray.functions.kernels import round6_away
+
+        # 18/256 * 1e6 = 70312.5 exactly: banker's rounding gives .070312,
+        # the SQL convention gives .070313
+        assert round6_away(18 / 256) == 0.070313
+        assert round(18 / 256, 6) == 0.070312  # the divergence this guards
+
+    def test_edge_docs(self, ray_session):
+        import pyarrow as pa
+        import ray.data
+
+        from clawrag_ray.stages.text_analysis import gopher_repetition_full
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": ["", "\n\n\n", "one"],
+            }
+        )
+        got = (
+            gopher_repetition_full(ray.data.from_arrow(t))
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        for d in (1, 2, 3):
+            assert got.loc[d, "dup_line_frac"] == 0.0
+            assert got.loc[d, "top_2gram_char_frac"] == 0.0
+            assert bool(got.loc[d, "keep"])
