@@ -485,6 +485,52 @@ def _q_doc_split(sf_dir: str):
     return stratified_split(_read(sf_dir, "documents", ["doc_id", "lang"]))
 
 
+def _q_leakage_safe_split(sf_dir: str):
+    """Cluster-aware split: exact-duplicate clusters ride into ONE split
+    (md5 of the cluster's min doc_id), closing the train/test leakage
+    channel a per-doc split leaves open. Small-sf corpora are near-dup-free,
+    so duplication is synthesized deterministically first (every 5th doc
+    cloned under doc_id + 1000000 — the dedup_audit pattern), mirrored by
+    the oracle's UNION ALL; the gate then actually exercises the property
+    (clone and original land together, where doc_split would scatter them)."""
+    import pyarrow.compute as pc
+
+    from clawrag_ray.stages.curation import leakage_safe_split
+
+    def with_clones(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        clones = b.filter(pa.array(ids % 5 == 0))
+        clones = clones.set_column(
+            clones.schema.get_field_index("doc_id"),
+            "doc_id",
+            pc.add(clones["doc_id"], pa.scalar(1_000_000, pa.int64())),
+        )
+        return pa.concat_tables([b, clones])
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        with_clones, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return leakage_safe_split(docs)
+
+
+def _q_dedup_rate_by_source(sf_dir: str):
+    """Per-source duplication diagnostic (n_docs, n_uniq, dup_rate) — the
+    crawl-slice triage report. Duplication synthesized as in
+    leakage_safe_split (every 5th doc cloned) so the rates are non-zero."""
+    import pyarrow.compute as pc
+
+    from clawrag_ray.stages.dedup import dedup_rate_by_source
+
+    def with_clones(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.concat_tables([b, b.filter(pa.array(ids % 5 == 0))])
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "text"]).map_batches(
+        with_clones, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return dedup_rate_by_source(docs.select_columns(["source", "text"]))
+
+
 def _q_curated_corpus(sf_dir: str):
     """Flagship composed curation chain: exact dedup -> Gopher repetition
     filter -> CCNet perplexity filter (LM trained on the survivors, tail
@@ -3155,6 +3201,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_incremental_persisted": _q_minhash_incremental_persisted,
         "cdc_chunks_bounded": _q_cdc_chunks_bounded,
         "gopher_repetition": _q_gopher_repetition,
+        "leakage_safe_split": _q_leakage_safe_split,
+        "dedup_rate_by_source": _q_dedup_rate_by_source,
         "event_type_counts_cms": _q_event_type_counts_cms,
         "rich_inactive_customers": _q_rich_inactive_customers,
         "rrf_hybrid": _q_rrf_hybrid,
@@ -4245,6 +4293,22 @@ def oracle_sql() -> dict[str, str]:
             "WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100 < 80 THEN 'train' "
             "WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 100 < 90 THEN 'val' "
             "ELSE 'test' END AS split FROM documents"
+        ),
+        "leakage_safe_split": (
+            "WITH docs2 AS (SELECT doc_id, text FROM documents UNION ALL "
+            "SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0), "
+            "c AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS cluster_id FROM docs2), "
+            "h AS (SELECT doc_id, cluster_id, "
+            "('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8))::UBIGINT % 100 AS m FROM c) "
+            "SELECT doc_id, cluster_id, CASE WHEN m < 80 THEN 'train' "
+            "WHEN m < 90 THEN 'val' ELSE 'test' END AS split FROM h"
+        ),
+        "dedup_rate_by_source": (
+            "WITH docs2 AS (SELECT source, text FROM documents UNION ALL "
+            "SELECT source, text FROM documents WHERE doc_id % 5 = 0) "
+            "SELECT source, count(*)::BIGINT AS n_docs, count(DISTINCT text)::BIGINT AS n_uniq, "
+            "round(1 - count(DISTINCT text)::DOUBLE / count(*), 6) AS dup_rate "
+            "FROM docs2 GROUP BY source"
         ),
         # the full chain in one statement: dedup QUALIFY -> repetition CTEs
         # over survivors -> unigram-LM entropy + quantile cutoffs over the

@@ -148,6 +148,8 @@ TIMED_QUERIES = [
     "minhash_incremental_persisted",
     "concurrent_users",
     "extract_spans_dedup_text",
+    "leakage_safe_split",
+    "dedup_rate_by_source",
 ]
 
 

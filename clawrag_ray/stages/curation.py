@@ -404,6 +404,51 @@ def stratified_split(
     return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def leakage_safe_split(
+    ds: Dataset,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bounds: tuple[int, int] = SPLIT_BOUNDS,
+    num_partitions: int = 64,
+) -> Dataset:
+    """Cluster-aware train/val/test split: every exact-duplicate CLUSTER
+    (docs with byte-identical text) is assigned to one split as a unit —
+    split = md5(cluster_id) mod 100 where cluster_id = min(doc_id) in the
+    cluster. A per-doc hash split (``stratified_split``) leaks: with 30-50%
+    exact duplication (the web-crawl norm) a test doc's twin lands in
+    train ~80% of the time, inflating eval (the contamination channel
+    Lee et al. 2021 §6 measure). Returns (doc_id, cluster_id, split).
+
+    Shape: ONE shuffle. Rows travel as thin (doc_id, text_sha256) pairs;
+    ``hash_partitioned_groups`` on the digest co-locates each cluster, and
+    the per-partition pandas transform computes the cluster min + hash
+    assignment vectorized over MANY whole clusters at once. No
+    corpus-sized join, no driver-side state.
+
+    SQL mirror: min(doc_id) OVER (PARTITION BY text), then the
+    ('0x' || substr(md5(cluster_id::VARCHAR), 1, 8))::UBIGINT % 100 rule
+    shared with stratified_split."""
+    from clawrag_ray.stages.dedup import with_text_hash
+    from clawrag_ray.stages.relational import hash_partitioned_groups
+
+    lo, hi = bounds
+    hashed = with_text_hash(ds.select_columns([id_col, text_col]), text_col).select_columns(
+        [id_col, "text_sha256"]
+    )
+
+    def assign_clusters(df: pd.DataFrame) -> pd.DataFrame:
+        cluster = df.groupby("text_sha256")[id_col].transform("min").to_numpy()
+        m = md5_prefix_ints(cluster) % 100
+        split = np.where(m < lo, "train", np.where(m < hi, "val", "test"))
+        return pd.DataFrame(
+            {id_col: df[id_col].to_numpy(), "cluster_id": cluster, "split": split}
+        )
+
+    return hash_partitioned_groups(
+        hashed, ["text_sha256"], assign_clusters, num_partitions=num_partitions
+    )
+
+
 # ---------------------------------------------------------------------------
 # PII scrubbing
 # ---------------------------------------------------------------------------

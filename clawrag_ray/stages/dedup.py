@@ -63,6 +63,47 @@ def exact_dedup_stats(ds: Dataset, text_col: str = "text", id_col: str = "doc_id
     return agg.select_columns(["keeper_doc_id", "n_copies"])
 
 
+def dedup_rate_by_source(ds: Dataset, text_col: str = "text", group_col: str = "source") -> Dataset:
+    """Per-source duplication report: (source, n_docs, n_uniq, dup_rate)
+    where n_uniq counts distinct texts and dup_rate = 1 - n_uniq/n_docs —
+    the first diagnostic run on a new crawl slice (which sources are
+    boilerplate farms, what exact-dedup will reclaim, per-source).
+
+    Three-level aggregation keeps the shuffle thin: per-batch arrow
+    group_by collapses to (source, digest, partial_count) partials, the
+    global groupby on (source, digest) sums copies per distinct text, and
+    the finishing groupby on source alone counts distinct rows + sums
+    copies. Nothing corpus-sized ever sits on the driver; output is
+    #sources rows."""
+    hashed = with_text_hash(ds.select_columns([group_col, text_col]), text_col)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by([group_col, "text_sha256"]).aggregate([("text_sha256", "count")])
+        return g.rename_columns([group_col, "text_sha256", "partial_count"])
+
+    partials = hashed.map_batches(partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    per_text = partials.groupby([group_col, "text_sha256"]).aggregate(
+        Sum("partial_count", alias_name="n_copies")
+    )
+
+    def finish_partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(group_col).aggregate([("n_copies", "sum"), ("n_copies", "count")])
+        return g.rename_columns([group_col, "p_docs", "p_uniq"])
+
+    fin = per_text.map_batches(finish_partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    agg = fin.groupby(group_col).aggregate(
+        Sum("p_docs", alias_name="n_docs"), Sum("p_uniq", alias_name="n_uniq")
+    )
+
+    def rate(batch: pa.Table) -> pa.Table:
+        n_docs = batch["n_docs"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n_uniq = batch["n_uniq"].to_numpy(zero_copy_only=False).astype(np.float64)
+        r = np.round(1.0 - n_uniq / n_docs, 6)
+        return batch.append_column("dup_rate", pa.array(r, pa.float64()))
+
+    return agg.map_batches(rate, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def dedup_versions(
     ds: Dataset, text_col: str = "text", id_col: str = "doc_id", num_partitions: int = 64
 ) -> Dataset:

@@ -241,6 +241,53 @@ class TestStratifiedSplit:
         assert (merged["split_a"] == merged["split_b"]).all()
 
 
+class TestLeakageSafeSplit:
+    def test_clusters_land_in_one_split_and_match_hash_rule(self, ray_session):
+        import ray
+
+        from clawrag_ray.functions.kernels import md5_prefix_ints
+        from clawrag_ray.stages.curation import leakage_safe_split
+
+        # 300 distinct texts; every 3rd text duplicated under two extra ids
+        rows = []
+        for i in range(300):
+            rows.append((i, f"document body {i}"))
+            if i % 3 == 0:
+                rows.append((1000 + i, f"document body {i}"))
+                rows.append((2000 + i, f"document body {i}"))
+        df = pd.DataFrame(rows, columns=["doc_id", "text"])
+        out = (
+            leakage_safe_split(
+                ray.data.from_pandas(df).repartition(5), num_partitions=7
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+        )
+        assert len(out) == len(df)
+        # cluster_id is the min doc_id over identical text
+        want_cluster = df.groupby("text")["doc_id"].transform("min")
+        merged = df.assign(want=want_cluster).merge(out, on="doc_id")
+        assert (merged["cluster_id"] == merged["want"]).all()
+        # every member of a cluster gets the SAME split (the leakage property)
+        assert (out.groupby("cluster_id")["split"].nunique() == 1).all()
+        # and the assignment is exactly the md5(cluster_id) % 100 rule
+        m = md5_prefix_ints(out["cluster_id"].to_numpy()) % 100
+        want_split = np.where(m < 80, "train", np.where(m < 90, "val", "test"))
+        assert (out["split"].to_numpy() == want_split).all()
+
+    def test_duplicate_free_corpus_degenerates_to_doc_split(self, ray_session):
+        import ray
+
+        from clawrag_ray.stages.curation import leakage_safe_split, stratified_split
+
+        df = pd.DataFrame({"doc_id": range(400), "text": [f"unique {i}" for i in range(400)]})
+        ds = ray.data.from_pandas(df).repartition(3)
+        a = leakage_safe_split(ds).to_pandas().sort_values("doc_id")
+        b = stratified_split(ds.select_columns(["doc_id"])).to_pandas().sort_values("doc_id")
+        assert (a["cluster_id"].to_numpy() == a["doc_id"].to_numpy()).all()
+        assert a["split"].tolist() == b["split"].tolist()
+
+
 class TestBoilerplateRemoval:
     def _brute(self, docs: dict[int, str], min_docs: int) -> pd.DataFrame:
         from collections import Counter

@@ -55,6 +55,31 @@ class TestExactDedup:
         assert df.loc[4, "version"] == 1 and df.loc[4, "is_active"]
 
 
+class TestDedupRateBySource:
+    def test_rates_per_source(self):
+        import pandas as pd
+        import ray
+
+        from clawrag_ray.stages.dedup import dedup_rate_by_source
+
+        # source a: 4 docs / 2 distinct; source b: 3 docs all distinct
+        df = pd.DataFrame(
+            {
+                "source": ["a", "a", "a", "a", "b", "b", "b"],
+                "text": ["x", "x", "y", "y", "p", "q", "r"],
+            }
+        )
+        out = (
+            dedup_rate_by_source(ray.data.from_pandas(df).repartition(3))
+            .to_pandas()
+            .set_index("source")
+        )
+        assert out.loc["a", "n_docs"] == 4 and out.loc["a", "n_uniq"] == 2
+        assert out.loc["a", "dup_rate"] == 0.5
+        assert out.loc["b", "n_docs"] == 3 and out.loc["b", "n_uniq"] == 3
+        assert out.loc["b", "dup_rate"] == 0.0
+
+
 class TestMinHash:
     def test_shingles_deterministic(self):
         assert word_shingles(BASE) == word_shingles(BASE)
